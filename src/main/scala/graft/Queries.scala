@@ -1,0 +1,567 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.Aggregates
+import graft.dedup.Dedup
+import graft.join.Joins
+import graft.ops.{FieldSelection, KeyFieldSpec, Sampling, TextOps}
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** The driver-checked query registry: one entry per implemented operator
+  * (SURVEY.md §2 + training-data value-add), each with a DuckDB oracle in
+  * [[Queries.oracle]].
+  *
+  * Cross-engine determinism rules used throughout (so the driver's
+  * DuckDB-vs-Spark hash compare is exact, not approximate):
+  *  - double SUMs go through exact integer cents:
+  *    `sum(cast(round(x*100, 0) as bigint))` — per-row rounding is
+  *    IEEE-deterministic, integer summation is associative, so Spark's
+  *    distributed partial aggregation and DuckDB's sequential fold agree
+  *    bit-for-bit at any scale/partitioning;
+  *  - sampling/hashing is md5-based (never engine hash functions);
+  *  - orderings that feed row_number/limit always have a unique total
+  *    order (explicit id tie-break);
+  *  - count-like outputs are cast to BIGINT on both sides;
+  *  - cosine similarities are rounded to 6 decimals on both sides.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact money arithmetic: dollars-double → integer cents. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // ---------------------------------------------------------------- specs
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  val registry: Map[String, Q] = Map(
+
+    // ---- §2.4 aggregations -------------------------------------------
+
+    "q_agg_sum" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_discount"))).as("sum_disc_cents"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        sum((round(l_extendedprice*100, 0))::BIGINT)::BIGINT AS sum_price_cents,
+        sum((round(l_discount*100, 0))::BIGINT)::BIGINT AS sum_disc_cents,
+        count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1, 2""")),
+
+    "q_value_agg" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          Aggregates.forDescriptor("LongValueSum", round(col("o_totalprice") * 100, 0)).as("dsum"),
+          Aggregates.forDescriptor("LongValueMax", col("o_custkey")).as("lmax"),
+          Aggregates.forDescriptor("LongValueMin", col("o_custkey")).as("lmin"),
+          Aggregates.forDescriptor("StringValueMax", col("o_orderstatus")).as("smax"),
+          Aggregates.forDescriptor("UniqValueCount", col("o_custkey")).as("uniq")),
+      Some("""SELECT o_orderpriority,
+        sum((round(o_totalprice*100, 0))::BIGINT)::BIGINT AS dsum,
+        max(o_custkey)::BIGINT AS lmax,
+        min(o_custkey)::BIGINT AS lmin,
+        max(o_orderstatus) AS smax,
+        count(DISTINCT o_custkey)::BIGINT AS uniq
+        FROM orders GROUP BY 1""")),
+
+    "q_value_histogram" -> Q(
+      (s, dir) => Aggregates.valueHistogram(t(s, dir, "events"), "event_type", "user_id")
+        .withColumn("mean_cnt", round(col("mean_cnt"), 6))
+        .withColumn("stddev_cnt", round(col("stddev_cnt"), 6)),
+      Some("""SELECT event_type,
+        count(*)::BIGINT AS uniq_cnt,
+        min(vcnt)::BIGINT AS min_cnt,
+        median(vcnt)::DOUBLE AS median_cnt,
+        max(vcnt)::BIGINT AS max_cnt,
+        round(avg(vcnt), 6) AS mean_cnt,
+        round(coalesce(stddev_pop(vcnt), 0), 6) AS stddev_cnt
+        FROM (SELECT event_type, user_id, count(*)::BIGINT AS vcnt
+              FROM events GROUP BY 1, 2)
+        GROUP BY 1""")),
+
+    "q_wordcount" -> Q(
+      (s, dir) => TextOps.wordCount(t(s, dir, "documents"), col("text")),
+      Some("""SELECT token, count(*)::BIGINT AS cnt FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        FROM documents) GROUP BY 1""")),
+
+    "q_grep" -> Q(
+      (s, dir) => TextOps.grep(t(s, dir, "documents"), col("text"), "\\bs[a-z]+"),
+      Some("""SELECT m AS "match", count(*)::BIGINT AS cnt FROM (
+        SELECT unnest(regexp_extract_all(text, '\bs[a-z]+')) AS m
+        FROM documents) GROUP BY 1""")),
+
+    // ---- §2.3 joins ---------------------------------------------------
+
+    "q_join_inner" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("orderkey"),
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+        Joins.innerComposite("orderkey",
+          Joins.innerComposite("custkey", cust, ord), li)
+          .groupBy("c_mktsegment")
+          .agg(sum(col("rev_cents")).as("revenue_cents"), count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT c_mktsegment,
+        sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT AS revenue_cents,
+        count(*)::BIGINT AS cnt
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1""")),
+
+    "q_join_broadcast" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("c_acctbal"))).as("acctbal_cents")),
+      Some("""SELECT r_name, count(*)::BIGINT AS cnt,
+        sum((round(c_acctbal*100, 0))::BIGINT)::BIGINT AS acctbal_cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1""")),
+
+    "q_join_outer" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("ccnt"))
+        val sp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("scnt"))
+        Joins.outerComposite("nationkey", c, sp)
+          .select(col("nationkey"),
+            coalesce(col("ccnt"), lit(0L)).as("ccnt"),
+            coalesce(col("scnt"), lit(0L)).as("scnt"))
+      },
+      Some("""SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        coalesce(ccnt, 0)::BIGINT AS ccnt, coalesce(scnt, 0)::BIGINT AS scnt
+        FROM (SELECT c_nationkey AS nationkey, count(*)::BIGINT AS ccnt
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey, count(*)::BIGINT AS scnt
+              FROM supplier GROUP BY 1) s
+        USING (nationkey)""")),
+
+    "q_join_override" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("int").as("key"), col("c_name").as("name"))
+        val sp = t(s, dir, "supplier")
+          .select(col("s_nationkey").cast("int").as("key"), col("s_name").as("name"))
+        Joins.overrideJoin("key", c, sp)
+      },
+      Some("""WITH tagged AS (
+          SELECT c_nationkey AS key, c_name AS name, 0 AS prio FROM customer
+          UNION ALL
+          SELECT s_nationkey AS key, s_name AS name, 1 AS prio FROM supplier),
+        m AS (SELECT key, max(prio) AS mp FROM tagged GROUP BY 1)
+        SELECT t.key, t.name FROM tagged t JOIN m ON t.key = m.key AND t.prio = m.mp""")),
+
+    "q_join_semi" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    "q_join_anti" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ---- §2.5 sorts / partitioning -----------------------------------
+
+    "q_sort_total" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("ship"), col("l_orderkey"), col("l_linenumber"))).cast("long")),
+      Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship,
+        (row_number() OVER (ORDER BY strftime(l_shipdate, '%Y-%m-%d'), l_orderkey, l_linenumber))::BIGINT AS rank
+        FROM lineitem""")),
+
+    "q_secondary_sort" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(
+              date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
+              col("l_linenumber").as("ln")))),
+            x => x.getField("ln").cast("string")),
+          ",").as("linenums")),
+      Some("""SELECT l_orderkey,
+        string_agg(l_linenumber::VARCHAR, ',' ORDER BY strftime(l_shipdate, '%Y-%m-%d'), l_linenumber) AS linenums
+        FROM lineitem GROUP BY 1""")),
+
+    "q_keyfield_sort" -> Q(
+      (s, dir) => {
+        val lines = t(s, dir, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("lang"), col("n_chars")).as("line"))
+        val sortCols = KeyFieldSpec.sortColumns(col("line"), "-k3,3nr -k1,1n")
+        lines
+          .withColumn("rank", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+          .select(element_at(split(col("line"), "\t"), 1).cast("long").as("doc_id"),
+            col("rank"))
+      },
+      Some("""SELECT doc_id,
+        (row_number() OVER (ORDER BY n_chars DESC, doc_id))::BIGINT AS rank
+        FROM documents""")),
+
+    "q_topk" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ---- §2.2 projections / filters / field selection ----------------
+
+    "q_field_selection" -> Q(
+      (s, dir) => {
+        val lines = t(s, dir, "customer")
+          .select(concat_ws("\t", col("c_custkey"), col("c_nationkey"),
+            col("c_mktsegment"), col("c_name")).as("line"))
+        val (k, v) = FieldSelection.keyValue(col("line"), "0:2,3,1-")
+        lines.select(k.as("key"), v.as("value"))
+      },
+      Some("""SELECT c_custkey::VARCHAR AS key,
+        c_mktsegment || chr(9) || c_name || chr(9) || c_nationkey::VARCHAR
+          || chr(9) || c_mktsegment || chr(9) || c_name AS value
+        FROM customer""")),
+
+    "q_sample_md5" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .where(Sampling.md5Filter(col("l_orderkey"), 16))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty")),
+      Some("""SELECT l_returnflag, count(*)::BIGINT AS cnt,
+        sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        FROM lineitem
+        WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT % 16 = 0
+        GROUP BY 1""")),
+
+    "q_regex_filter" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .where(Sampling.regexFilter(col("event_type"), "^(click|view)$"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents")),
+      Some("""SELECT event_type, count(*)::BIGINT AS cnt,
+        sum((round(value*100, 0))::BIGINT)::BIGINT AS value_cents
+        FROM events WHERE regexp_matches(event_type, '^(click|view)$')
+        GROUP BY 1""")),
+
+    // ---- §2.6 set operations -----------------------------------------
+
+    "q_distinct" -> Q(
+      (s, dir) => t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    "q_intersect" -> Q(
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer
+        INTERSECT SELECT o_custkey FROM orders""")),
+
+    "q_except" -> Q(
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer
+        EXCEPT SELECT o_custkey FROM orders""")),
+
+    "q_union" -> Q(
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          lit("customer").as("src"))
+        .unionByName(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+            lit("supplier").as("src"))),
+      Some("""SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier""")),
+
+    // ---- §2.7 pipelines (monsterQuery shape) -------------------------
+
+    "q_monster" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val s1 = li.where(substring(md5((col("l_orderkey") * 8 + col("l_linenumber"))
+            .cast("string")), 1, 1).isin("0", "1"))
+          .groupBy("l_partkey")
+          .agg(sum(col("l_quantity").cast("long")).as("qty"),
+            sum(cents(col("l_extendedprice"))).as("rev_cents"))
+        val s2 = s1.join(broadcast(t(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum(col("rev_cents")).as("revenue_cents"),
+            count(lit(1)).as("nparts"))
+        s2.orderBy(col("revenue_cents").desc, col("p_brand")).limit(10)
+      },
+      Some("""WITH s1 AS (
+          SELECT l_partkey, sum(l_quantity::BIGINT)::BIGINT AS qty,
+            sum((round(l_extendedprice*100, 0))::BIGINT)::BIGINT AS rev_cents
+          FROM lineitem
+          WHERE substr(md5((l_orderkey*8 + l_linenumber)::VARCHAR), 1, 1) IN ('0','1')
+          GROUP BY 1),
+        s2 AS (
+          SELECT p_brand, sum(rev_cents)::BIGINT AS revenue_cents,
+            count(*)::BIGINT AS nparts
+          FROM s1 JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        SELECT p_brand, revenue_cents, nparts FROM s2
+        ORDER BY revenue_cents DESC, p_brand LIMIT 10""")),
+
+    // ---- dedup -------------------------------------------------------
+
+    "q_dedup_exact" -> Q(
+      (s, dir) => Dedup.exact(t(s, dir, "documents")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS doc_id,
+        count(*)::BIGINT AS dup_cnt FROM documents GROUP BY 1""")),
+
+    "q_fingerprint" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split(lower(text), ' '), x -> len(x) > 0))), ' ')) AS fp
+        FROM documents""")),
+
+    "q_minhash_sig" -> Q(
+      (s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 4),
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
+          FROM w)
+        SELECT doc_id,
+          min(md5('0|' || sh)) AS sig0, min(md5('1|' || sh)) AS sig1,
+          min(md5('2|' || sh)) AS sig2, min(md5('3|' || sh)) AS sig3
+        FROM sh GROUP BY 1""")),
+
+    "q_minhash_pairs" -> Q(
+      (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"),
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000),
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
+          FROM w),
+        sig AS (
+          SELECT doc_id,
+            min(md5('0|' || sh)) AS s0, min(md5('1|' || sh)) AS s1,
+            min(md5('2|' || sh)) AS s2, min(md5('3|' || sh)) AS s3,
+            min(md5('4|' || sh)) AS s4, min(md5('5|' || sh)) AS s5,
+            min(md5('6|' || sh)) AS s6, min(md5('7|' || sh)) AS s7
+          FROM sh GROUP BY 1),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bkey FROM sig
+          UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id""")),
+
+    "q_simhash" -> Q(
+      (s, dir) => Dedup.simhash16(t(s, dir, "documents")),
+      Some {
+        val sums = (0 until 16).map(j =>
+          s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j")
+          .mkString(", ")
+        val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH tok AS (
+          SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+            FROM documents)),
+        h AS (SELECT doc_id, md5(t) AS h FROM tok),
+        v AS (SELECT doc_id, $sums FROM h GROUP BY 1)
+        SELECT doc_id, $bits AS simhash FROM v"""
+      }),
+
+    // ---- text analysis -----------------------------------------------
+
+    "q_lang_id" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        def hits(l: String) = {
+          val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
+        }
+        val scores = langs.map(l => s"${hits(l)} AS s_$l").mkString(", ")
+        val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+        s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+        b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $best AS best FROM sc)
+        SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
+      }),
+
+    "q_quality" -> Q(
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok_cnt"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("subword_cnt"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some {
+        val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+        val lowToks = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+        val allWords = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id,
+          len($toks)::BIGINT AS tok_cnt,
+          len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS subword_cnt,
+          round(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+            / greatest(len(text), 1)::DOUBLE, 6) AS punct_ratio,
+          round(
+            least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
+            + least((len(list_filter($lowToks, t -> list_contains([$allWords], t)))::DOUBLE
+                     / greatest(len($toks), 1)::DOUBLE) * 5.0, 1.0) * 0.4
+            + (1.0 - least((len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+                     / greatest(len(text), 1)::DOUBLE) * 5.0, 1.0)) * 0.2, 6) AS quality
+          FROM documents"""
+      }),
+
+    "q_token_fingerprint" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok_cnt")),
+      Some("""SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split(lower(text), ' '), x -> len(x) > 0))), ' ')) AS fp,
+        len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS tok_cnt
+        FROM documents""")),
+
+    // ---- similarity search -------------------------------------------
+
+    "q_embed_topk" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qvec = emb.where(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.topKCosine(emb, qvec, 20)
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+          round(list_dot_product(embedding::DOUBLE[], q.e)
+            / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine_sim
+        FROM embeddings, q
+        ORDER BY cosine_sim DESC, vec_id LIMIT 20""")),
+
+    "q_ann_lsh" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qvec = emb.where(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val index = Similarity.buildLshIndex(emb, dim = 64, nBits = 8)
+        Similarity.annTopK(index, qvec, 20, dim = 64, nBits = 8)
+      },
+      Some {
+        // Same deterministic hyperplanes as Similarity.lshBucket, as SQL
+        // literals.
+        val planes = (0 until 8).map { b =>
+          (0 until 64).map { j =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"h$b|$j".getBytes("UTF-8"))
+            if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
+          }.mkString("[", ", ", "]")
+        }
+        val bucket = planes.map(p =>
+          s"CASE WHEN list_dot_product(embedding::DOUBLE[], $p) >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH idx AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, $bucket AS bucket FROM embeddings),
+        q AS (SELECT e, bucket FROM idx WHERE vec_id = 0)
+        SELECT i.vec_id,
+          round(list_dot_product(i.e, q.e)
+            / (sqrt(list_dot_product(i.e, i.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine_sim
+        FROM idx i, q WHERE i.bucket = q.bucket
+        ORDER BY cosine_sim DESC, i.vec_id LIMIT 20"""
+      }),
+
+    // ---- events: windows / sessionization / kv parse -----------------
+
+    "q_window_hourly" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*)::BIGINT AS cnt,
+        sum((round(value*100, 0))::BIGINT)::BIGINT AS value_cents
+        FROM events GROUP BY 1, 2""")),
+
+    "q_sessionize" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000000000").as("sec"),
+          cents(col("value")).as("vc"))
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        ev.withColumn("gap", col("sec") - lag("sec", 1).over(w))
+          .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+          .withColumn("sess", sum("is_new").over(w))
+          .groupBy("user_id", "sess")
+          .agg(min("sec").as("session_start"), count(lit(1)).as("n_events"),
+            sum("vc").as("value_cents"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec,
+            (round(value*100, 0))::BIGINT AS vc
+          FROM events),
+        g AS (
+          SELECT user_id, event_id, sec, vc,
+            sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+          FROM ev),
+        sessed AS (
+          SELECT user_id, sec, vc,
+            sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY sec, event_id)::BIGINT AS sess
+          FROM g)
+        SELECT user_id, sess, min(sec)::BIGINT AS session_start,
+          count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS value_cents
+        FROM sessed GROUP BY 1, 2""")),
+
+    "q_kv_parse" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt")),
+      Some("""SELECT event_type,
+        sum((regexp_extract(props, '([0-9]+)', 1))::BIGINT)::BIGINT AS sum_k,
+        count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1""")),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, q) => k -> q.fn }
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hadoop-Streaming-style external-process operator.
+  *
+  * Re-expresses the reference's streaming contract
+  * (`/root/reference/src/contrib/streaming/src/java/org/apache/hadoop/streaming/PipeMapRed.java:342-355`,
+  * `StreamJob.java:360-418`): records cross the subprocess boundary as
+  * `key<sep>value\n` lines; output lines split on the first
+  * `numKeyFields` separators back into (key, value); a line with no
+  * separator becomes (line, "") — the reference's whole-line-key case.
+  *
+  * Spark-first: `RDD.pipe` under a DataFrame facade (SQL surface would be
+  * `SELECT TRANSFORM ... USING`, which Spark also supports natively).
+  * Each partition forks one subprocess — at cluster scale that is one
+  * process per task, same as the reference's one per map/reduce task.
+  */
+object Pipe {
+
+  /** Render (key, value) columns to the line protocol, pipe through `cmd`,
+    * parse back. `numKeyFields` mirrors `stream.num.map.output.key.fields`:
+    * the key is everything before the numKeyFields-th separator.
+    */
+  def pipe(df: DataFrame, cmd: Seq[String], sep: String = "\t",
+           numKeyFields: Int = 1, env: Map[String, String] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.select(concat_ws(sep, df.columns.map(col): _*).as("line"))
+      .as[String]
+    val piped = lines.rdd.pipe(cmd, env)
+    piped.toDF("line").select(
+      splitKeyValue(col("line"), sep, numKeyFields): _*)
+  }
+
+  /** (key, value) columns from a line: key = first `numKeyFields` fields,
+    * value = rest; no separator → (line, "").
+    */
+  def splitKeyValue(line: org.apache.spark.sql.Column, sep: String,
+                    numKeyFields: Int): Seq[org.apache.spark.sql.Column] = {
+    val q = java.util.regex.Pattern.quote(sep)
+    val fields = split(line, q, -1)
+    val key = array_join(slice(fields, 1, numKeyFields), sep)
+    val value = when(size(fields) > numKeyFields,
+      array_join(slice(fields, numKeyFields + 1, Int.MaxValue), sep))
+      .otherwise(lit(""))
+    Seq(key.as("key"), value.as("value"))
+  }
+
+  /** `-reducer aggregate` shortcut (`StreamJob.java:725-727`): pipe output
+    * lines of form `type:id<tab>value` fold via the aggregate framework.
+    */
+  def aggregateReduce(kv: DataFrame): DataFrame = {
+    val typed = kv.select(
+      split(col("key"), ":", 2).getItem(0).as("atype"),
+      split(col("key"), ":", 2).getItem(1).as("id"),
+      col("value"))
+    typed.groupBy("atype", "id")
+      .agg(sum(col("value").cast("double")).as("agg"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * No reference analog; value-add for training-data pipelines (builder
+  * brief). Two paths:
+  *  - brute-force cosine top-k: one scan, codegen'd `aggregate`/`zip_with`
+  *    dot products, `TakeOrderedAndProject` for the top-k (no full sort,
+  *    no shuffle of the scores — each partition keeps k candidates);
+  *  - LSH-bucketed: random-hyperplane sign bits bucket vectors so queries
+  *    probe one bucket — the 100 TB path where a full scan per query is
+  *    unaffordable. Buckets are built once and reused across queries.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity between two array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against a single query vector.
+    * The query ships as a literal into the plan (broadcast-equivalent for
+    * one vector); ties broken by id for determinism. Spark plans this as
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def topKCosine(vectors: DataFrame, query: Seq[Double], k: Int,
+                 id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val q = array(query.map(lit): _*)
+    vectors
+      .select(col(id), round(cosine(col(emb), q), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(id))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
+    * against deterministic pseudo-random hyperplanes (seeded per bit from
+    * the vector index parity — engine-portable, no RNG at plan time).
+    * Hyperplane h_b component j = +1 if hex digit ((b*31+j) mod 32) of
+    * md5("h<b>|<j>") >= '8' else -1 — deterministic everywhere.
+    */
+  def lshBucket(emb: Column, dim: Int, nBits: Int = 8): Column = {
+    val bits = (0 until nBits).map { b =>
+      val signs = (0 until dim).map { j =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"h$b|$j".getBytes("UTF-8"))
+        if ((hex(0) & 0x80) != 0) 1.0 else -1.0
+      }
+      val h = array(signs.map(lit): _*)
+      when(dot(emb, h) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Build the bucketed index: (bucket, vec_id, embedding). At cluster
+    * scale this is written as a table bucketed by `bucket` so a query
+    * probes one partition.
+    */
+  def buildLshIndex(vectors: DataFrame, dim: Int, nBits: Int = 8,
+                    id: String = "vec_id", emb: String = "embedding"): DataFrame =
+    vectors.select(lshBucket(col(emb), dim, nBits).as("bucket"), col(id), col(emb))
+
+  /** ANN top-k: probe the query's bucket, brute-force within it. Recall
+    * is tunable via nBits (fewer bits → bigger buckets → higher recall).
+    */
+  def annTopK(index: DataFrame, query: Seq[Double], k: Int, dim: Int, nBits: Int = 8,
+              id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val qDf = index.sparkSession.range(1)
+      .select(array(query.map(lit): _*).as("q"))
+    val qBucket = qDf.select(lshBucket(col("q"), dim, nBits).as("bucket"))
+      .head().getString(0)
+    index.where(col("bucket") === qBucket)
+      .select(col(id), round(cosine(col(emb), array(query.map(lit): _*)), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(id))
+      .limit(k)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for a training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * expressions — codegen'd, no UDFs, trivially distributed.
+  *
+  * No reference analog (the reference's text ops stop at tokenize/regex —
+  * SURVEY.md §2.2); these are the 100 TB-corpus value-add mandated by the
+  * build plan (SURVEY.md §7 step 10).
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > lit(0))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic, extendable; real corpora would load larger
+    * lists via broadcast.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "une", "est", "dans"),
+    "es" -> Seq("el", "la", "y", "de", "un", "una", "es", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht", "von"),
+  )
+
+  /** Count of tokens belonging to `words` (with repeats). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks(lower(text)), t => array_contains(set, t)))
+  }
+
+  /** Language-ID heuristic: argmax stopword-hit count across languages;
+    * ties and zero evidence → "und" (undetermined). Tie-break is
+    * alphabetical-first for determinism.
+    */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => stopwordHits(text, stopwords(l)))
+    val best = greatest(scores: _*)
+    // Nested when-chain, earliest (alphabetically smallest) lang wins ties.
+    langs.zip(scores).foldRight(lit("und"): Column) {
+      case ((l, s), acc) => when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(toks(text))
+
+  /** BPE-ish subword count: matches of word-pieces/numbers/punctuation —
+    * a regex proxy for tokenizer cost accounting at corpus scale.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Stopword ratio (any language's stopwords) over token count. */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    stopwordHits(text, all).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Mean token length — short-token text is boilerplate-ish. */
+  def meanTokenLen(text: Column): Column = {
+    val t = toks(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs and
+    * stopword presence, penalizes punctuation soup. Weights are the
+    * usual C4/Gopher-style heuristics, simplified and deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val sw = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    round(lenScore * lit(0.4) + sw * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.2), 6)
+  }
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token bag
+    * (the classic key-collision clustering fingerprint).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks(lower(text)))), " "))
+}
