@@ -220,7 +220,7 @@ object Queries {
         val sortCols = KeyFieldSpec.sortColumns(col("line"), "-k3,3nr -k1,1n")
         lines
           .withColumn("rank", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
-          .select(element_at(split(col("line"), "\t"), 1).cast("long").as("doc_id"),
+          .select(get(split(col("line"), "\t"), lit(0)).cast("long").as("doc_id"),
             col("rank"))
       },
       Some("""SELECT doc_id,

@@ -61,13 +61,15 @@ object FieldSelection {
     * `Text` key/value joined the same way).
     */
   def selectSide(fields: Column, side: FieldList, sep: String): Column = {
-    // element_at is 1-based; spec indices are 0-based.
-    val explicit = side.indices.map(i => coalesce(element_at(fields, i + 1), lit("")))
+    // get() is 0-based like the spec, and null-safe on missing fields
+    // (ANSI mode's element_at throws on out-of-bounds).
+    val explicit = side.indices.map(i => coalesce(get(fields, lit(i)), lit("")))
     val cols = side.allFrom match {
       case None => explicit
       case Some(from) =>
-        // slice(from+1 .. end) then join — the open tail as one column.
-        val tail = array_join(slice(fields, from + 1, Int.MaxValue), sep)
+        // the open tail (field `from` to last) as one joined column
+        val len = greatest(size(fields) - from, lit(0))
+        val tail = array_join(slice(fields, lit(from + 1), len), sep)
         explicit :+ tail
     }
     if (cols.isEmpty) lit("") else concat_ws(sep, cols: _*)

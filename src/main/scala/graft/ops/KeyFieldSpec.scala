@@ -55,11 +55,11 @@ object KeyFieldSpec {
     * byte-wise numeric compare (leading blanks, sign, digits, decimal
     * point); non-numeric → 0 like the reference's empty-digit case.
     */
-  def numericPrefix(c: Column): Column =
-    coalesce(
-      regexp_extract(c, "^\\s*([-+]?[0-9]+(?:\\.[0-9]*)?|[-+]?\\.[0-9]+)", 1)
-        .cast("double"),
-      lit(0.0))
+  def numericPrefix(c: Column): Column = {
+    val m = regexp_extract(c, "^\\s*([-+]?[0-9]+(?:\\.[0-9]*)?|[-+]?\\.[0-9]+)", 1)
+    // guard the cast: ANSI mode errors on casting '' (no numeric prefix)
+    when(m === "", lit(0.0)).otherwise(m.cast("double"))
+  }
 
   /** Compile specs over a line column into sort Columns (with asc/desc
     * baked in) ready for `df.orderBy(cols: _*)`.
@@ -67,11 +67,15 @@ object KeyFieldSpec {
   def sortColumns(line: Column, spec: String, sep: String = "\t"): Seq[Column] = {
     val fields = split(line, java.util.regex.Pattern.quote(sep), -1)
     parse(spec).map { s =>
-      val end = s.endField.getOrElse(Int.MaxValue)
-      val raw =
-        if (end == s.startField) coalesce(element_at(fields, s.startField), lit(""))
-        else array_join(slice(fields, s.startField,
-          if (end == Int.MaxValue) Int.MaxValue else end - s.startField + 1), sep)
+      val raw = s.endField match {
+        case Some(e) if e == s.startField =>
+          coalesce(get(fields, lit(s.startField - 1)), lit(""))
+        case Some(e) =>
+          array_join(slice(fields, lit(s.startField), lit(e - s.startField + 1)), sep)
+        case None => // to end of line
+          array_join(slice(fields, lit(s.startField),
+            greatest(size(fields) - (s.startField - 1), lit(0))), sep)
+      }
       val key = if (s.numeric) numericPrefix(raw) else raw
       if (s.reverse) key.desc else key.asc
     }
@@ -84,8 +88,8 @@ object KeyFieldSpec {
     val fields = split(line, java.util.regex.Pattern.quote(sep), -1)
     parse(spec).map { s =>
       val end = s.endField.getOrElse(s.startField)
-      if (end == s.startField) coalesce(element_at(fields, s.startField), lit(""))
-      else array_join(slice(fields, s.startField, end - s.startField + 1), sep)
+      if (end == s.startField) coalesce(get(fields, lit(s.startField - 1)), lit(""))
+      else array_join(slice(fields, lit(s.startField), lit(end - s.startField + 1)), sep)
     }
   }
 }

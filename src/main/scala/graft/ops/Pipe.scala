@@ -41,9 +41,10 @@ object Pipe {
                     numKeyFields: Int): Seq[org.apache.spark.sql.Column] = {
     val q = java.util.regex.Pattern.quote(sep)
     val fields = split(line, q, -1)
-    val key = array_join(slice(fields, 1, numKeyFields), sep)
+    val key = array_join(slice(fields, lit(1), lit(numKeyFields)), sep)
     val value = when(size(fields) > numKeyFields,
-      array_join(slice(fields, numKeyFields + 1, Int.MaxValue), sep))
+      array_join(slice(fields, lit(numKeyFields + 1),
+        greatest(size(fields) - numKeyFields, lit(0))), sep))
       .otherwise(lit(""))
     Seq(key.as("key"), value.as("value"))
   }
@@ -52,9 +53,10 @@ object Pipe {
     * lines of form `type:id<tab>value` fold via the aggregate framework.
     */
   def aggregateReduce(kv: DataFrame): DataFrame = {
+    val parts = split(col("key"), ":", 2)
     val typed = kv.select(
-      split(col("key"), ":", 2).getItem(0).as("atype"),
-      split(col("key"), ":", 2).getItem(1).as("id"),
+      get(parts, lit(0)).as("atype"),
+      coalesce(get(parts, lit(1)), lit("")).as("id"),
       col("value"))
     typed.groupBy("atype", "id")
       .agg(sum(col("value").cast("double")).as("agg"))

@@ -25,9 +25,10 @@ object KVText {
     */
   def readKV(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
     val q = java.util.regex.Pattern.quote(sep)
+    val parts = split(col("value"), q, 2)
     spark.read.text(path).select(
-      split(col("value"), q, 2).getItem(0).as("key"),
-      coalesce(split(col("value"), q, 2).getItem(1), lit("")).as("value"))
+      get(parts, lit(0)).as("key"),
+      coalesce(get(parts, lit(1)), lit("")).as("value"))
   }
 
   /** TextOutputFormat sink: `key<sep>value` lines. */

@@ -1,0 +1,68 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: contiguous word 3-grams; short docs collapse to whole text") {
+    import spark.implicits._
+    val df = docs(1L -> "a b c d", 2L -> "x y")
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq("x y"))
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = docs(5L -> "same text here", 2L -> "same text here", 9L -> "other")
+    val got = Dedup.exact(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("fingerprint is word-order and duplication invariant") {
+    val df = docs(1L -> "alpha beta gamma", 2L -> "gamma alpha beta alpha", 3L -> "alpha beta delta")
+    val fps = df.select(Dedup.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashCandidates(df, numPerms = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccard computes exact overlap on candidates") {
+    val df = docs(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "z z z")
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ngramJaccard(df, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc1 shingles: {abc,bcd,cde}; doc2: {abc,bcd,cdf} → inter 2, union 4
+    assert(math.abs(got((1L, 2L)) - 0.5) < 1e-12)
+    assert(got((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: near-dups land at small Hamming distance, unrelated far") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 80).map(i => if (i % 40 == 0) "CHANGED" + i else s"w$i").mkString(" ")
+    val other = (200 to 280).map(i => s"v$i").mkString(" ")
+    val sh = Dedup.simhash16(docs(1L -> base, 2L -> nearDup, 3L -> other))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(sh(1L), sh(2L)) <= 3)
+    assert(hamming(sh(1L), sh(3L)) >= 4)
+  }
+}

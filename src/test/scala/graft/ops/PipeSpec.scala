@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipeSpec extends SparkSpec {
+
+  test("pipe through cat is identity on the line protocol") {
+    import spark.implicits._
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    val got = Pipe.pipe(df, Seq("cat"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set("k1" -> "v1", "k2" -> "v2"))
+  }
+
+  test("pipe through tr uppercases values (real subprocess transform)") {
+    import spark.implicits._
+    val df = Seq(("k1", "abc")).toDF("key", "value")
+    val got = Pipe.pipe(df, Seq("tr", "a-z", "A-Z"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set("K1" -> "ABC"))
+  }
+
+  test("splitKeyValue: no separator → whole line is key, empty value") {
+    import spark.implicits._
+    val df = Seq("justakey", "k\tv").toDF("line")
+    val got = df.select(Pipe.splitKeyValue(col("line"), "\t", 1): _*)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set("justakey" -> "", "k" -> "v"))
+  }
+
+  test("numKeyFields>1: key is first n fields joined") {
+    import spark.implicits._
+    val df = Seq("a\tb\tc\td").toDF("line")
+    val got = df.select(Pipe.splitKeyValue(col("line"), "\t", 2): _*)
+      .collect().map(r => (r.getString(0), r.getString(1))).head
+    assert(got == ("a\tb" -> "c\td"))
+  }
+
+  test("aggregateReduce folds type:id entries like -reducer aggregate") {
+    import spark.implicits._
+    val kv = Seq(("LongValueSum:word1", "2"), ("LongValueSum:word1", "3"),
+      ("LongValueSum:word2", "1")).toDF("key", "value")
+    val got = Pipe.aggregateReduce(kv)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    assert(got == Map("word1" -> 5.0, "word2" -> 1.0))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("dot/norm/cosine agree with hand math") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.norm(col("a")),
+      Similarity.cosine(col("a"), col("b"))).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("topKCosine: self is rank 1, k respected, scores descending") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val q = emb.where(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val top = Similarity.topKCosine(emb, q, 10).collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 7L)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("ANN probe returns subset of brute-force ordering, includes self") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val q = emb.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val index = Similarity.buildLshIndex(emb, dim = 64, nBits = 4)
+    val ann = Similarity.annTopK(index, q, 10, dim = 64, nBits = 4).collect()
+    assert(ann.nonEmpty)
+    assert(ann.head.getLong(0) == 3L)
+    // every ANN result's score matches brute force for the same id
+    val bf = Similarity.topKCosine(emb, q, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("lshBucket is deterministic across evaluations") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val b1 = Similarity.buildLshIndex(emb, 64, 8).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b2 = Similarity.buildLshIndex(emb, 64, 8).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b1 == b2)
+  }
+}
