@@ -1,0 +1,133 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: opaque `binary` payloads + typed metadata, with
+  * decode/feature-extract/resize/frame-sample as partition-batched
+  * transforms.
+  *
+  * No reference analog (the reference is text/KV only); this is the
+  * value-add surface mandated by the build plan. The Spark-side plumbing —
+  * schema, batching shape, partitioning, column pruning (metadata-only
+  * queries never touch payload bytes) — is real and tested; the actual
+  * codec call is STUBBED (`decodeStub`) because no image/audio libraries
+  * exist in this container. Swap `decodeStub` for a real codec (JNI/
+  * `javax.imageio`/FFI) without touching any plumbing.
+  *
+  * Scale notes:
+  *  - payloads stay in `binary` columns end-to-end (Parquet keeps them
+  *    row-grouped and compressed; column pruning skips them unless asked);
+  *  - transforms run per-partition with an explicit batch size so peak
+  *    memory is `batchSize * avgPayload` regardless of partition size;
+  *  - derived features land in narrow typed columns so downstream
+  *    analytics never rescan payloads.
+  */
+object Multimodal {
+
+  /** media table schema: id + modality + payload + sidecar metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  final case class MediaFeatures(
+    media_id: Long, modality: String, byte_len: Long,
+    width: Int, height: Int, channels: Int, duration_ms: Long,
+    checksum: String)
+
+  /** STUB decode: a deterministic fake codec. Parses "dimensions" from the
+    * payload bytes (first 8 bytes as two big-endian ints, clamped) so the
+    * pipeline has real data-dependent outputs to test partitioning/pruning
+    * against. Replace with a real codec for production — the signature is
+    * the contract.
+    */
+  def decodeStub(payload: Array[Byte], modality: String): (Int, Int, Int, Long) = {
+    def beInt(off: Int): Int =
+      if (payload.length < off + 4) 0
+      else ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+        ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+    val w = math.floorMod(beInt(0), 4096) + 1
+    val h = math.floorMod(beInt(4), 4096) + 1
+    val channels = modality match {
+      case "image" => 3
+      case "audio" => 2
+      case _       => 3
+    }
+    val durationMs = if (modality == "image") 0L
+      else math.floorMod(beInt(0).toLong, 600000L)
+    (w, h, channels, durationMs)
+  }
+
+  /** Decode + feature-extract, partition-batched. The iterator is consumed
+    * in `batchSize` groups so a 10 GB partition of 100 KB payloads never
+    * materializes at once.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a real codec would init/reuse buffers
+          batch.iterator.map { case (id, modality, payload) =>
+            val (w, h, c, d) = decodeStub(payload, modality)
+            val md5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(payload).map("%02x".format(_)).mkString
+            MediaFeatures(id, modality, payload.length.toLong, w, h, c, d, md5)
+          }
+        }
+      }
+  }
+
+  /** Resize stub: emits a new payload of the target "resolution" (fake:
+    * truncated/padded bytes) + updated metadata — demonstrates
+    * payload-rewriting transforms keep the binary column shape.
+    */
+  def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
+    val resize = udf { (payload: Array[Byte], modality: String) =>
+      val (w, h, _, _) = decodeStub(payload, modality)
+      val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+      val newLen = math.max(8, (payload.length * scale * scale).toInt)
+      java.util.Arrays.copyOf(payload, newLen)
+    }
+    media.withColumn("payload", resize(col("payload"), col("modality")))
+  }
+
+  /** Frame sampling stub for video: one synthetic "frame" payload per
+    * `everyMs` of duration — a 1→N generator keeping media_id lineage.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("modality") === "video")
+      .select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
+      .flatMap { case (id, modality, payload) =>
+        val (_, _, _, durMs) = decodeStub(payload, modality)
+        val n = math.max(1, (durMs / everyMs).toInt)
+        (0 until math.min(n, 1000)).map { f =>
+          (id, f.toLong * everyMs, java.util.Arrays.copyOfRange(
+            payload, 0, math.min(payload.length, 64)))
+        }
+      }.toDF("media_id", "frame_ms", "frame_payload")
+  }
+
+  /** Deterministic synthetic media table (tests / demos): payload bytes
+    * derived from the id via md5 expansion.
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seed = md.digest(s"media$i".getBytes("UTF-8"))
+      val payload = Array.tabulate((i % 500 + 64).toInt)(j => seed((j + i.toInt) % 16))
+      val modality = Seq("image", "audio", "video")(i.toInt % 3)
+      (i, modality, payload, s"application/x-fake-$modality",
+        Map("source" -> s"synth${i % 4}"))
+    }.toDF("media_id", "modality", "payload", "mime", "meta")
+  }
+}

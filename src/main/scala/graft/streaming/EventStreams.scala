@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming over the `events` table shape.
+  *
+  * The reference has NO continuous processing (SURVEY.md §2.10 — its
+  * "streaming" is subprocess pipes); this module is the value-add mandated
+  * by the build plan. Design notes for cluster scale:
+  *  - all aggregations are keyed on (window/event_type/user_id) so state
+  *    partitions across executors;
+  *  - watermarks bound state: late data beyond the watermark is dropped
+  *    rather than growing state without limit;
+  *  - sessionization uses mapGroupsWithState with event-time timeout —
+  *    per-user state is O(1) (current session aggregate), never a buffer
+  *    of events.
+  */
+object EventStreams {
+
+  /** File-source stream of the events table (same schema normalization as
+    * Tables.load: ts_ns long + µs ts).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+                 glob: String = "events.parque[t]"): DataFrame = {
+    // raw file schema (ts as long nanos via nanosAsLong), from a batch read
+    val raw = spark.read.parquet(s"$dir/$glob").schema
+    // glob form: FileStreamSource requires a directory basePath; a glob
+    // resolves basePath to the parent dir while matching only the table.
+    // Append-mode watermark note: a window/session only emits once the
+    // watermark passes it and the watermark only advances on new data —
+    // a finite replay's trailing windows stay in state; tests stage a
+    // far-future sentinel event for exactly this reason.
+    spark.readStream.schema(raw).parquet(s"$dir/$glob")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+
+  /** Tumbling-window counts + sums per event type with a watermark.
+    * Map-side partial aggregation applies before the state-store shuffle.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding windows (1h window, 15m slide). */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSec: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, startSec: Long, endSec: Long,
+                              n_events: Int, sum_value: Double)
+
+  /** Stateful sessionization: 30-min-gap sessions per user via
+    * flatMapGroupsWithState with event-time timeout. Emits a session when
+    * the gap closes it or the watermark times the state out.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800,
+                 watermark: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.lastSec, s.n, s.sum))
+          } else {
+            // events within a micro-batch arrive unordered: sort this
+            // batch (bounded by batch size, not stream size)
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.lastSec <= gapSec =>
+                  cur = Some(s.copy(lastSec = sec, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.lastSec, s.n, s.sum)
+                  cur = Some(SessionState(sec, sec, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSec * 1000 + gapSec * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run any of the above to a memory sink until all available data is
+    * processed (test/batch-replay entry point).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+class EventStreamsSpec extends SparkSpec {
+
+  /** Stage dir = real events file + one far-future sentinel event.
+    * Append-mode emits a window/session only when the watermark passes it;
+    * the sentinel pushes the watermark beyond all real data so every real
+    * window flushes. Sentinel rows (user_id = -1) are filtered from
+    * assertions.
+    */
+  private lazy val stagedDir: String = {
+    val stage = Files.createTempDirectory("events-stage")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("aa_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val maxNs = graft.Tables.load(spark, sfDir, "events")
+      .agg(max("ts_ns")).head().getLong(0)
+    import spark.implicits._
+    val sentinel = Seq((-1L, maxNs + 30L * 86400 * 1000000000L, -1L, "sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmpOut = Files.createTempDirectory("sentinel").toString
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = Files.list(Paths.get(tmpOut)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, stage.resolve("zz_sentinel.parquet"))
+    stage.toString
+  }
+
+  private def staged = EventStreams.readEvents(spark, stagedDir, "*.parquet")
+    .where(col("user_id") =!= -1 || col("event_type") === "sentinel")
+
+  test("hourly windowed counts over the stream match the batch aggregation") {
+    EventStreams.runToMemory(
+      EventStreams.hourlyCounts(staged), "hourly", OutputMode.Append())
+    val streamed = spark.table("hourly")
+      .where(col("event_type") =!= "sentinel")
+      .select(col("hour"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("sliding windows produce 4x window coverage per event") {
+    EventStreams.runToMemory(
+      EventStreams.slidingCounts(staged), "sliding", OutputMode.Append())
+    val total = spark.table("sliding")
+      .where(col("event_type") =!= "sentinel")
+      .agg(sum("cnt")).head().getLong(0)
+    val nEvents = graft.Tables.load(spark, sfDir, "events").count()
+    assert(total == nEvents * 4) // 1h window / 15m slide = 4 windows per event
+  }
+
+  test("stateful sessionization matches the batch window-function sessions") {
+    val sess = EventStreams.sessionize(staged)
+    EventStreams.runToMemory(sess.toDF(), "sessions", OutputMode.Append())
+    val streamed = spark.table("sessions")
+      .where(col("user_id") =!= -1)
+      .select("user_id", "startSec", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+
+    // batch reference: same 30-min-gap rule via window functions
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts_ns DIV 1000000000").as("sec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sec")
+    val batch = ev
+      .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+      .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("sess", sum("is_new").over(w))
+      .groupBy("user_id", "sess")
+      .agg(min("sec").as("startSec"), count(lit(1)).as("n_events"))
+      .select("user_id", "startSec", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
