@@ -559,6 +559,127 @@ object Queries {
           count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS value_cents
         FROM sessed GROUP BY 1, 2""")),
 
+    // ---- beyond-parity relational ops (cube/rollup/grouping sets) ----
+
+    "q_cube" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+        sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    "q_rollup" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("price_cents")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
+        sum((round(o_totalprice*100, 0))::BIGINT)::BIGINT AS price_cents
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    "q_grouping_sets" -> Q(
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT event_type, user_id, count(1) AS cnt
+          FROM events
+          GROUP BY GROUPING SETS ((event_type), (user_id), ())""")
+      },
+      Some("""SELECT event_type, user_id, count(*)::BIGINT AS cnt
+        FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())""")),
+
+    // ---- as-of join (scale-safe union+window form vs DuckDB ASOF) -----
+
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        // For each purchase: the most recent click by the same user at or
+        // before it. NOT a non-equi join (quadratic per user at scale) —
+        // union both sides, one window pass: last click carried forward.
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts_ns DIV 1000000000").as("sec"), col("event_type"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("sec"), lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"), col("sec").as("click_sec"))
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast("long").as("click_sec"))
+        val w = Window.partitionBy("user_id")
+          .orderBy("sec", "kind") // click sorts before same-second purchase
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purch)
+          .withColumn("last_click_sec", last("click_sec", ignoreNulls = true).over(w))
+          .where(col("kind") === 1)
+          .select(col("event_id"), col("user_id"), col("sec").as("purchase_sec"),
+            col("last_click_sec"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type
+          FROM events)
+        SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
+               c.sec AS last_click_sec
+        FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.sec <= p.sec""")),
+
+    // ---- external-process pipe (§2.8), subprocess really forked -------
+
+    "q_pipe" -> Q(
+      (s, dir) => {
+        val kv = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("string").as("key"), col("n_name").as("value"))
+        graft.ops.Pipe.pipe(kv, Seq("cat"))
+      },
+      Some("SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation")),
+
+    // ---- exact n-gram Jaccard over LSH candidates ---------------------
+
+    "q_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashCandidates(docs, numPerms = 8, rowsPerBand = 2,
+          maxBucket = 1000000)
+        Dedup.ngramJaccard(docs, pairs)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+      },
+      Some {
+        val bandSelects = (0 until 4).map { b =>
+          val (i, j) = (2 * b, 2 * b + 1)
+          val sel = s"SELECT doc_id, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+          if (b == 0) sel else s"UNION ALL $sel"
+        }.mkString(" ")
+        s"""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        shl AS (
+          SELECT doc_id, list_distinct(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS shs
+          FROM w),
+        sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+        hx AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+          FROM sh),
+        sig AS (SELECT doc_id, ${minhashSigSql(8)} FROM hx GROUP BY 1),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, len(shs)::BIGINT AS sz FROM shl),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS inter
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.doc_a
+          JOIN sh b ON b.doc_id = p.doc_b AND a.sh = b.sh
+          GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b,
+          round(coalesce(i.inter, 0)::DOUBLE
+            / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b"""
+      }),
+
     "q_kv_parse" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_type"),

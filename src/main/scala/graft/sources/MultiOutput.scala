@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Named side-outputs — the reference's `MultipleOutputs`
+  * (`/root/reference/src/mapred/org/apache/hadoop/mapred/lib/MultipleOutputs.java:283,303`):
+  * one job emits to N named sinks, each with its own format, plus
+  * per-output record counters.
+  *
+  * Spark has no single-pass multi-sink for batch DataFrames; the
+  * documented equivalent (SURVEY.md §2.1) is: materialize the routed
+  * dataset once (cache or checkpoint), then one filtered write per named
+  * output. The input is computed once; each write scans the cached
+  * partitions — at cluster scale prefer `partitionBy` (see
+  * [[KVText.writePartitionedBy]]) when outputs share a format, and this
+  * helper when they genuinely need distinct sinks.
+  */
+object MultiOutput {
+
+  /** Write each named subset of `df` (routed by `nameCol`) to
+    * `baseDir/<name>` in parquet; returns per-output row counts (the
+    * reference's per-named-output counters).
+    */
+  def writeNamed(df: DataFrame, nameCol: String, baseDir: String,
+                 names: Seq[String]): Map[String, Long] = {
+    val routed = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      names.map { n =>
+        val part = routed.where(col(nameCol) === n)
+        part.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$n")
+        n -> part.count()
+      }.toMap
+    } finally { routed.unpersist() }
+  }
+}
