@@ -516,6 +516,58 @@ object Queries {
         ORDER BY cosine_sim DESC, i.vec_id LIMIT 20"""
       }),
 
+    "q_ivf_topk" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.where(col("vec_id") < 8)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val qvec = emb.where(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val index = Similarity.buildIvfIndex(emb, centroids)
+        Similarity.ivfTopK(index, centroids, qvec, 20, nprobe = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+          FROM e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored) WHERE rn = 1),
+        q AS (SELECT v FROM e WHERE vec_id = 0),
+        qc AS (SELECT c.cid FROM c, q
+               ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid LIMIT 2)
+        SELECT a.vec_id, round(list_cosine_similarity(a.v, q.v), 6) AS cosine_sim
+        FROM assign a, q WHERE a.cid IN (SELECT cid FROM qc)
+        ORDER BY cosine_sim DESC, a.vec_id LIMIT 20""")),
+
+    "q_range_join" -> Q(
+      (s, dir) => {
+        // purchases within +-1h of each error event, counted per error —
+        // bucketized interval join (see Joins.rangeJoin), not a
+        // nested-loop non-equi join.
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("ts_ns DIV 1000000000").as("sec"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            (col("sec") - 3600).as("wstart"), (col("sec") + 3600).as("wend"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("sec").as("psec"))
+        Joins.rangeJoin(purchases, "psec", errors, "wstart", "wend", bucketWidth = 7200)
+          .groupBy("error_id")
+          .agg(count(lit(1)).as("n_purchases"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events)
+        SELECT e.event_id AS error_id, count(*)::BIGINT AS n_purchases
+        FROM (SELECT * FROM ev WHERE event_type = 'error') e
+        JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+          ON p.sec BETWEEN e.sec - 3600 AND e.sec + 3600
+        GROUP BY 1""")),
+
     // ---- events: windows / sessionization / kv parse -----------------
 
     "q_window_hourly" -> Q(

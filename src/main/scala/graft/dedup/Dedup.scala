@@ -154,6 +154,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    * (see [[graft.sim.Similarity.buildLshIndex]]) bound the candidate set,
+    * then exact cosine filters within buckets. `nBits` trades recall for
+    * bucket size; at 100 TB run multiple independent bucket tables
+    * (band-style) to recover recall, exactly like MinHash banding.
+    */
+  def embeddingNearDups(vectors: DataFrame, dim: Int, threshold: Double,
+                        nBits: Int = 8, id: String = "vec_id",
+                        emb: String = "embedding"): DataFrame = {
+    import graft.sim.Similarity
+    val idx = Similarity.buildLshIndex(vectors, dim, nBits, id, emb)
+    val a = idx.select(col("bucket"), col(id).as("vec_a"), col(emb).as("emb_a"))
+    val b = idx.select(col("bucket"), col(id).as("vec_b"), col(emb).as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine_sim", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .where(col("cosine_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
+      .distinct()
+  }
+
   /** SimHash-style 16-bit fingerprint, engine-portable: bit j of the
     * fingerprint is the majority vote across the doc's distinct tokens of
     * whether hex digit j of md5(token) is >= '8' (i.e. the digit's top

@@ -58,4 +58,54 @@ object Joins {
       .where(col("_prio") === col("_maxprio"))
       .drop("_prio", "_maxprio")
   }
+
+  /** As-of join: for every left row, the most recent right row with the
+    * same key whose `rightTime` <= `leftTime`. Right columns come back
+    * nested under `asof` (null struct when no prior right row exists).
+    *
+    * Scale design: NOT a non-equi join (quadratic per key); both sides
+    * union into one stream, one shuffle on the key, one ordered window
+    * pass carrying the latest right row forward. 100 TB of events with a
+    * hot key costs one sort of that key's rows, not a blow-up.
+    * Same-instant rows: the right side sorts before the left (<=
+    * semantics, matching e.g. DuckDB's ASOF JOIN).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val lCols = left.columns
+    val l = left.select(col(key), col(leftTime).cast("long").as("_t"),
+      lit(1).as("_kind"), struct(lCols.map(col): _*).as("_l"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        right.drop(key).schema.fields)).as("_r"))
+    val r = right.select(col(key), col(rightTime).cast("long").as("_t"),
+      lit(0).as("_kind"), lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields)).as("_l"),
+      struct(right.drop(key).columns.map(col): _*).as("_r"))
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_kind") === 1)
+      .select(lCols.map(c => col(s"_l.$c").as(c)) :+ col("asof"): _*)
+  }
+
+  /** Range (interval) join: rows of `points` matched to rows of
+    * `intervals` with `start <= point <= end`. Implemented by bucketizing
+    * both sides to width-`bucketWidth` bins and equi-joining on the bin —
+    * a broadcast/shuffle hash join plus a residual filter, instead of the
+    * nested-loop join Spark would otherwise plan for the non-equi
+    * condition. Choose `bucketWidth` >= the typical interval length so
+    * each interval explodes into O(1) bins.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    val p = points.withColumn("_bin", floor(col(pointCol).cast("long") / bucketWidth))
+    val iv = intervals.withColumn("_bin", explode(sequence(
+      floor(col(startCol).cast("long") / bucketWidth),
+      floor(col(endCol).cast("long") / bucketWidth))))
+    p.join(iv, Seq("_bin"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_bin")
+  }
 }

@@ -84,4 +84,44 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(id))
       .limit(k)
   }
+
+  /** IVF (inverted-file) index: vectors assigned to their nearest
+    * centroid by cosine; queries probe only the `nprobe` nearest
+    * centroids' cells. Centroids here are caller-provided (id, vector)
+    * pairs — at corpus scale they come from a sampled k-means; for
+    * deterministic tests/oracles, fixed dataset vectors work.
+    *
+    * The assignment is one broadcast-joined pass (centroid set is tiny);
+    * the cell column is what the table would be partitioned/bucketed by
+    * at 100 TB so probes touch one partition per cell.
+    */
+  def buildIvfIndex(vectors: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                    id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    // nearest centroid via a greatest-of-structs fold: (sim, -cid) max —
+    // deterministic tie-break on smaller centroid id
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(cosine(col(emb), array(cvec.map(lit): _*)).as("sim"),
+        lit(-cid).as("negcid"))
+    }
+    vectors.select(col(id), col(emb),
+      (-greatest(scored: _*).getField("negcid")).as("cell"))
+  }
+
+  /** IVF ANN top-k: score the query against every centroid, probe the
+    * best `nprobe` cells, brute-force within them.
+    */
+  def ivfTopK(index: DataFrame, centroids: Seq[(Int, Seq[Double])],
+              query: Seq[Double], k: Int, nprobe: Int = 1,
+              id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cells = centroids.map { case (cid, cvec) => (cos(query, cvec), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+    index.where(col("cell").isin(cells: _*))
+      .select(col(id), round(cosine(col(emb), array(query.map(lit): _*)), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(id))
+      .limit(k)
+  }
 }

@@ -42,6 +42,34 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach(r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("IVF index assigns every vector to one cell; probe finds self") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val index = Similarity.buildIvfIndex(emb, centroids)
+    assert(index.count() == emb.count())
+    assert(index.select("cell").distinct().count() <= 8)
+    val q = emb.where(col("vec_id") === 42).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val got = Similarity.ivfTopK(index, centroids, q, 5, nprobe = 1).collect()
+    assert(got.head.getLong(0) == 42L) // own cell contains self
+  }
+
+  test("embedding near-dup detection finds planted duplicates") {
+    import spark.implicits._
+    val base = (0 until 32).map(i => math.sin(i * 1.7).toFloat)
+    val nearDup = base.updated(0, base(0) + 0.001f)
+    val rnd = new scala.util.Random(7)
+    val others = (2 until 40).map(i =>
+      (i.toLong, Seq.fill(32)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = (Seq((0L, base), (1L, nearDup)) ++ others).toDF("vec_id", "embedding")
+    val pairs = graft.dedup.Dedup.embeddingNearDups(df, dim = 32,
+      threshold = 0.99, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("lshBucket is deterministic across evaluations") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val b1 = Similarity.buildLshIndex(emb, 64, 8).select("vec_id", "bucket")
