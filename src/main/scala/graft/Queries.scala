@@ -201,11 +201,13 @@ object Queries {
     // ---- §2.5 sorts / partitioning -----------------------------------
 
     "q_sort_total" -> Q(
-      (s, dir) => t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("ship"), col("l_orderkey"), col("l_linenumber"))).cast("long")),
+      // global rank via range-partition + zipWithIndex (distributed),
+      // NOT row_number over an unpartitioned window (single task)
+      (s, dir) => graft.ops.GlobalRank.withGlobalRank(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship")),
+        Seq(col("ship"), col("l_orderkey"), col("l_linenumber"))),
       Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship,
         (row_number() OVER (ORDER BY strftime(l_shipdate, '%Y-%m-%d'), l_orderkey, l_linenumber))::BIGINT AS rank
         FROM lineitem""")),
@@ -229,8 +231,7 @@ object Queries {
         val lines = t(s, dir, "documents")
           .select(concat_ws("\t", col("doc_id"), col("lang"), col("n_chars")).as("line"))
         val sortCols = KeyFieldSpec.sortColumns(col("line"), "-k3,3nr -k1,1n")
-        lines
-          .withColumn("rank", row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+        graft.ops.GlobalRank.withGlobalRank(lines, sortCols)
           .select(get(split(col("line"), "\t"), lit(0)).cast("long").as("doc_id"),
             col("rank"))
       },
