@@ -16,18 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns, computed in double. */
+  /** Dot product of two array columns — native codegen'd expression
+    * ([[graft.functions.DotProduct]]); the higher-order-function fold
+    * ([[dotHof]]) interprets a lambda per element and is ~an order of
+    * magnitude slower on the embedding hot loop.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(a, b)
+
+  /** HOF reference implementation (kept for cross-checking the native
+    * expression; numerically identical accumulation order).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity between two array columns. */
+  /** Cosine similarity between two array columns (native expression). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.VectorExpressions.vecCosine(a, b)
+
+  /** HOF reference cosine. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Brute-force top-k by cosine against a single query vector.
     * The query ships as a literal into the plan (broadcast-equivalent for
