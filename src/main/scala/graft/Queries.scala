@@ -99,6 +99,50 @@ object Queries {
               FROM events GROUP BY 1, 2)
         GROUP BY 1""")),
 
+    "q_aggregate_text" -> Q(
+      // the reference's ValueAggregatorJob line protocol end-to-end:
+      // mapper emits "type:id\tvalue" lines, generic fold per (type,id)
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val lines = ev.select(concat(lit("LongValueSum:"), col("event_type"),
+            lit("\t"), lit(1)).as("line"))
+          .unionAll(ev.select(concat(lit("UniqValueCount:users"),
+            lit("\t"), col("user_id")).as("line")))
+        Aggregates.aggregateTextLines(lines, col("line"))
+      },
+      Some("""WITH lines AS (
+          SELECT 'LongValueSum:' || event_type || chr(9) || '1' AS line FROM events
+          UNION ALL
+          SELECT 'UniqValueCount:users' || chr(9) || user_id::VARCHAR FROM events),
+        parsed AS (
+          SELECT split_part(split_part(line, chr(9), 1), ':', 1) AS atype,
+                 split_part(split_part(line, chr(9), 1), ':', 2) AS id,
+                 split_part(line, chr(9), 2) AS value
+          FROM lines)
+        SELECT atype, id,
+          CASE WHEN atype IN ('LongValueSum', 'DoubleValueSum') THEN sum(value::DOUBLE)
+               WHEN atype = 'LongValueMax' THEN max(value::DOUBLE)
+               WHEN atype = 'LongValueMin' THEN min(value::DOUBLE)
+               WHEN atype = 'UniqValueCount' THEN count(DISTINCT value)::DOUBLE
+          END AS agg
+        FROM parsed GROUP BY 1, 2""")),
+
+    "q_fixed_width" -> Q(
+      // TeraInputFormat-style fixed-offset record parse
+      // (10-char key prefix + tail value over a rendered record)
+      (s, dir) => t(s, dir, "documents")
+        .select(concat(col("lang"), lit("|"), lpad(col("n_chars"), 8, "0"),
+          lit("|"), col("source")).as("rec"))
+        .select(substring(col("rec"), 1, 10).as("key10"),
+          substring(col("rec"), 11, 1000).as("rest"))
+        .groupBy("key10").agg(count(lit(1)).as("cnt"), max(col("rest")).as("max_rest")),
+      Some("""WITH r AS (
+          SELECT lang || '|' || lpad(n_chars::VARCHAR, 8, '0') || '|' || source AS rec
+          FROM documents)
+        SELECT substr(rec, 1, 10) AS key10, count(*)::BIGINT AS cnt,
+               max(substr(rec, 11, 1000)) AS max_rest
+        FROM r GROUP BY 1""")),
+
     "q_wordcount" -> Q(
       (s, dir) => TextOps.wordCount(t(s, dir, "documents"), col("text")),
       Some("""SELECT token, count(*)::BIGINT AS cnt FROM (

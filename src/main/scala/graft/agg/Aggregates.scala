@@ -64,6 +64,32 @@ object Aggregates {
       avg(c).as("mean_cnt"),
       coalesce(stddev_pop(c), lit(0.0)).as("stddev_cnt"))
   }
+
+  /** The full text-line protocol of `ValueAggregatorJob`
+    * (`ValueAggregatorBaseDescriptor.generateEntry` `:84`): each line is
+    * `type:id<TAB>value`; fold per (type, id) with the aggregator named by
+    * `type`. Numeric aggregators only (string max/min would need a second
+    * output column); result emitted as a double `agg` column.
+    */
+  def aggregateTextLines(df: DataFrame, line: Column): DataFrame = {
+    val tab = split(line, "\t", 2)
+    val key = get(tab, lit(0))
+    val parsed = df.select(
+      get(split(key, ":", 2), lit(0)).as("atype"),
+      coalesce(get(split(key, ":", 2), lit(1)), lit("")).as("id"),
+      coalesce(get(tab, lit(1)), lit("")).as("value"))
+    parsed.groupBy("atype", "id").agg(
+      sum(col("value").cast("double")).as("_sum"),
+      max(col("value").cast("double")).as("_max"),
+      min(col("value").cast("double")).as("_min"),
+      count_distinct(col("value")).as("_uniq"))
+      .select(col("atype"), col("id"),
+        when(col("atype").isin("LongValueSum", "DoubleValueSum"), col("_sum"))
+          .when(col("atype") === "LongValueMax", col("_max"))
+          .when(col("atype") === "LongValueMin", col("_min"))
+          .when(col("atype") === "UniqValueCount", col("_uniq").cast("double"))
+          .as("agg"))
+  }
 }
 
 /** Capped exact-distinct — the reference's `UniqValueCount`
