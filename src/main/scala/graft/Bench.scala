@@ -54,8 +54,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JIT + codegen + FS metadata, not counted
+    // warm-up: JIT + codegen + broadcast machinery + FS metadata, not
+    // counted (otherwise the first timed query pays session init)
     exec(Tables.load(spark, sfDir, "nation"))
+    exec(Tables.load(spark, sfDir, "supplier")
+      .join(org.apache.spark.sql.functions.broadcast(
+        Tables.load(spark, sfDir, "nation")),
+        org.apache.spark.sql.functions.col("s_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .groupBy("n_name").count())
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
