@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
 object KeyFieldSpec {
 
   /** One `-k` spec: 1-based start/end fields (end=None → to end of line),
-    * numeric compare, reverse order.
+    * with optional 1-based char offsets (`-k2.3,2.5`; endChar 0 = end of
+    * field, GNU sort semantics), numeric compare, reverse order.
     */
   final case class Spec(startField: Int, endField: Option[Int],
-                        numeric: Boolean, reverse: Boolean)
+                        numeric: Boolean, reverse: Boolean,
+                        startChar: Int = 1, endChar: Int = 0)
 
   /** Parse a spec string of space-separated `-kPOS1[,POS2][FLAGS]` entries,
     * e.g. `"-k2,2nr -k1,1"`. Flags `n` (numeric) and `r` (reverse) may
@@ -44,11 +46,15 @@ object KeyFieldSpec {
       val (p1, f1) = splitFlags(parts(0))
       val (p2, f2) = if (parts.length > 1) splitFlags(parts(1)) else ("", "")
       val flags = f1 + f2
-      // char offsets (field.char) parsed but only field part used in v1
-      def fieldOf(p: String): Int = p.split("\\.")(0).toInt
-      Spec(fieldOf(p1),
-        if (p2.nonEmpty) Some(fieldOf(p2)) else None,
-        flags.contains('n'), flags.contains('r'))
+      def fieldChar(p: String, defChar: Int): (Int, Int) = {
+        val fp = p.split("\\.")
+        (fp(0).toInt, if (fp.length > 1 && fp(1).nonEmpty) fp(1).toInt else defChar)
+      }
+      val (sf, sc) = fieldChar(p1, 1)
+      val (ef, ec) = if (p2.nonEmpty) {
+        val (f, c) = fieldChar(p2, 0); (Some(f), c)
+      } else (None, 0)
+      Spec(sf, ef, flags.contains('n'), flags.contains('r'), sc, ec)
     }.toSeq
 
   /** Longest-numeric-prefix parse as a Column, mirroring the reference's
@@ -61,13 +67,13 @@ object KeyFieldSpec {
     when(m === "", lit(0.0)).otherwise(m.cast("double"))
   }
 
-  /** Compile specs over a line column into sort Columns (with asc/desc
-    * baked in) ready for `df.orderBy(cols: _*)`.
+  /** Raw (unordered) key Column per `-k` spec — exposed for tests and for
+    * partitioning on the same derivation.
     */
-  def sortColumns(line: Column, spec: String, sep: String = "\t"): Seq[Column] = {
+  def keyColumns(line: Column, spec: String, sep: String = "\t"): Seq[Column] = {
     val fields = split(line, java.util.regex.Pattern.quote(sep), -1)
     parse(spec).map { s =>
-      val raw = s.endField match {
+      val segment = s.endField match {
         case Some(e) if e == s.startField =>
           coalesce(get(fields, lit(s.startField - 1)), lit(""))
         case Some(e) =>
@@ -76,10 +82,35 @@ object KeyFieldSpec {
           array_join(slice(fields, lit(s.startField),
             greatest(size(fields) - (s.startField - 1), lit(0))), sep)
       }
-      val key = if (s.numeric) numericPrefix(raw) else raw
-      if (s.reverse) key.desc else key.asc
+      // char offsets (GNU sort / KeyFieldHelper): key starts at startChar
+      // of the first field and, when endChar > 0, ends at endChar of the
+      // last field of the segment.
+      val afterStart =
+        if (s.startChar <= 1) segment
+        else substring(segment, s.startChar, Int.MaxValue)
+      val raw = (s.endField, s.endChar) match {
+        case (Some(e), q) if q > 0 =>
+          // chars of the segment up to char q of field e: length of the
+          // joined fields startField..e-1 (+1 sep) + q, minus start offset
+          val prefixLen =
+            if (e == s.startField) lit(0)
+            else length(array_join(slice(fields, lit(s.startField),
+              lit(e - s.startField)), sep)) + lit(sep.length)
+          val endPos = prefixLen + lit(q)
+          afterStart.substr(lit(1), greatest(endPos - lit(s.startChar - 1), lit(0)))
+        case _ => afterStart
+      }
+      if (s.numeric) numericPrefix(raw) else raw
     }
   }
+
+  /** Compile specs over a line column into sort Columns (with asc/desc
+    * baked in) ready for `df.orderBy(cols: _*)`.
+    */
+  def sortColumns(line: Column, spec: String, sep: String = "\t"): Seq[Column] =
+    parse(spec).zip(keyColumns(line, spec, sep)).map { case (s, key) =>
+      if (s.reverse) key.desc else key.asc
+    }
 
   /** Partition-key columns (no ordering) for the
     * `KeyFieldBasedPartitioner` analog: `df.repartition(n, cols: _*)`.

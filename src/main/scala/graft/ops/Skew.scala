@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation + sampling utilities.
+  *
+  * The reference handled skew only by partition-count tuning and the
+  * TotalOrderPartitioner's sampled split points
+  * (`/root/reference/src/mapred/org/apache/hadoop/mapred/lib/InputSampler.java:49`);
+  * Spark adds AQE skew-join splitting at runtime. These helpers cover the
+  * remaining case — aggregation skew on hot keys — and expose the
+  * InputSampler equivalent.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation for hot grouping keys: stage 1 groups on
+    * (key, salt) spreading a hot key over `saltBuckets` tasks and computes
+    * partial aggregates; stage 2 merges partials per key. Results are
+    * identical to a direct groupBy for any decomposable aggregate
+    * (sum/count/min/max), independent of `saltBuckets`.
+    *
+    * `partials` maps output column name → (stage1 agg of a value column,
+    * stage2 merge of the stage1 column). E.g.
+    * `("cnt", count(lit(1)), sum(col("cnt")))`.
+    */
+  def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
+                      partials: Seq[(String, Column, Column)]): DataFrame = {
+    // deterministic salt: spread rows without an RNG (repeatable runs)
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val stage1 = salted.groupBy(key.as("_key"), col("_salt"))
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c, _) => c.as(n) }: _*)
+    stage1.groupBy(col("_key"))
+      .agg(partials.head._3.as(partials.head._1),
+        partials.tail.map { case (n, _, m) => m.as(n) }: _*)
+      .withColumnRenamed("_key", "key")
+  }
+
+  /** Sampled range split points — the `InputSampler` analog, exposed via
+    * `approxQuantile` (Spark's RangePartitioner uses the same reservoir
+    * sampling internally under `orderBy`).
+    */
+  def splitPoints(df: DataFrame, column: String, numPartitions: Int,
+                  relativeError: Double = 0.01): Array[Double] = {
+    val probs = (1 until numPartitions).map(_.toDouble / numPartitions).toArray
+    df.stat.approxQuantile(column, probs, relativeError)
+  }
+}

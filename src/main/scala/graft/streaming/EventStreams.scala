@@ -57,6 +57,17 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
 
+  /** Streaming exact dedup on key columns, state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`): duplicates arriving
+    * within the watermark window are dropped; state for older keys is
+    * evicted — the training-pipeline "dedupe the firehose" operator with
+    * bounded memory at any scale.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSec: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, startSec: Long, endSec: Long,

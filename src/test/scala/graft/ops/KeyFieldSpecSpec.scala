@@ -38,6 +38,27 @@ class KeyFieldSpecSpec extends SparkSpec {
     assert(got == Seq("a\t10", "b\t2", "c\t2", "d\tx"))
   }
 
+  test("char offsets: -k2.2,3.2 takes field 2 char 2 through field 3 char 2") {
+    import spark.implicits._
+    val df = Seq("abcd\tefgh\tijkl").toDF("line")
+    val key = keyColumns(col("line"), "-k2.2,3.2").head
+    assert(df.select(key).head().getString(0) == "fgh\tij")
+    // start-only offset runs to end of segment
+    val key2 = keyColumns(col("line"), "-k2.3").head
+    assert(df.select(key2).head().getString(0) == "gh\tijkl")
+    // ordering behaves per the offset key (ignore char 1 of field 2)
+    val lines = Seq("aa\tzb\tyy", "aa\tzc\tyy", "aa\tza\tyy").toDF("line")
+    val sorted = lines.orderBy(sortColumns(col("line"), "-k2.2,2.2"): _*)
+      .as[String].collect().toSeq
+    assert(sorted == Seq("aa\tza\tyy", "aa\tzb\tyy", "aa\tzc\tyy"))
+  }
+
+  test("char offsets parse into Spec") {
+    val s = parse("-k2.3,2.5n").head
+    assert(s == Spec(2, Some(2), numeric = true, reverse = false,
+      startChar = 3, endChar = 5))
+  }
+
   test("sort output is a permutation of input (SortValidator invariant)") {
     import spark.implicits._
     val lines = graft.Tables.load(spark, sfDir, "documents")

@@ -58,6 +58,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(total == nEvents * 4) // 1h window / 15m slide = 4 windows per event
   }
 
+  test("streaming dedup drops the duplicated file's events") {
+    // stage: events file TWICE (simulated duplicate delivery) + sentinel
+    val stage = Files.createTempDirectory("events-dup")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), stage.resolve("aa.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), stage.resolve("bb.parquet"))
+    Files.copy(Paths.get(s"$stagedDir/zz_sentinel.parquet"), stage.resolve("zz.parquet"))
+    val stream = EventStreams.readEvents(spark, stage.toString, "*.parquet")
+    EventStreams.runToMemory(
+      EventStreams.dedupStream(stream, Seq("event_id")), "deduped",
+      OutputMode.Append())
+    val n = spark.table("deduped").where(col("user_id") =!= -1).count()
+    assert(n == graft.Tables.load(spark, sfDir, "events").count())
+  }
+
   test("stateful sessionization matches the batch window-function sessions") {
     val sess = EventStreams.sessionize(staged)
     EventStreams.runToMemory(sess.toDF(), "sessions", OutputMode.Append())
