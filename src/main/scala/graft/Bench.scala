@@ -46,6 +46,40 @@ object Bench {
     )
   }
 
+  /** Hand-written "native Spark SQL" controls for the headline benches —
+    * BASELINE.md's pass criterion is ≤2x these. Registered temp views,
+    * plain SQL text, no library code.
+    */
+  def controls(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    Tables.registerAll(s, dir)
+    Seq(
+      "b1_monster" -> s.sql("""
+        WITH s1 AS (
+          SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qty,
+                 sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS rev_cents
+          FROM lineitem
+          WHERE substr(md5(CAST(l_orderkey*8 + l_linenumber AS STRING)), 1, 1) IN ('0','1')
+          GROUP BY 1),
+        s2 AS (
+          SELECT p_brand, sum(rev_cents) AS revenue_cents, count(1) AS nparts
+          FROM s1 JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        SELECT * FROM s2 ORDER BY revenue_cents DESC, p_brand LIMIT 10"""),
+      "b2_full_sort" -> s.sql(
+        "SELECT * FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber"),
+      "b3_ref_select" -> s.sql("""
+        SELECT * FROM lineitem
+        WHERE substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 2) = '00'""")
+        .coalesce(1),
+      "b4_text_sort" -> s.sql("""
+        SELECT concat_ws('\t', event_id, event_type, user_id, value) AS line
+        FROM events ORDER BY line"""),
+      "b5_wordcount" -> s.sql("""
+        SELECT w, count(1) AS cnt FROM (
+          SELECT explode(split(text, '\\\\s+')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY 1"""),
+    )
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,8 +106,15 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // headline benches timed adjacent to their native-SQL controls
+    // (min of 2 runs each) so JIT/caching order cannot bias the ratio
+    val ctl = controls(spark, sfDir).toMap
+    val controlTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline(spark, sfDir).foreach { case (name, df) =>
-      results(name) = time(exec(df))
+      results(name) = Seq(time(exec(df)), time(exec(df))).min
+      ctl.get(name).foreach { c =>
+        controlTimes(name) = Seq(time(exec(c)), time(exec(c))).min
+      }
     }
     // B6 MRBench analog: repeated small sort, avg latency over 5 runs
     val nat = Tables.load(spark, sfDir, "supplier")
@@ -92,8 +133,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val ctlJson = controlTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val ratios = controlTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"${results(k) / math.max(v, 1e-9)}%.2f" }
+      .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"controls":$ctlJson,"ratio_vs_control":$ratios,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
