@@ -283,6 +283,23 @@ object Queries {
         (row_number() OVER (ORDER BY n_chars DESC, doc_id))::BIGINT AS rank
         FROM documents""")),
 
+    "q_logalyzer" -> Q(
+      // Logalyzer shape (§2.2): archive of log lines → grep -> per-column
+      // numeric sort (-sort col3 desc) with distributed global rank
+      (s, dir) => {
+        val lines = t(s, dir, "events")
+          .select(concat_ws("\t", col("event_id"), col("event_type"),
+            col("value")).as("line"))
+          .where(col("line").rlike("\terror\t"))
+        val sortCols = KeyFieldSpec.sortColumns(col("line"), "-k3,3nr -k1,1n")
+        graft.ops.GlobalRank.withGlobalRank(lines, sortCols)
+          .select(get(split(col("line"), "\t"), lit(0)).cast("long").as("event_id"),
+            col("rank"))
+      },
+      Some("""SELECT event_id,
+        (row_number() OVER (ORDER BY value DESC, event_id))::BIGINT AS rank
+        FROM events WHERE event_type = 'error'""")),
+
     "q_topk" -> Q(
       (s, dir) => t(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")

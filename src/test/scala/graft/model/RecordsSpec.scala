@@ -1,0 +1,45 @@
+package graft.model
+
+import graft.SparkSpec
+
+class RecordsSpec extends SparkSpec {
+
+  val sample = Seq(
+    RecRecord1(boolVal = true, byteVal = 1, intVal = 42, longVal = 1L << 40,
+      floatVal = 1.5f, doubleVal = math.Pi, stringVal = "héllo\tworld",
+      bufferVal = Array[Byte](0, 1, 2), vectorVal = Seq("a", "b"),
+      mapVal = Map("k1" -> "v1", "k2" -> "v2"),
+      recordVal = RecRecord0("nested")),
+    RecRecord1(boolVal = false, byteVal = -1, intVal = -7, longVal = -1,
+      floatVal = 0f, doubleVal = 0, stringVal = "",
+      bufferVal = Array.empty, vectorVal = Nil, mapVal = Map.empty,
+      recordVal = RecRecord0("")))
+
+  // Array[Byte] in a case class compares by reference; project to
+  // fully-value-comparable shape
+  private def normalize(r: RecRecord1) =
+    (r.boolVal, r.byteVal, r.intVal, r.longVal, r.floatVal, r.doubleVal,
+      r.stringVal, r.bufferVal.toSeq, r.vectorVal.toList,
+      r.mapVal.toSeq.sorted, r.recordVal)
+  private def buffers(rs: Seq[RecRecord1]) = rs.map(_.bufferVal.toSeq)
+
+  test("binary (parquet/Tungsten) round trip preserves all field types") {
+    val dir = java.nio.file.Files.createTempDirectory("rec").toString + "/bin"
+    val ds = Records.dataset(spark, sample)
+    Records.writeBinary(ds, dir)
+    val back = Records.readBinary(spark, dir).collect().sortBy(_.intVal)
+    val orig = sample.sortBy(_.intVal)
+    assert(back.map(normalize).toSeq == orig.map(normalize))
+    assert(buffers(back.toSeq) == buffers(orig))
+  }
+
+  test("text (json) round trip preserves nested record/vector/map") {
+    val dir = java.nio.file.Files.createTempDirectory("rec").toString + "/txt"
+    val ds = Records.dataset(spark, sample)
+    Records.writeText(ds, dir)
+    val back = Records.readText(spark, dir).collect().sortBy(_.intVal)
+    val orig = sample.sortBy(_.intVal)
+    assert(back.map(normalize).toSeq == orig.map(normalize))
+    assert(buffers(back.toSeq) == buffers(orig))
+  }
+}
