@@ -530,6 +530,19 @@ object Queries {
         len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS tok_cnt
         FROM documents""")),
 
+    "q_repetition" -> Q(
+      (s, dir) => TextAnalysis.repetitionRatio(t(s, dir, "documents")),
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS g
+          FROM w),
+        c AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS rep_ratio
+        FROM c GROUP BY 1""")),
+
     // ---- similarity search -------------------------------------------
 
     "q_embed_topk" -> Q(

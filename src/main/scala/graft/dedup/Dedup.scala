@@ -154,6 +154,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-dup clusters → canonical representative: treat candidate pairs
+    * as edges, find connected components by iterative min-label
+    * propagation (each doc adopts the smallest doc_id reachable), keep
+    * the min doc per component.
+    *
+    * Scale: label propagation is O(diameter) joins; near-dup clusters
+    * have tiny diameters (pairs come from shared LSH buckets), so
+    * `maxIter` = 5 converges in practice; the loop stops early when no
+    * label changes. Each iteration is one shuffle join on doc_id.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges.join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("label", "nlabel"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(eager = true) // truncate the iterative lineage
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Full near-dup dedup: LSH candidates → clusters → keep the smallest
+    * doc_id per cluster; docs in no cluster keep themselves. Returns
+    * (doc_id, keep) — `keep` false for non-canonical near-dups.
+    */
+  def dedupCorpus(docs: DataFrame, numPerms: Int = 8, rowsPerBand: Int = 2,
+                  shingleN: Int = 3, text: String = "text",
+                  id: String = "doc_id"): DataFrame = {
+    val pairs = minhashCandidates(docs, numPerms, rowsPerBand, shingleN,
+      maxBucket = 1000, text = text, id = id)
+    val clusters = dedupClusters(pairs)
+    val canonical = clusters.groupBy("cluster").agg(min(col("doc_id")).as("canon"))
+    val marked = clusters.join(canonical, "cluster")
+      .select(col("doc_id"), (col("doc_id") === col("canon")).as("keep"))
+    docs.select(col(id)).join(marked, Seq(id), "left")
+      .select(col(id), coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * (see [[graft.sim.Similarity.buildLshIndex]]) bound the candidate set,
     * then exact cosine filters within buckets. `nBits` trades recall for

@@ -91,4 +91,21 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(toks(lower(text)))), " "))
+
+  /** Repetition ratio (Gopher-style): fraction of word n-gram occurrences
+    * taken by the single most frequent n-gram — boilerplate/spam detector.
+    * Computed distributively (explode + per-(doc, gram) partial counts,
+    * then per-doc max/sum in one more agg) — NOT per-row array lambdas,
+    * which would be O(grams²) per document.
+    */
+  def repetitionRatio(docs: org.apache.spark.sql.DataFrame, n: Int = 3,
+                      text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(id),
+      explode(graft.dedup.Dedup.shingles(col(text), n)).as("g"))
+    grams.groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id)).agg(
+        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+          .as("rep_ratio"))
+  }
 }

@@ -44,6 +44,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupCorpus keeps one canonical doc per near-dup cluster") {
+    // three near-identical docs (one cluster) + one unrelated
+    val base = (1 to 60).map(i => s"w$i")
+    val d1 = base.mkString(" ")
+    val d2 = base.updated(10, "X").mkString(" ")
+    val d3 = base.updated(50, "Y").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = docs(4L -> d2, 1L -> d1, 9L -> d3, 7L -> other)
+    val kept = Dedup.dedupCorpus(df)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept(1L)) // smallest id in the cluster is canonical
+    assert(!kept(4L) && !kept(9L))
+    assert(kept(7L)) // unclustered doc survives
+  }
+
+  test("dedupClusters handles chains (transitive components)") {
+    import spark.implicits._
+    // chain 1-2, 2-3, plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+  }
+
   test("ngramJaccard computes exact overlap on candidates") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "z z z")
     import spark.implicits._
