@@ -530,6 +530,41 @@ object Queries {
         len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS tok_cnt
         FROM documents""")),
 
+    "q_dedup_corpus" -> Q(
+      (s, dir) => Dedup.dedupCorpus(t(s, dir, "documents")),
+      Some {
+        val bandSelects = (0 until 4).map { b =>
+          val (i, j) = (2 * b, 2 * b + 1)
+          val sel = s"SELECT doc_id, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+          if (b == 0) sel else s"UNION ALL $sel"
+        }.mkString(" ")
+        s"""WITH RECURSIVE w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
+          FROM w),
+        hx AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+          FROM sh),
+        sig AS (SELECT doc_id, ${minhashSigSql(8)} FROM hx GROUP BY 1),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        reach AS (
+          SELECT DISTINCT a AS id, a AS r FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id, min(r) AS label FROM reach GROUP BY 1)
+        SELECT d.doc_id, coalesce(comp.id = comp.label, TRUE) AS keep
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"""
+      }),
+
     "q_repetition" -> Q(
       (s, dir) => TextAnalysis.repetitionRatio(t(s, dir, "documents")),
       Some("""WITH w AS (
