@@ -72,6 +72,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == graft.Tables.load(spark, sfDir, "events").count())
   }
 
+  test("checkpointed restart processes only new files (exactly-once sink)") {
+    val stage = Files.createTempDirectory("events-ckpt")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val outDir = Files.createTempDirectory("out").toString + "/counts"
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), stage.resolve("aa.parquet"))
+
+    def runOnce(): Unit = {
+      val stream = EventStreams.readEvents(spark, stage.toString, "*.parquet")
+      val q = EventStreams.hourlyCounts(stream, watermark = "1 minute")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // batch 1: real events (tail windows held in state)
+    // add the sentinel -> watermark jumps past all real data
+    Files.copy(Paths.get(s"$stagedDir/zz_sentinel.parquet"), stage.resolve("zz.parquet"))
+    runOnce() // restart from checkpoint: only the new file processed
+
+    val out = spark.read.parquet(outDir).where(col("event_type") =!= "sentinel")
+    val batch = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    // exactly-once: every (hour, type) appears once with the batch count
+    assert(out.count() == batch.count())
+    val diff = out.select("hour", "event_type", "cnt")
+      .exceptAll(batch.select("hour", "event_type", "cnt")).count()
+    assert(diff == 0)
+  }
+
   test("stateful sessionization matches the batch window-function sessions") {
     val sess = EventStreams.sessionize(staged)
     EventStreams.runToMemory(sess.toDF(), "sessions", OutputMode.Append())
