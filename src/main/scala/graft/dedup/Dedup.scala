@@ -165,8 +165,12 @@ object Dedup {
     * label changes. Each iteration is one shuffle join on doc_id.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    // materialize the edge list once — it re-enters every propagation
+    // iteration AND the convergence check, and recomputing the upstream
+    // LSH pipeline per iteration would dominate the whole job
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var iter = 0
@@ -175,13 +179,16 @@ object Dedup {
       val viaNeighbor = edges.join(labels.withColumnRenamed("id", "b")
           .withColumnRenamed("label", "nlabel"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nlabel")).as("nmin"))
+      // one pass computes the new label AND the changed flag; the eager
+      // localCheckpoint truncates lineage, so the convergence probe is a
+      // cached scan, not a recomputed join
+      val newLabel = least(col("label"), coalesce(col("nmin"), col("label")))
       val updated = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(eager = true) // truncate the iterative lineage
-      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).isEmpty
-      labels = updated
+        .select(col("id"), newLabel.as("label"),
+          (newLabel =!= col("label")).as("_changed"))
+        .localCheckpoint(eager = true)
+      converged = updated.where(col("_changed")).isEmpty
+      labels = updated.drop("_changed")
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
