@@ -137,7 +137,10 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
                    text: String = "text", id: String = "doc_id"): DataFrame = {
+    // the shingle table feeds both join sides AND the size table —
+    // materialize once instead of re-tokenizing the corpus three times
     val sh = docs.select(col(id), explode(array_distinct(shingles(col(text), shingleN))).as("sh"))
+      .localCheckpoint(eager = false)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.withColumnRenamed(id, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
