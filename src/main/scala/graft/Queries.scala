@@ -270,6 +270,30 @@ object Queries {
         string_agg(l_linenumber::VARCHAR, ',' ORDER BY strftime(l_shipdate, '%Y-%m-%d'), l_linenumber) AS linenums
         FROM lineitem GROUP BY 1""")),
 
+    "q_secondary_fold" -> Q(
+      // same semantics as q_secondary_sort but through the STREAMING
+      // group fold (mapPartitions over cluster-sorted layout) — the
+      // Reducer.reduce migration surface under the oracle gate
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+        graft.ops.SecondarySort.foldGroupsSorted[List[Int]](
+          li, Seq(col("l_orderkey")),
+          Seq(col("ship").asc, col("l_linenumber").asc))(
+          _ => Nil)(
+          (acc, r) => r.getAs[Int]("l_linenumber") :: acc)(
+          (first, acc) => Row(first.getAs[Long]("l_orderkey"),
+            acc.reverse.mkString(",")),
+          StructType(Seq(StructField("l_orderkey", LongType),
+            StructField("linenums", StringType))))
+      },
+      Some("""SELECT l_orderkey,
+        string_agg(l_linenumber::VARCHAR, ',' ORDER BY strftime(l_shipdate, '%Y-%m-%d'), l_linenumber) AS linenums
+        FROM lineitem GROUP BY 1""")),
+
     "q_keyfield_sort" -> Q(
       (s, dir) => {
         val lines = t(s, dir, "documents")
@@ -792,6 +816,33 @@ object Queries {
         graft.ops.Pipe.pipe(kv, Seq("cat"))
       },
       Some("SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation")),
+
+    "q_pipe_tr" -> Q(
+      // pipe through a real transforming subprocess (tr uppercases the
+      // value side of the line protocol)
+      (s, dir) => {
+        val kv = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("string").as("key"),
+            lower(col("n_name")).as("value"))
+        graft.ops.Pipe.pipe(kv, Seq("tr", "a-z", "A-Z"))
+      },
+      Some("SELECT n_nationkey::VARCHAR AS key, upper(lower(n_name)) AS value FROM nation")),
+
+    "q_capped_uniq" -> Q(
+      // the reference's capped UniqValueCount (TreeMap retention: the
+      // smallest `cap` distinct values survive) via the typed Aggregator
+      (s, dir) => {
+        val agg = udaf(new graft.agg.CappedUniq(3))
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("id"))
+          .agg(agg(col("o_orderstatus")).as("r"))
+          .select(col("id"), col("r.count").as("cnt"),
+            array_join(col("r.items"), ",").as("items"))
+      },
+      Some("""SELECT o_orderpriority AS id,
+        least(count(DISTINCT o_orderstatus), 3)::BIGINT AS cnt,
+        array_to_string(list_slice(list_sort(list_distinct(list(o_orderstatus))), 1, 3), ',') AS items
+        FROM orders GROUP BY 1""")),
 
     // ---- exact n-gram Jaccard over LSH candidates ---------------------
 
