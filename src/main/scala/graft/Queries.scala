@@ -181,6 +181,62 @@ object Queries {
         JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY 1""")),
 
+    "q_tpch_q3" -> Q(
+      // shipping-priority query shape (TPC-H Q3): date-windowed
+      // fact-dim-dim join; both date predicates push into the scans
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders")
+          .where(col("o_orderdate") < lit("1996-01-01"))
+        val li = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey")).limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2
+        ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""")),
+
+    "q_tpch_q5" -> Q(
+      // local-supplier-volume shape (TPC-H Q5): 5-way star join,
+      // dims broadcast, one agg shuffle
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val supp = t(s, dir, "supplier")
+        val nat = t(s, dir, "nation")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+      },
+      Some("""SELECT n_name,
+        sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1""")),
+
     "q_join_broadcast" -> Q(
       (s, dir) => t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
