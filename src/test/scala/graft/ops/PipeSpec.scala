@@ -37,6 +37,24 @@ class PipeSpec extends SparkSpec {
     assert(got == ("a\tb" -> "c\td"))
   }
 
+  test("custom separator round-trips (TestStreamingSeparator analog)") {
+    import spark.implicits._
+    val df = Seq(("k1", "v1"), ("k2", "v:with:colons")).toDF("key", "value")
+    val got = Pipe.pipe(df, Seq("cat"), sep = ":")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // value containing the separator splits at the FIRST one only when
+    // numKeyFields=1 — the rest stays in the value
+    assert(got == Set("k1" -> "v1", "k2" -> "v:with:colons"))
+  }
+
+  test("multi-char separator honored in key/value split") {
+    import spark.implicits._
+    val df = Seq("a::b::c").toDF("line")
+    val got = df.select(Pipe.splitKeyValue(col("line"), "::", 1): _*)
+      .head()
+    assert((got.getString(0), got.getString(1)) == ("a" -> "b::c"))
+  }
+
   test("aggregateReduce folds type:id entries like -reducer aggregate") {
     import spark.implicits._
     val kv = Seq(("LongValueSum:word1", "2"), ("LongValueSum:word1", "3"),
