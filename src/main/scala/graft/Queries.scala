@@ -771,6 +771,22 @@ object Queries {
         sum((round(value*100, 0))::BIGINT)::BIGINT AS value_cents
         FROM events GROUP BY 1, 2""")),
 
+    "q_window_sliding" -> Q(
+      // sliding 1h windows every 15 min (batch form of the streaming op);
+      // oracle reconstructs Spark's window() semantics arithmetically
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("window"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("cnt")),
+      Some("""SELECT strftime(date_trunc('hour', ts)
+            + to_minutes(15 * (floor(extract(minute FROM ts) / 15)::INT))
+            - to_minutes(15 * k), '%Y-%m-%d %H:%M:%S') AS wstart,
+          event_type, count(*)::BIGINT AS cnt
+        FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        GROUP BY 1, 2""")),
+
     "q_sessionize" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),

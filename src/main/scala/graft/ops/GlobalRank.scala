@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Distributed global ranking — the reference's `TotalOrderPartitioner` +
   * per-reducer position counting
@@ -23,15 +22,29 @@ object GlobalRank {
 
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
                      rankCol: String = "rank"): DataFrame = {
-    val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val outSchema = StructType(sorted.schema.fields :+
-      StructField(rankCol, LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1))
+      // monotonically_increasing_id encodes (partition << 33) + local row
+      // index in iteration (= sorted) order — local position without
+      // leaving codegen (an rdd.zipWithIndex would deserialize every row)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(eager = false) // ids must be stable across the two uses
+    // per-partition row counts → cumulative start offsets (tiny driver data,
+    // the TotalOrderPartitioner "partition file" analog)
+    val counts = sorted.groupBy("_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L) { case (acc, (_, c)) => acc + c }
+    val offsetMap = counts.map(_._1).zip(offsets).toMap
+    // when-chain keeps the rank inside codegen; with >O(1000) partitions
+    // switch to a broadcast-joined offsets table instead
+    val offsetCol = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
+      when(col("_pid") === pid, lit(offsetMap(pid))).otherwise(acc)
     }
-    spark.createDataFrame(ranked, outSchema)
+    sorted.withColumn(rankCol,
+        offsetCol + (col("_mid") - shiftleft(col("_pid").cast("long"), 33)) + 1)
+      .drop("_mid", "_pid")
   }
 }
