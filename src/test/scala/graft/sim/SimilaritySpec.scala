@@ -70,6 +70,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("partitioned LSH index probe scans only the query's bucket partition") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val index = Similarity.buildLshIndex(emb, dim = 64, nBits = 4)
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString + "/idx"
+    index.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val someBucket = index.select("bucket").head().getString(0)
+    val probe = spark.read.parquet(dir).where(col("bucket") === someBucket)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains(s"bucket=$someBucket") ||
+      scan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"expected partition pruning in:\n$scan")
+    // and the probe returns exactly that bucket's vectors
+    val expected = index.where(col("bucket") === someBucket).count()
+    assert(probe.count() == expected && expected > 0)
+  }
+
   test("lshBucket is deterministic across evaluations") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val b1 = Similarity.buildLshIndex(emb, 64, 8).select("vec_id", "bucket")

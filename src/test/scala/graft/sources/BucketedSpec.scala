@@ -27,6 +27,24 @@ class BucketedSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("point lookup on a bucketed table prunes to one bucket (MapFile analog)") {
+    // li_bkt written by the co-location test (8 buckets on l_orderkey)
+    val key = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey").head().getLong(0)
+    // the auto-bucketed-scan heuristic skips bucketed reads for plain
+    // filters; force it so the point lookup prunes to one bucket file
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val lookup = Bucketed.table(spark, "li_bkt").where(col("l_orderkey") === key)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning in:\n$plan")
+      assert(lookup.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
+  }
+
   test("unbucketed same join shuffles both sides (the baseline it saves)") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
