@@ -88,15 +88,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JIT + codegen + broadcast machinery + FS metadata, not
-    // counted (otherwise the first timed query pays session init)
-    exec(Tables.load(spark, sfDir, "nation"))
+    // warm-up: JIT + codegen + broadcast machinery + FS metadata + page
+    // cache for the big tables, not counted (otherwise whichever variant
+    // runs first pays session init and the cold file read)
     exec(Tables.load(spark, sfDir, "supplier")
       .join(org.apache.spark.sql.functions.broadcast(
         Tables.load(spark, sfDir, "nation")),
         org.apache.spark.sql.functions.col("s_nationkey") ===
           org.apache.spark.sql.functions.col("n_nationkey"))
       .groupBy("n_name").count())
+    Seq("lineitem", "orders", "customer", "part", "events", "documents",
+      "embeddings").foreach(t => exec(Tables.load(spark, sfDir, t)))
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
