@@ -453,6 +453,58 @@ object Queries {
         UNION ALL
         SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier""")),
 
+    "q_hetero_union" -> Q(
+      // MultipleInputs: per-source normalization into one schema
+      // (each source gets its own "mapper" projection, then union)
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("score"), lit("customer").as("kind"))
+        .unionByName(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+            col("s_acctbal").as("score"), lit("supplier").as("kind")))
+        .unionByName(t(s, dir, "part")
+          .select(col("p_partkey").as("id"), col("p_name").as("name"),
+            col("p_retailprice").as("score"), lit("part").as("kind")))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("score"))).as("score_cents")),
+      Some("""SELECT kind, count(*)::BIGINT AS cnt,
+        sum((round(score*100, 0))::BIGINT)::BIGINT AS score_cents
+        FROM (
+          SELECT c_custkey AS id, c_acctbal AS score, 'customer' AS kind FROM customer
+          UNION ALL
+          SELECT s_suppkey, s_acctbal, 'supplier' FROM supplier
+          UNION ALL
+          SELECT p_partkey, p_retailprice, 'part' FROM part)
+        GROUP BY 1""")),
+
+    "q_topk_per_group" -> Q(
+      // per-group top-k: partitioned window (scales — no global sort)
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 2)
+          .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+          SELECT *, (row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey))::BIGINT AS rk
+          FROM orders) WHERE rk <= 2""")),
+
+    "q_percentiles" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.95), 6) AS p95,
+        count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1""")),
+
     // ---- §2.7 pipelines (monsterQuery shape) -------------------------
 
     "q_monster" -> Q(
