@@ -292,11 +292,16 @@ object Queries {
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
 
     "q_join_anti" -> Q(
+      // customers with no very-high-value (>450k) order — filtered anti-join (the
+      // unfiltered variant is vacuously empty on this data: every
+      // customer has orders)
       (s, dir) => t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name"),
       Some("""SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 450000)""")),
 
     // ---- §2.5 sorts / partitioning -----------------------------------
 

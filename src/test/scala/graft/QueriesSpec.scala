@@ -6,7 +6,7 @@ package graft
   */
 class QueriesSpec extends SparkSpec {
 
-  private val knownEmpty = Set("q_join_anti", "q_except")
+  private val knownEmpty = Set("q_except")
 
   test("every registered query executes and returns rows at sf0.001") {
     val failures = Queries.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
