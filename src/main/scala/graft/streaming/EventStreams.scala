@@ -68,6 +68,31 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding `windowSec` seconds. Both sides are
+    * watermarked so the join state is bounded — Spark drops click state
+    * older than the watermark minus the interval, purchases beyond the
+    * watermark. The equality key (user_id) partitions state across
+    * executors; the time-range predicate bounds how much of each user's
+    * history is retained.
+    */
+  def purchaseAttribution(events: DataFrame, windowSec: Long = 3600,
+                          watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSec: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, startSec: Long, endSec: Long,

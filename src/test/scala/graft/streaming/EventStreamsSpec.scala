@@ -58,6 +58,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(total == nEvents * 4) // 1h window / 15m slide = 4 windows per event
   }
 
+  test("stream-stream interval join matches the batch non-equi join") {
+    EventStreams.runToMemory(
+      EventStreams.purchaseAttribution(staged), "attribution",
+      OutputMode.Append())
+    val streamed = spark.table("attribution")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val batch = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming dedup drops the duplicated file's events") {
     // stage: events file TWICE (simulated duplicate delivery) + sentinel
     val stage = Files.createTempDirectory("events-dup")
