@@ -214,6 +214,29 @@ object Dedup {
       .select(col(id), coalesce(col("keep"), lit(true)).as("keep"))
   }
 
+  /** Production-shape dedup: LSH candidates are VERIFIED with exact
+    * n-gram Jaccard before clustering, so LSH false positives (docs that
+    * merely collide in a band) cannot glue unrelated documents into one
+    * cluster. `threshold` is the Jaccard similarity above which two docs
+    * count as near-duplicates (0.8 is the usual training-data setting).
+    */
+  def dedupCorpusVerified(docs: DataFrame, threshold: Double = 0.8,
+                          numPerms: Int = 8, rowsPerBand: Int = 2,
+                          shingleN: Int = 3, text: String = "text",
+                          id: String = "doc_id"): DataFrame = {
+    val candidates = minhashCandidates(docs, numPerms, rowsPerBand, shingleN,
+      maxBucket = 1000, text = text, id = id)
+    val verified = ngramJaccard(docs, candidates, shingleN, text, id)
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+    val clusters = dedupClusters(verified)
+    val canonical = clusters.groupBy("cluster").agg(min(col("doc_id")).as("canon"))
+    val marked = clusters.join(canonical, "cluster")
+      .select(col("doc_id"), (col("doc_id") === col("canon")).as("keep"))
+    docs.select(col(id)).join(marked, Seq(id), "left")
+      .select(col(id), coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * (see [[graft.sim.Similarity.buildLshIndex]]) bound the candidate set,
     * then exact cosine filters within buckets. `nBits` trades recall for

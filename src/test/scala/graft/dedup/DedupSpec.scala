@@ -59,6 +59,19 @@ class DedupSpec extends SparkSpec {
     assert(kept(7L)) // unclustered doc survives
   }
 
+  test("dedupCorpusVerified rejects LSH false positives below threshold") {
+    // two docs similar enough to band-collide but with low exact Jaccard
+    // must NOT dedup at threshold 0.8; true near-dups must
+    val base = (1 to 60).map(i => s"w$i")
+    val trueDup = base.updated(30, "X").mkString(" ")      // jaccard ~0.9
+    val partial = (base.take(20) ++ (200 to 240).map(i => s"z$i")).mkString(" ")
+    val df = docs(1L -> base.mkString(" "), 2L -> trueDup, 3L -> partial)
+    val kept = Dedup.dedupCorpusVerified(df, threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept(1L) && !kept(2L)) // true near-dup deduped
+    assert(kept(3L))              // partial overlap survives
+  }
+
   test("dedupClusters handles chains (transitive components)") {
     import spark.implicits._
     // chain 1-2, 2-3, plus isolated pair 10-11
