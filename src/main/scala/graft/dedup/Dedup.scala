@@ -163,11 +163,14 @@ object Dedup {
     * the min doc per component.
     *
     * Scale: label propagation is O(diameter) joins; near-dup clusters
-    * have tiny diameters (pairs come from shared LSH buckets), so
-    * `maxIter` = 5 converges in practice; the loop stops early when no
-    * label changes. Each iteration is one shuffle join on doc_id.
+    * have tiny diameters (pairs come from shared LSH buckets), so a
+    * handful of rounds converges in practice; the loop stops early when
+    * no label changes. Each iteration is one shuffle join on doc_id.
+    * `maxIter` is a safety cap well above any real cluster diameter — if
+    * it is ever hit without convergence the result would silently
+    * under-merge, so that case raises instead of returning.
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // materialize the edge list once — it re-enters every propagation
     // iteration AND the convergence check, and recomputing the upstream
     // LSH pipeline per iteration would dominate the whole job
@@ -194,6 +197,10 @@ object Dedup {
       labels = updated.drop("_changed")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: label propagation did not converge in $maxIter rounds — " +
+          "component diameter exceeds the cap; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 

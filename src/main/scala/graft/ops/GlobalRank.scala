@@ -21,7 +21,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 object GlobalRank {
 
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
-                     rankCol: String = "rank"): DataFrame = {
+                     rankCol: String = "rank",
+                     maxWhenChain: Int = MaxWhenChainPartitions): DataFrame = {
     import org.apache.spark.sql.functions._
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(n, sortCols: _*)
@@ -37,14 +38,34 @@ object GlobalRank {
     val counts = sorted.groupBy("_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L) { case (acc, (_, c)) => acc + c }
-    val offsetMap = counts.map(_._1).zip(offsets).toMap
-    // when-chain keeps the rank inside codegen; with >O(1000) partitions
-    // switch to a broadcast-joined offsets table instead
-    val offsetCol = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when(col("_pid") === pid, lit(offsetMap(pid))).otherwise(acc)
-    }
-    sorted.withColumn(rankCol,
-        offsetCol + (col("_mid") - shiftleft(col("_pid").cast("long"), 33)) + 1)
-      .drop("_mid", "_pid")
+    val localRank = col("_mid") - shiftleft(col("_pid").cast("long"), 33) + 1
+    val ranked =
+      if (counts.length <= maxWhenChain) {
+        // small partition counts: a when-chain literal keeps the whole rank
+        // expression inside codegen (no join at all)
+        val offsetMap = counts.map(_._1).zip(offsets).toMap
+        val offsetCol = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
+          when(col("_pid") === pid, lit(offsetMap(pid))).otherwise(acc)
+        }
+        sorted.withColumn(rankCol, offsetCol + localRank)
+      } else {
+        // large partition counts: a when-chain would blow up codegen
+        // (O(partitions) nested CASE); broadcast-join the tiny offsets
+        // table instead — BroadcastHashJoin streams the sorted side, so
+        // per-partition row order (hence _mid-derived local ranks) is kept
+        val spark = df.sparkSession
+        import spark.implicits._
+        val offsetsDf = broadcast(
+          counts.map(_._1).zip(offsets).toSeq.toDF("_pid", "_offset"))
+        sorted.join(offsetsDf, "_pid")
+          .withColumn(rankCol, col("_offset") + localRank)
+          .drop("_offset")
+      }
+    ranked.drop("_mid", "_pid")
   }
+
+  /** Above this many partitions the rank offsets ride a broadcast join
+    * instead of a codegen'd when-chain.
+    */
+  val MaxWhenChainPartitions: Int = 256
 }

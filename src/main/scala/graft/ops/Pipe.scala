@@ -22,16 +22,30 @@ object Pipe {
   /** Render (key, value) columns to the line protocol, pipe through `cmd`,
     * parse back. `numKeyFields` mirrors `stream.num.map.output.key.fields`:
     * the key is everything before the numKeyFields-th separator.
+    *
+    * `sep` is the INPUT separator (`stream.map.input.field.separator`) used
+    * to render rows into the subprocess; `outSep`
+    * (`stream.map.output.field.separator`) is what the subprocess's output
+    * lines are split on — the reference keeps them independent
+    * (`PipeMapRed.java:342-355`, exercised by `TestStreamingSeparator`),
+    * and defaults the output one to the input one.
+    *
+    * Null columns render as explicit empty fields (the reference writes
+    * every field positionally; `concat_ws` alone would silently drop the
+    * separator of a null field and shift all later fields).
     */
   def pipe(df: DataFrame, cmd: Seq[String], sep: String = "\t",
-           numKeyFields: Int = 1, env: Map[String, String] = Map.empty): DataFrame = {
+           numKeyFields: Int = 1, env: Map[String, String] = Map.empty,
+           outSep: String = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val lines = df.select(concat_ws(sep, df.columns.map(col): _*).as("line"))
+    val rendered = df.columns.map(c => coalesce(col(c).cast("string"), lit("")))
+    val lines = df.select(concat_ws(sep, rendered: _*).as("line"))
       .as[String]
     val piped = lines.rdd.pipe(cmd, env)
+    val parseSep = Option(outSep).getOrElse(sep)
     piped.toDF("line").select(
-      splitKeyValue(col("line"), sep, numKeyFields): _*)
+      splitKeyValue(col("line"), parseSep, numKeyFields): _*)
   }
 
   /** (key, value) columns from a line: key = first `numKeyFields` fields,

@@ -27,8 +27,14 @@ object Reliability {
     */
   def safeUdf(f: String => String): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (in: String) =>
+      // NonFatal only: OOM/StackOverflow/interrupts must still kill the
+      // task (swallowing them would mask JVM failure and break Spark's
+      // task cancellation), exactly like the reference's skip logic only
+      // caught record-level processing exceptions.
       try SafeResult(f(in), null)
-      catch { case e: Throwable => SafeResult(null, s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      catch { case scala.util.control.NonFatal(e) =>
+        SafeResult(null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
 
   final case class Routed(good: DataFrame, bad: DataFrame)

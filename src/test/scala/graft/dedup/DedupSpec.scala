@@ -82,6 +82,25 @@ class DedupSpec extends SparkSpec {
     assert(clusters(10L) == 10L && clusters(11L) == 10L)
   }
 
+  test("dedupClusters converges on a long chain (diameter > 5)") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6-7: min-label distance 6 — the old maxIter=5 cap
+    // would have silently split this component
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(clusters(_) == 1L))
+  }
+
+  test("dedupClusters raises instead of returning unconverged labels") {
+    import spark.implicits._
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(pairs, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("ngramJaccard computes exact overlap on candidates") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "z z z")
     import spark.implicits._

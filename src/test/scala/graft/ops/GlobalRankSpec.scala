@@ -21,6 +21,36 @@ class GlobalRankSpec extends SparkSpec {
     assert(dist == window)
   }
 
+  test("broadcast-offset path (forced) matches the when-chain path") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val cols = Seq(col("l_orderkey").asc, col("l_linenumber").asc)
+    val chain = GlobalRank.withGlobalRank(li, cols)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bcast = GlobalRank.withGlobalRank(li, cols, maxWhenChain = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(bcast == chain)
+  }
+
+  test("2000-partition rank takes the broadcast path and stays correct") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2000")
+      val li = graft.Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val cols = Seq(col("l_orderkey").asc, col("l_linenumber").asc)
+      val ranked = GlobalRank.withGlobalRank(li, cols)
+      val ranks = ranked.select("rank").collect().map(_.getLong(0)).sorted
+      assert(ranks.toSeq == (1L to li.count()).toSeq)
+      // spot-check the head matches the window ranking
+      val first = ranked.orderBy("rank").limit(3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val expect = li.orderBy(cols: _*).limit(3).collect()
+        .zipWithIndex.map { case (r, i) => (r.getLong(0), r.getInt(1), i + 1L) }.toSeq
+      assert(first == expect)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ranks are contiguous 1..n and partitioning-invariant") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "n_chars")

@@ -55,6 +55,28 @@ class PipeSpec extends SparkSpec {
     assert((got.getString(0), got.getString(1)) == ("a" -> "b::c"))
   }
 
+  test("differing input/output separators (TestStreamingSeparator case)") {
+    import spark.implicits._
+    // rows render with ',' into the subprocess; tr rewrites ',' to ':',
+    // so the output lines carry a DIFFERENT separator than the input —
+    // exactly the reference's stream.map.output.field.separator split
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    val got = Pipe.pipe(df, Seq("tr", ",", ":"), sep = ",", outSep = ":")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set("k1" -> "v1", "k2" -> "v2"))
+  }
+
+  test("null fields keep their separator position (explicit empty field)") {
+    import spark.implicits._
+    val df = Seq(("k1", null: String, "c1"), ("k2", "b2", "c2"))
+      .toDF("key", "mid", "last")
+    val got = Pipe.pipe(df, Seq("cat"), numKeyFields = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // null mid column renders as an empty field, NOT dropped — the value
+    // side keeps two fields with the leading separator intact
+    assert(got == Set("k1" -> "\tc1", "k2" -> "b2\tc2"))
+  }
+
   test("aggregateReduce folds type:id entries like -reducer aggregate") {
     import spark.implicits._
     val kv = Seq(("LongValueSum:word1", "2"), ("LongValueSum:word1", "3"),
