@@ -1,0 +1,405 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.model.{RecRecord1, Records}
+import graft.ops.{KeyFieldSpec, Pipe, Reliability, Skew}
+import graft.sources.{Bucketed, Jdbc, KVText, MultiOutput, SequenceFiles, XmlRecords}
+
+/** Round-3 oracle queries: every operator that previously had only a
+  * ScalaTest spec gets a driver-checked CORRECTNESS entry here. The
+  * round-trip queries write through the real sink under test into a
+  * per-scale-factor temp dir, read the bytes back through the real source,
+  * and produce output whose oracle is plain SQL over the ORIGINAL parquet
+  * tables — so a fidelity bug anywhere in the write→read path breaks the
+  * hash compare.
+  *
+  * Registered into [[Queries.registry]]; same determinism rules (exact
+  * integer cents, md5-only hashing, unique total orders — see Queries
+  * scaladoc).
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact money arithmetic: dollars-double → integer cents. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Per-(query, scale-factor) scratch dir so sf0.001/sf0.01/sf0.1 runs
+    * never collide; everything under /tmp, never inside the repo.
+    */
+  private def tmp(name: String, sfDir: String): String =
+    s"/tmp/graft_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  private def rmrf(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Deterministic hyperplane sign literal for the LSH oracle — must match
+    * [[graft.sim.Similarity.lshBucket]] bit for bit.
+    */
+  private def planeSql(nBits: Int, dim: Int): Seq[String] =
+    (0 until nBits).map { b =>
+      (0 until dim).map { j =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"h$b|$j".getBytes("UTF-8"))
+        if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+    }
+
+  val registry: Map[String, (
+      (SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // ---- §2.1 compat sources/sinks: real write → real read ------------
+
+    // TextOutputFormat (`key\tvalue` lines) → KeyValueTextInputFormat
+    // (first-separator split) round trip.
+    "q_kvtext_roundtrip" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("kvtext", dir)
+      val kv = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("key"),
+        col("o_orderpriority").as("value"))
+      KVText.writeKV(kv, out)
+      KVText.readKV(s, out)
+    }, Some("SELECT o_orderkey::VARCHAR AS key, o_orderpriority AS value FROM orders"))),
+
+    // TextInputFormat: raw lines of a written text file, parsed + folded.
+    "q_text_roundtrip" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("textlines", dir)
+      val kv = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("key"),
+        col("o_orderstatus").as("value"))
+      KVText.writeKV(kv, out)
+      KVText.readText(s, out)
+        .select(get(split(col("value"), "\t", 2), lit(1)).as("status"))
+        .groupBy("status").agg(count(lit(1)).as("cnt"))
+    }, Some("SELECT o_orderstatus AS status, count(*)::BIGINT AS cnt FROM orders GROUP BY 1"))),
+
+    // SequenceFile write → read round trip (Text/Text KV container).
+    "q_seqfile_roundtrip" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("seqfile", dir)
+      rmrf(out) // RDD saveAsSequenceFile has no overwrite mode
+      val kv = t(s, dir, "events").select(
+        col("event_id").cast("string").as("key"), col("event_type").as("value"))
+      SequenceFiles.writeKV(kv, out)
+      SequenceFiles.readKV(s, out)
+    }, Some("SELECT event_id::VARCHAR AS key, event_type AS value FROM events"))),
+
+    // StreamXmlRecordReader: pattern-delimited records from written files.
+    "q_xml_records" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("xml", dir)
+      t(s, dir, "nation").select(concat(
+          lit("<rec><id>"), col("n_nationkey"), lit("</id><nm>"),
+          col("n_name"), lit("</nm></rec>")).as("value"))
+        .coalesce(2).write.mode("overwrite").text(out)
+      XmlRecords.read(s, out, "<rec>", "</rec>").select(
+        XmlRecords.tagText(col("record"), "id").cast("int").as("id"),
+        XmlRecords.tagText(col("record"), "nm").as("name"))
+    }, Some("SELECT n_nationkey AS id, n_name AS name FROM nation"))),
+
+    // MultipleOutputs: one pass routed to N named parquet sinks, each
+    // side output read back independently and recombined.
+    "q_multi_output" -> (((s: SparkSession, dir: String) => {
+      val base = tmp("multiout", dir)
+      val names = Seq("click", "view", "purchase", "signup", "error")
+      MultiOutput.writeNamed(t(s, dir, "events"), "event_type", base, names)
+      names.map(n => s.read.parquet(s"$base/$n").withColumn("name", lit(n)))
+        .reduce(_ unionByName _)
+        .groupBy("name")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_value_cents"))
+    }, Some("""SELECT event_type AS name, count(*)::BIGINT AS cnt,
+        sum((round(value*100, 0))::BIGINT)::BIGINT AS sum_value_cents
+        FROM events GROUP BY 1"""))),
+
+    // MultipleTextOutputFormat: key-routed directories (partitionBy),
+    // read back through partition discovery.
+    "q_keyrouted_write" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("keyrouted", dir)
+      KVText.writePartitionedBy(
+        t(s, dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        out, "o_orderpriority")
+      s.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("sum_cents"),
+          min("o_orderkey").as("min_key"))
+    }, Some("""SELECT o_orderpriority, count(*)::BIGINT AS cnt,
+        sum((round(o_totalprice*100, 0))::BIGINT)::BIGINT AS sum_cents,
+        min(o_orderkey)::BIGINT AS min_key
+        FROM orders GROUP BY 1"""))),
+
+    // DBOutputFormat → DBInputFormat: batched INSERTs into embedded
+    // Derby, read back as 4 partition-column range slices with a pushed
+    // filter, folded.
+    "q_jdbc" -> (((s: SparkSession, dir: String) => {
+      val url = Jdbc.freshDerby(tmp("derby", dir) + "/db")
+      val src = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal_cents"), col("c_mktsegment"))
+      Jdbc.write(src, url, "customer_rt")
+      Jdbc.readPartitioned(s, url, "customer_rt", "c_custkey", 4)
+        .where(col("acctbal_cents") > 0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sum("acctbal_cents").as("sum_cents"),
+          max("c_custkey").as("max_key"))
+    }, Some("""SELECT c_mktsegment, count(*)::BIGINT AS cnt,
+        sum((round(c_acctbal*100, 0))::BIGINT)::BIGINT AS sum_cents,
+        max(c_custkey)::BIGINT AS max_key
+        FROM customer WHERE round(c_acctbal*100, 0) > 0 GROUP BY 1"""))),
+
+    // ---- §2.8 streaming-pipe tail ------------------------------------
+
+    // Independent in/out separators (stream.map.input/output.field
+    // .separator): rows rendered with ',', subprocess rewrites the first
+    // ',' to '\t', output parsed on '\t'.
+    "q_pipe_sep" -> (((s: SparkSession, dir: String) => {
+      val kv = t(s, dir, "nation").select(
+        col("n_nationkey").cast("string").as("key"), col("n_name").as("value"))
+      Pipe.pipe(kv, Seq("sed", "s/,/\\t/"), sep = ",", outSep = "\t")
+    }, Some("SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation"))),
+
+    // `-reducer aggregate`: mapper emits `LongValueSum:word<tab>1` lines
+    // through a real subprocess, aggregate framework folds them.
+    "q_aggregate_reduce" -> (((s: SparkSession, dir: String) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val kv = words.select(
+        concat(lit("LongValueSum:"), col("w")).as("key"), lit("1").as("value"))
+      Pipe.aggregateReduce(Pipe.pipe(kv, Seq("cat")))
+    }, Some("""SELECT 'LongValueSum' AS atype, w AS id, count(*)::DOUBLE AS agg
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+              FROM documents) GROUP BY 2"""))),
+
+    // ---- §2.5 partitioning tail --------------------------------------
+
+    // Salted two-stage aggregation ≡ plain groupBy for decomposable aggs.
+    "q_salted_agg" -> (((s: SparkSession, dir: String) => {
+      Skew.saltedAggregate(t(s, dir, "lineitem"), col("l_returnflag"), 16, Seq(
+        ("sum_qty", sum(col("l_quantity").cast("long")), sum(col("sum_qty"))),
+        ("cnt", count(lit(1)), sum(col("cnt")))))
+    }, Some("""SELECT l_returnflag AS key, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1"""))),
+
+    // KeyFieldBasedPartitioner contract: after repartition on the -k1,1
+    // key every key lives in exactly one partition.
+    "q_keyfield_partition" -> (((s: SparkSession, dir: String) => {
+      val lines = t(s, dir, "events").select(concat_ws("\t",
+        col("user_id"), col("event_type"), col("event_id")).as("line"))
+      val pcols = KeyFieldSpec.partitionColumns(col("line"), "-k1,1")
+      lines.repartition(8, pcols: _*)
+        .select(pcols.head.as("key"), spark_partition_id().as("pid"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("pid")).as("nparts"))
+    }, Some("""SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt,
+        1::BIGINT AS nparts FROM events GROUP BY 1"""))),
+
+    // ---- §2.7 reliability --------------------------------------------
+
+    // SkipBadRecords analog: poison records (k % 7 == 3, or no number)
+    // routed to the quarantine side, good side folded — one pass each.
+    "q_quarantine" -> (((s: SparkSession, dir: String) => {
+      val f: String => String = in => {
+        val m = java.util.regex.Pattern.compile("([0-9]+)").matcher(in)
+        if (!m.find()) throw new IllegalArgumentException("no number")
+        val v = m.group(1).toLong
+        if (v % 7 == 3) throw new IllegalStateException(s"poison $v")
+        v.toString
+      }
+      val routed = Reliability.routeBadRecords(
+        t(s, dir, "events"), col("props"), f, out = "k")
+      val good = routed.good.groupBy("event_type")
+        .agg(count(lit(1)).as("good_cnt"), sum(col("k").cast("long")).as("good_sum"))
+      val bad = routed.bad.groupBy("event_type")
+        .agg(count(lit(1)).as("bad_cnt"))
+      good.join(bad, Seq("event_type"), "full")
+        .select(col("event_type"),
+          coalesce(col("good_cnt"), lit(0L)).as("good_cnt"),
+          coalesce(col("good_sum"), lit(0L)).as("good_sum"),
+          coalesce(col("bad_cnt"), lit(0L)).as("bad_cnt"))
+    }, Some("""WITH p AS (
+          SELECT event_type,
+            CASE WHEN regexp_extract(props, '([0-9]+)', 1) = '' THEN NULL
+                 ELSE regexp_extract(props, '([0-9]+)', 1)::BIGINT END AS k
+          FROM events)
+        SELECT event_type,
+          count(*) FILTER (WHERE k IS NOT NULL AND k % 7 <> 3)::BIGINT AS good_cnt,
+          coalesce(sum(k) FILTER (WHERE k IS NOT NULL AND k % 7 <> 3), 0)::BIGINT AS good_sum,
+          count(*) FILTER (WHERE k IS NULL OR k % 7 = 3)::BIGINT AS bad_cnt
+        FROM p GROUP BY 1"""))),
+
+    // Counters/Reporter: df.observe metrics ride an actual executed pass
+    // (noop sink), then surface as the result row.
+    "q_counters" -> (((s: SparkSession, dir: String) => {
+      val m = Reliability.withCounters(t(s, dir, "events"),
+        "rows_cnt" -> count(lit(1)),
+        "sum_value_cents" -> sum(cents(col("value")))) { df =>
+        df.write.format("noop").mode("overwrite").save()
+      }
+      import s.implicits._
+      Seq((m("rows_cnt").asInstanceOf[Long], m("sum_value_cents").asInstanceOf[Long]))
+        .toDF("rows_cnt", "sum_value_cents")
+    }, Some("""SELECT count(*)::BIGINT AS rows_cnt,
+        sum((round(value*100, 0))::BIGINT)::BIGINT AS sum_value_cents FROM events"""))),
+
+    // InverseMapper: (key, value) → (value, key), folded to stay small.
+    "q_inverse_map" -> (((s: SparkSession, dir: String) => {
+      val kv = t(s, dir, "events").select(
+        col("event_id").cast("string").as("key"), col("event_type").as("value"))
+      graft.ops.TextOps.inverse(kv)
+        .groupBy("key").agg(count(lit(1)).as("cnt"), max("value").as("max_id"))
+    }, Some("""SELECT event_type AS key, count(*)::BIGINT AS cnt,
+        max(event_id::VARCHAR) AS max_id FROM events GROUP BY 1"""))),
+
+    // ---- record DDL: typed case-class records, text round trip --------
+
+    // The `.jr` record shapes (nested record, vector, map, buffer) built
+    // from nation, serialized through the JSON-lines writer, read back
+    // through the schema'd reader, flattened for the oracle.
+    "q_record_ddl" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val src = t(s, dir, "nation").select(
+        (col("n_nationkey") % 2 === 0).as("boolVal"),
+        col("n_nationkey").cast("byte").as("byteVal"),
+        col("n_nationkey").cast("int").as("intVal"),
+        (col("n_nationkey").cast("long") * 1000000007L).as("longVal"),
+        (col("n_regionkey") + lit(0.5)).cast("float").as("floatVal"),
+        (col("n_nationkey") / lit(4.0)).as("doubleVal"),
+        col("n_name").as("stringVal"),
+        encode(col("n_name"), "UTF-8").as("bufferVal"),
+        split(col("n_name"), "_").as("vectorVal"),
+        map(lit("name"), col("n_name")).as("mapVal"),
+        struct(col("n_name").as("stringVal")).as("recordVal")).as[RecRecord1]
+      val out = tmp("recddl", dir)
+      Records.writeText(src, out)
+      Records.readText(s, out).toDF.select(
+        col("intVal").as("id"), col("boolVal"),
+        col("byteVal").cast("int").as("byteVal"), col("longVal"),
+        col("floatVal").cast("double").as("floatVal"), col("doubleVal"),
+        col("stringVal"), length(col("bufferVal")).cast("long").as("buf_len"),
+        array_join(col("vectorVal"), "/").as("vec"),
+        col("mapVal").getItem("name").as("mname"),
+        col("recordVal.stringVal").as("nested"))
+    }, Some("""SELECT n_nationkey AS id, (n_nationkey % 2 = 0) AS boolVal,
+        n_nationkey AS byteVal, n_nationkey::BIGINT * 1000000007 AS longVal,
+        (n_regionkey + 0.5)::DOUBLE AS floatVal, n_nationkey / 4.0 AS doubleVal,
+        n_name AS stringVal, len(n_name)::BIGINT AS buf_len,
+        replace(n_name, '_', '/') AS vec, n_name AS mname, n_name AS nested
+        FROM nation"""))),
+
+    // ---- composite presorted join: bucketed tables, zero shuffle ------
+
+    "q_bucketed_join" -> (((s: SparkSession, dir: String) => {
+      Bucketed.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "g_orders_rt", "o_custkey", 8)
+      Bucketed.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "g_cust_rt", "c_custkey", 8)
+      val joined = Bucketed.table(s, "g_orders_rt").hint("merge")
+        .join(Bucketed.table(s, "g_cust_rt").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+      // the CompositeInputFormat precondition made real: co-bucketed
+      // sorted tables join with ZERO shuffle exchanges
+      val shuffles = Bucketed.shuffleCount(joined)
+      require(shuffles == 0, s"bucketed join shuffled ($shuffles exchanges)")
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("rev_cents"))
+    }, Some("""SELECT c_mktsegment, count(*)::BIGINT AS cnt,
+        sum((round(o_totalprice*100, 0))::BIGINT)::BIGINT AS rev_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"""))),
+
+    // ---- dedup tail ---------------------------------------------------
+
+    // Jaccard-VERIFIED corpus dedup: LSH candidates gated by exact n-gram
+    // Jaccard >= 0.8 before clustering; oracle replays the whole pipeline
+    // including the gate and the connected components (recursive CTE).
+    "q_dedup_verified" -> (((s: SparkSession, dir: String) => {
+      Dedup.dedupCorpusVerified(t(s, dir, "documents"), threshold = 0.8)
+    }, Some {
+      val sig = (0 until 8).map { i =>
+        s"min((x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})::BIGINT AS sig$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val (i, j) = (2 * b, 2 * b + 1)
+        val sel = s"SELECT doc_id, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+        if (b == 0) sel else s"UNION ALL $sel"
+      }.mkString(" ")
+      s"""WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM documents),
+      shl AS (
+        SELECT doc_id, list_distinct(list_transform(range(greatest(len(tk)-2, 1)),
+          i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS shs
+        FROM w),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      hx AS (
+        SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+        FROM sh),
+      sig AS (SELECT doc_id, $sig FROM hx GROUP BY 1),
+      bands AS ($bandSelects),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, len(shs)::BIGINT AS sz FROM shl),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS inter
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND a.sh = b.sh
+        GROUP BY 1, 2),
+      verified AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        WHERE coalesce(i.inter, 0)::DOUBLE
+          / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.8),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                UNION ALL SELECT doc_b, doc_a FROM verified),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS r FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      comp AS (SELECT id, min(r) AS label FROM reach GROUP BY 1)
+      SELECT d.doc_id, coalesce(comp.id = comp.label, TRUE) AS keep
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"""
+    })),
+
+    // Embedding-cosine near-duplicates: corpus = embeddings plus 50
+    // planted exact copies under offset ids; hyperplane-LSH buckets bound
+    // the candidate set, exact cosine >= 0.99 confirms. The oracle replays
+    // the same deterministic hyperplanes and the same cosine arithmetic.
+    "q_near_dup_embed" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDups(emb.unionByName(planted), dim = 64,
+        threshold = 0.99, nBits = 8)
+    }, Some {
+      val bucket = planeSql(8, 64).map(p =>
+        s"CASE WHEN list_dot_product(e, $p) >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 50),
+      idx AS (SELECT vec_id, e, $bucket AS bucket FROM base),
+      cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+        FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, round(c, 6) AS cosine_sim
+      FROM cand WHERE c >= 0.99"""
+    })),
+  )
+}

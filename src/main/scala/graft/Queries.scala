@@ -1034,9 +1034,15 @@ object Queries {
         FROM events GROUP BY 1""")),
   )
 
+  /** Full registry: the round-1/2 set above plus the round-3 additions
+    * (kept in [[ExtraQueries]] to avoid a 2000-line file).
+    */
+  def fullRegistry: Map[String, Q] =
+    registry ++ ExtraQueries.registry.map { case (k, (fn, sql)) => k -> Q(fn, sql) }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map { case (k, q) => k -> q.fn }
+    fullRegistry.map { case (k, q) => k -> q.fn }
 
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
+    fullRegistry.collect { case (k, Q(_, Some(sql))) => k -> sql }
 }
