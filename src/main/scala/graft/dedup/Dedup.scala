@@ -140,7 +140,7 @@ object Dedup {
     // the shingle table feeds both join sides AND the size table —
     // materialize once instead of re-tokenizing the corpus three times
     val sh = docs.select(col(id), explode(array_distinct(shingles(col(text), shingleN))).as("sh"))
-      .localCheckpoint(eager = false)
+      .transform(graft.ops.Checkpoints.truncate(_, eager = false))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.withColumnRenamed(id, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -176,7 +176,7 @@ object Dedup {
     // LSH pipeline per iteration would dominate the whole job
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .localCheckpoint(eager = true)
+      .transform(graft.ops.Checkpoints.truncate(_, eager = true))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var iter = 0
@@ -186,13 +186,14 @@ object Dedup {
           .withColumnRenamed("label", "nlabel"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nlabel")).as("nmin"))
       // one pass computes the new label AND the changed flag; the eager
-      // localCheckpoint truncates lineage, so the convergence probe is a
-      // cached scan, not a recomputed join
+      // checkpoint (local or reliable — Checkpoints.truncate) truncates
+      // lineage, so the convergence probe is a cached scan, not a
+      // recomputed join
       val newLabel = least(col("label"), coalesce(col("nmin"), col("label")))
       val updated = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), newLabel.as("label"),
           (newLabel =!= col("label")).as("_changed"))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Checkpoints.truncate(_, eager = true))
       converged = updated.where(col("_changed")).isEmpty
       labels = updated.drop("_changed")
       iter += 1

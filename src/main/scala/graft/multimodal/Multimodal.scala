@@ -27,6 +27,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** The pluggable decode seam: implement this against a real codec
+    * (javax.imageio / JNI ffmpeg / FFI) and pass it to
+    * [[extractFeatures]]/[[resize]] — every Spark-side concern
+    * (schema, batching, partitioning, payload pruning) is codec-agnostic.
+    * Implementations must be Serializable (they ship to executors) and
+    * return (width, height, channels, durationMs).
+    */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], modality: String): (Int, Int, Int, Long)
+  }
+
   /** media table schema: id + modality + payload + sidecar metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -40,12 +51,18 @@ object Multimodal {
     width: Int, height: Int, channels: Int, duration_ms: Long,
     checksum: String)
 
-  /** STUB decode: a deterministic fake codec. Parses "dimensions" from the
-    * payload bytes (first 8 bytes as two big-endian ints, clamped) so the
-    * pipeline has real data-dependent outputs to test partitioning/pruning
-    * against. Replace with a real codec for production — the signature is
-    * the contract.
+  /** STUB codec (the default [[MediaCodec]]): a deterministic fake that
+    * parses "dimensions" from the payload bytes (first 8 bytes as two
+    * big-endian ints, clamped) so the pipeline has real data-dependent
+    * outputs to test partitioning/pruning against. It is an
+    * IMPLEMENTATION of the seam, not the API — production swaps in a real
+    * codec without touching any plumbing.
     */
+  object StubCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], modality: String): (Int, Int, Int, Long) =
+      decodeStub(payload, modality)
+  }
+
   def decodeStub(payload: Array[Byte], modality: String): (Int, Int, Int, Long) = {
     def beInt(off: Int): Int =
       if (payload.length < off + 4) 0
@@ -67,7 +84,8 @@ object Multimodal {
     * in `batchSize` groups so a 10 GB partition of 100 KB payloads never
     * materializes at once.
     */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame, batchSize: Int = 64,
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
@@ -75,7 +93,7 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a real codec would init/reuse buffers
           batch.iterator.map { case (id, modality, payload) =>
-            val (w, h, c, d) = decodeStub(payload, modality)
+            val (w, h, c, d) = codec.decode(payload, modality)
             val md5 = java.security.MessageDigest.getInstance("MD5")
               .digest(payload).map("%02x".format(_)).mkString
             MediaFeatures(id, modality, payload.length.toLong, w, h, c, d, md5)
@@ -88,9 +106,10 @@ object Multimodal {
     * truncated/padded bytes) + updated metadata — demonstrates
     * payload-rewriting transforms keep the binary column shape.
     */
-  def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
+  def resizeStub(media: DataFrame, maxDim: Int,
+                 codec: MediaCodec = StubCodec): DataFrame = {
     val resize = udf { (payload: Array[Byte], modality: String) =>
-      val (w, h, _, _) = decodeStub(payload, modality)
+      val (w, h, _, _) = codec.decode(payload, modality)
       val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
       val newLen = math.max(8, (payload.length * scale * scale).toInt)
       java.util.Arrays.copyOf(payload, newLen)

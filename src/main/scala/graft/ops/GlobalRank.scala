@@ -32,7 +32,7 @@ object GlobalRank {
       // leaving codegen (an rdd.zipWithIndex would deserialize every row)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(eager = false) // ids must be stable across the two uses
+      .transform(Checkpoints.truncate(_, eager = false)) // ids must be stable across the two uses
     // per-partition row counts → cumulative start offsets (tiny driver data,
     // the TotalOrderPartitioner "partition file" analog)
     val counts = sorted.groupBy("_pid").count()
@@ -51,8 +51,9 @@ object GlobalRank {
       } else {
         // large partition counts: a when-chain would blow up codegen
         // (O(partitions) nested CASE); broadcast-join the tiny offsets
-        // table instead — BroadcastHashJoin streams the sorted side, so
-        // per-partition row order (hence _mid-derived local ranks) is kept
+        // table instead. Correctness does not depend on the join strategy
+        // or row order: ranks are pure functions of the materialized
+        // _mid/_pid columns, so any physical plan yields the same ranks
         val spark = df.sparkSession
         import spark.implicits._
         val offsetsDf = broadcast(

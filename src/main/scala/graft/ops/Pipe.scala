@@ -27,8 +27,12 @@ object Pipe {
     * to render rows into the subprocess; `outSep`
     * (`stream.map.output.field.separator`) is what the subprocess's output
     * lines are split on — the reference keeps them independent
-    * (`PipeMapRed.java:342-355`, exercised by `TestStreamingSeparator`),
-    * and defaults the output one to the input one.
+    * (`PipeMapRed.java:342-355`, exercised by `TestStreamingSeparator`).
+    * DELIBERATE DEVIATION: the reference defaults BOTH to '\t'
+    * independently (`PipeMapper.java:73-74`); here `outSep` defaults to
+    * `sep`, because the common non-tab case is an echo-style command that
+    * emits the same separator it was fed — callers matching the exact
+    * reference config should pass `outSep = "\t"` explicitly.
     *
     * Null columns render as explicit empty fields (the reference writes
     * every field positionally; `concat_ws` alone would silently drop the
@@ -39,7 +43,17 @@ object Pipe {
            outSep: String = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rendered = df.columns.map(c => coalesce(col(c).cast("string"), lit("")))
+    // array columns splice their elements with the separator (the multi-
+    // field line-protocol rendering); a bare cast would emit '[a, b]'
+    val rendered = df.schema.fields.map { f =>
+      val c = f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          array_join(transform(col(f.name), e =>
+            coalesce(e.cast("string"), lit(""))), sep)
+        case _ => col(f.name).cast("string")
+      }
+      coalesce(c, lit(""))
+    }
     val lines = df.select(concat_ws(sep, rendered: _*).as("line"))
       .as[String]
     val piped = lines.rdd.pipe(cmd, env)

@@ -47,4 +47,29 @@ class MultimodalSpec extends SparkSpec {
     assert(mods == Set("video"))
     assert(frames.count() >= media.where(col("modality") === "video").count())
   }
+
+  test("codec seam: a non-stub decoder plugs in without plumbing changes") {
+    // fake "real" codec: fixed dims per modality — proves extractFeatures
+    // is codec-agnostic (the stub is an implementation, not the API)
+    object FixedCodec extends Multimodal.MediaCodec {
+      override def decode(payload: Array[Byte], modality: String): (Int, Int, Int, Long) =
+        modality match {
+          case "image" => (640, 480, 3, 0L)
+          case "audio" => (0, 0, 2, 42000L)
+          case _       => (1920, 1080, 3, 90000L)
+        }
+    }
+    val f = Multimodal.extractFeatures(media, batchSize = 16, codec = FixedCodec)
+      .collect()
+    assert(f.length == 300)
+    f.foreach { r =>
+      r.modality match {
+        case "image" => assert(r.width == 640 && r.height == 480 && r.duration_ms == 0L)
+        case "audio" => assert(r.channels == 2 && r.duration_ms == 42000L)
+        case _       => assert(r.width == 1920 && r.duration_ms == 90000L)
+      }
+      // payload-derived fields still flow from the real pipeline
+      assert(r.byte_len > 0 && r.checksum.length == 32)
+    }
+  }
 }
