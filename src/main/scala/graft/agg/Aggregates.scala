@@ -3,7 +3,6 @@ package graft.agg
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import scala.collection.immutable.TreeSet
 
 /** The reference's declarative aggregate framework
   * (`/root/reference/src/mapred/org/apache/hadoop/mapred/lib/aggregate/`),
@@ -98,25 +97,50 @@ object Aggregates {
   * means the *smallest* `cap` distinct values survive — deterministic
   * regardless of input order, which is what makes this safe to run as a
   * distributed partial aggregate (the reference's combiner relied on the
-  * same property).
+  * same property: smallest-cap of a union = smallest-cap of the two
+  * sides' smallest-caps, so merge-and-trim loses nothing).
   *
   * For unbounded exact distinct use `count_distinct`; for 100 TB-scale
   * estimates use `approx_count_distinct` (HLL). This Aggregator exists for
   * the reference's *capped* semantics, which neither built-in has.
+  *
+  * The buffer is a sorted-distinct `Seq[String]` in a product encoder —
+  * Tungsten-native (UnsafeArrayData), so partial merges ship flat bytes
+  * instead of serializing an opaque Kryo blob per merge, and the aggregate
+  * stays inside the codegen'd hash-aggregate path.
   */
 final case class UniqReport(count: Long, items: Seq[String])
 
-class CappedUniq(cap: Int) extends Aggregator[String, TreeSet[String], UniqReport] {
+/** Sorted-distinct buffer, at most `cap` items (enforced by CappedUniq). */
+final case class UniqBuf(items: Seq[String])
+
+class CappedUniq(cap: Int) extends Aggregator[String, UniqBuf, UniqReport] {
   import org.apache.spark.sql.{Encoder, Encoders}
-  override def zero: TreeSet[String] = TreeSet.empty[String]
-  override def reduce(b: TreeSet[String], a: String): TreeSet[String] = trim(b + a)
-  override def merge(b1: TreeSet[String], b2: TreeSet[String]): TreeSet[String] =
-    trim(b1 ++ b2)
-  private def trim(s: TreeSet[String]): TreeSet[String] =
-    if (s.size <= cap) s else s.take(cap)
-  override def finish(r: TreeSet[String]): UniqReport =
-    UniqReport(r.size.toLong, r.toSeq)
-  override def bufferEncoder: Encoder[TreeSet[String]] =
-    Encoders.kryo[TreeSet[String]]
+  override def zero: UniqBuf = UniqBuf(Vector.empty)
+  override def reduce(b: UniqBuf, a: String): UniqBuf =
+    UniqBuf(mergeSorted(b.items.toIndexedSeq, Vector(a)))
+  override def merge(b1: UniqBuf, b2: UniqBuf): UniqBuf =
+    UniqBuf(mergeSorted(b1.items.toIndexedSeq, b2.items.toIndexedSeq))
+  /** Two-pointer merge of sorted-distinct inputs; stops at `cap` items —
+    * values beyond the cap can never re-enter (TreeMap retention keeps
+    * the smallest), so they are dropped, not buffered.
+    */
+  private def mergeSorted(x: IndexedSeq[String], y: IndexedSeq[String]): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var n = 0
+    var last: String = null
+    var i = 0
+    var j = 0
+    while (n < cap && (i < x.length || j < y.length)) {
+      val pick =
+        if (j >= y.length || (i < x.length && x(i) <= y(j))) { val v = x(i); i += 1; v }
+        else { val v = y(j); j += 1; v }
+      if (last == null || last != pick) { out += pick; n += 1; last = pick }
+    }
+    out.result()
+  }
+  override def finish(r: UniqBuf): UniqReport =
+    UniqReport(r.items.size.toLong, r.items)
+  override def bufferEncoder: Encoder[UniqBuf] = Encoders.product[UniqBuf]
   override def outputEncoder: Encoder[UniqReport] = Encoders.product[UniqReport]
 }

@@ -25,7 +25,13 @@ import graft.sources.KVText
   * shuffle/sort contract reducers rely on); `-reducer aggregate` invokes
   * the aggregate framework (`StreamJob.java:725-727`) instead of a
   * subprocess; `NONE` skips a stage. `-cmdenv` exports env vars into the
-  * subprocess (`StreamJob.java:297`).
+  * subprocess (`StreamJob.java:297`). When `-outputseparator` is unset,
+  * subprocess OUTPUT lines split on '\t' regardless of `-separator` —
+  * the reference defaults the two independently (`PipeMapper.java:73-74`),
+  * so a comma-separated input fed to a tab-emitting mapper parses
+  * correctly. (This differs from the bare [[Pipe.pipe]] default, which
+  * follows the input separator — documented at `Pipe.scala:31-35`; the
+  * CLI is the reference-compat surface, so it matches the reference.)
   */
 object Stream {
 
@@ -71,10 +77,13 @@ object Stream {
 
   /** Build the job's DataFrame (the testable core; `main` just writes it). */
   def plan(spark: SparkSession, c: Conf): DataFrame = {
+    // the reference's independent default: output splits on '\t' unless
+    // -outputseparator overrides (PipeMapper.java:73-74)
+    val outSep = Option(c.outSeparator).getOrElse("\t")
     var df = KVText.readKV(spark, c.input, c.separator)
     if (c.mapper != "NONE")
       df = Pipe.pipe(df, tokenize(c.mapper), sep = c.separator,
-        numKeyFields = c.numKeyFields, env = c.cmdenv, outSep = c.outSeparator)
+        numKeyFields = c.numKeyFields, env = c.cmdenv, outSep = outSep)
     c.reducer match {
       case "NONE" => df
       case "aggregate" =>
@@ -91,7 +100,7 @@ object Stream {
         val shuffled = df.repartition(n, col("key"))
           .sortWithinPartitions("key")
         Pipe.pipe(shuffled, tokenize(cmd), sep = c.separator,
-          numKeyFields = c.numKeyFields, env = c.cmdenv, outSep = c.outSeparator)
+          numKeyFields = c.numKeyFields, env = c.cmdenv, outSep = outSep)
     }
   }
 

@@ -171,14 +171,24 @@ object Dedup {
     * under-merge, so that case raises instead of returning.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import graft.ops.Checkpoints
     // materialize the edge list once — it re-enters every propagation
     // iteration AND the convergence check, and recomputing the upstream
     // LSH pipeline per iteration would dominate the whole job
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .transform(graft.ops.Checkpoints.truncate(_, eager = true))
+    val edgesT = Checkpoints.truncateTracked(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))),
+      eager = true)
+    val edges = edgesT.df
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+    // superseded-generation release: each iteration's checkpoint pins a
+    // full copy of the label table (executor blocks locally, an FS dir
+    // reliably); once iteration k+1 materializes, iteration k's copy is
+    // garbage — up to maxIter=50 pinned generations otherwise, which at
+    // 100 TB is an eviction storm (and on the reliable path unbounded
+    // checkpoint-dir growth)
+    var releasePrev: () => Unit = () => ()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -190,18 +200,27 @@ object Dedup {
       // lineage, so the convergence probe is a cached scan, not a
       // recomputed join
       val newLabel = least(col("label"), coalesce(col("nmin"), col("label")))
-      val updated = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), newLabel.as("label"),
-          (newLabel =!= col("label")).as("_changed"))
-        .transform(graft.ops.Checkpoints.truncate(_, eager = true))
-      converged = updated.where(col("_changed")).isEmpty
-      labels = updated.drop("_changed")
+      val updatedT = Checkpoints.truncateTracked(
+        labels.join(viaNeighbor, Seq("id"), "left")
+          .select(col("id"), newLabel.as("label"),
+            (newLabel =!= col("label")).as("_changed")),
+        eager = true)
+      releasePrev() // the new generation is materialized; drop the old one
+      releasePrev = updatedT.release
+      converged = updatedT.df.where(col("_changed")).isEmpty
+      labels = updatedT.df.drop("_changed")
       iter += 1
     }
-    if (!converged)
+    edgesT.release() // the final labels no longer reference the edge list
+    if (!converged) {
+      releasePrev()
       throw new IllegalStateException(
         s"dedupClusters: label propagation did not converge in $maxIter rounds — " +
           "component diameter exceeds the cap; raise maxIter")
+    }
+    // the final generation stays checkpointed — it IS the result's data;
+    // callers that materialize downstream can clear it via session-level
+    // hygiene (catalog/persistent-RDD cleanup)
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -22,15 +22,22 @@ object MultiOutput {
   /** Write each named subset of `df` (routed by `nameCol`) to
     * `baseDir/<name>` in parquet; returns per-output row counts (the
     * reference's per-named-output counters).
+    *
+    * ONE action per named output: the count rides the write itself via
+    * `observe` (zero extra passes) — a separate `count()` per output
+    * would re-scan the cached input N more times, which at 100 TB is N
+    * full re-reads of a spilled cache.
     */
   def writeNamed(df: DataFrame, nameCol: String, baseDir: String,
                  names: Seq[String]): Map[String, Long] = {
     val routed = df.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       names.map { n =>
-        val part = routed.where(col(nameCol) === n)
-        part.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$n")
-        n -> part.count()
+        val obs = Observation()
+        routed.where(col(nameCol) === n)
+          .observe(obs, count(lit(1)).as("cnt"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$n")
+        n -> obs.get("cnt").asInstanceOf[Long]
       }.toMap
     } finally { routed.unpersist() }
   }

@@ -65,6 +65,17 @@ class StreamCliSpec extends SparkSpec {
     assert(got == Map("LongValueSum:x" -> "5.0", "LongValueSum:y" -> "5.0"))
   }
 
+  test("comma -separator + unset -outputseparator: output splits on tab") {
+    // the reference defaults the OUTPUT separator to '\t' independently of
+    // -separator (PipeMapper.java:73-74): a comma-separated input fed to a
+    // tab-emitting mapper must parse on tab, not comma
+    val in = writeInput(Seq("a,cat x", "b,dog y"), "sepdefault")
+    val c = Stream.parse(Seq("-input", in,
+      "-mapper", "sed s/,/\\t/", "-separator", ","))
+    val got = Stream.plan(spark, c).as[(String, String)].collect().sorted
+    assert(got.toSeq == Seq(("a", "cat x"), ("b", "dog y")))
+  }
+
   test("-cmdenv reaches the subprocess environment") {
     val in = writeInput(Seq("k\tv"), "env")
     // awk prints the env var: output line "k<tab>HELLO"

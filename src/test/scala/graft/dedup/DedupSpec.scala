@@ -101,6 +101,21 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("dedupCorpus leaves at most the final label generation persisted") {
+    // VERDICT r3 defect: every propagation iteration leaked its
+    // checkpoint blocks — 50 pinned generations at scale
+    val base = (1 to 60).map(i => s"w$i")
+    val df = docs(4L -> base.updated(10, "X").mkString(" "),
+      1L -> base.mkString(" "), 9L -> base.updated(50, "Y").mkString(" "),
+      7L -> (100 to 160).map(i => s"v$i").mkString(" "))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.dedupCorpus(df).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2, s"checkpoint generations leaked: ${leaked.toSeq.sorted}")
+    leaked.foreach(id => spark.sparkContext.getPersistentRDDs
+      .get(id).foreach(_.unpersist(false)))
+  }
+
   test("ngramJaccard computes exact overlap on candidates") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "z z z")
     import spark.implicits._

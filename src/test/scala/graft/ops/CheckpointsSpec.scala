@@ -3,19 +3,22 @@ package graft.ops
 import graft.SparkSpec
 import graft.dedup.Dedup
 
-/** NOTE: test order matters — the guard test must run before any test
-  * sets a checkpoint dir on the shared SparkContext (a set dir cannot be
-  * unset). No other suite sets one.
-  */
 class CheckpointsSpec extends SparkSpec {
   import spark.implicits._
 
   test("reliable switch without a checkpoint dir fails loudly") {
-    assume(spark.sparkContext.getCheckpointDir.isEmpty)
-    spark.conf.set(Checkpoints.ReliableKey, "true")
-    try assertThrows[IllegalArgumentException](
-      Checkpoints.truncate(spark.range(1).toDF))
-    finally spark.conf.unset(Checkpoints.ReliableKey)
+    // direct guard assertion — order-independent (runs even if another
+    // suite already set a checkpoint dir on the shared context, which
+    // cannot be unset)
+    val e = intercept[IllegalArgumentException](Checkpoints.requireDir(false))
+    assert(e.getMessage.contains("setCheckpointDir"))
+    // end-to-end variant only while the shared context still has no dir
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.set(Checkpoints.ReliableKey, "true")
+      try assertThrows[IllegalArgumentException](
+        Checkpoints.truncate(spark.range(1).toDF))
+      finally spark.conf.unset(Checkpoints.ReliableKey)
+    }
   }
 
   test("reliable switch uses checkpoint() into the checkpoint dir") {
@@ -47,5 +50,38 @@ class CheckpointsSpec extends SparkSpec {
     assert(local == reliable)
     assert(reliable.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedupClusters releases superseded checkpoint storage, local + reliable") {
+    // diameter-6 chain → ≥6 propagation iterations, so a leak would pin
+    // multiple generations on either path
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+
+    // local path: persistent-RDD diff — only the final label generation
+    // may remain (it IS the result's data)
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.dedupClusters(pairs).collect()
+    val leakedIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+    assert(leakedIds.size <= 1, s"local checkpoint generations leaked: $leakedIds")
+    leakedIds.foreach(id => spark.sparkContext.getPersistentRDDs
+      .get(id).foreach(_.unpersist(false)))
+
+    // reliable path: rdd-* dir diff under the checkpoint dir
+    spark.sparkContext.setCheckpointDir("/tmp/graft_test/reliable_ckpt_leak")
+    def rddDirs: Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty[String]
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
+        .map(_.getPath.toString).toSet
+    }
+    val beforeDirs = rddDirs
+    spark.conf.set(Checkpoints.ReliableKey, "true")
+    try Dedup.dedupClusters(pairs).collect()
+    finally spark.conf.unset(Checkpoints.ReliableKey)
+    val leakedDirs = rddDirs -- beforeDirs
+    assert(leakedDirs.size <= 1, s"reliable checkpoint dirs leaked: $leakedDirs")
   }
 }
