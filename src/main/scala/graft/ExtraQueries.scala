@@ -374,6 +374,69 @@ object ExtraQueries {
       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"""
     })),
 
+    // ---- §2.8 SQL TRANSFORM surface -----------------------------------
+
+    // Spark's native `SELECT TRANSFORM ... USING` (no-serde script
+    // transform) — the SQL-text surface over the same subprocess contract
+    // as [[Pipe.pipe]]; the reference analog is the hive-streaming
+    // backend's TRANSFORM execution
+    // (`/root/reference/src/contrib/hive-streaming/src/java/.../BufferingOutputCollector.java:10-17`).
+    // Default no-serde framing: fields tab-joined into the subprocess,
+    // output split on tab into the declared columns.
+    "q_transform_sql" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_tf")
+      s.sql("""SELECT TRANSFORM (n_nationkey, n_name)
+        USING 'cat' AS (key STRING, value STRING)
+        FROM nation_tf""")
+    }, Some("SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation"))),
+
+    // ---- §2.10 streaming: a REAL micro-batch run under the oracle ------
+
+    // Structured Streaming end-to-end: file source → watermarked hourly
+    // windows → append-mode parquet file sink via an AvailableNow
+    // micro-batch run, sink read back and folded. A far-future sentinel
+    // event is staged after the real file so the watermark passes every
+    // real window (append mode emits a window only once the watermark
+    // passes it; a finite replay otherwise parks trailing windows in
+    // state forever). Counts only — streaming double-sums order-depend.
+    "q_stream_hourly" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_in", dir)
+      val sink = tmp("stream_out", dir)
+      val ckpt = tmp("stream_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
+      // sentinel: raw file schema (ts = long nanos), 30 days past max
+      val maxNs = t(s, dir, "events").agg(max("ts_ns")).head().getLong(0)
+      import s.implicits._
+      val sentinelTmp = tmp("stream_sentinel", dir)
+      Seq((-1L, maxNs + 30L * 86400 * 1000000000L, -1L, "sentinel", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
+      val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+      val q = graft.streaming.EventStreams.hourlyCounts(stream)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // exactly-once fold: sum(cnt) per window — a double emission would
+      // double a count and break the hash compare, not hide
+      s.read.parquet(sink)
+        .where(col("event_type") =!= "sentinel")
+        .groupBy(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"))
+    }, Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2"""))),
+
     // Embedding-cosine near-duplicates: corpus = embeddings plus 50
     // planted exact copies under offset ids; hyperplane-LSH buckets bound
     // the candidate set, exact cosine >= 0.99 confirms. The oracle replays

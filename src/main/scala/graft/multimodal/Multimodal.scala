@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * No reference analog (the reference is text/KV only); this is the
   * value-add surface mandated by the build plan. The Spark-side plumbing —
   * schema, batching shape, partitioning, column pruning (metadata-only
-  * queries never touch payload bytes) — is real and tested; the actual
-  * codec call is STUBBED (`decodeStub`) because no image/audio libraries
-  * exist in this container. Swap `decodeStub` for a real codec (JNI/
-  * `javax.imageio`/FFI) without touching any plumbing.
+  * queries never touch payload bytes) — is real and tested. The decode
+  * seam ([[MediaCodec]]) ships two implementations: [[ImageIoCodec]]
+  * decodes images for REAL via the JDK's bundled `javax.imageio`
+  * (PNG/BMP/GIF/JPEG — no external library needed); audio/video use the
+  * deterministic [[StubCodec]] because the JDK and this container bundle
+  * no A/V codecs — swap in a JNI/FFI codec without touching any plumbing.
   *
   * Scale notes:
   *  - payloads stay in `binary` columns end-to-end (Parquet keeps them
@@ -61,6 +63,28 @@ object Multimodal {
   object StubCodec extends MediaCodec {
     override def decode(payload: Array[Byte], modality: String): (Int, Int, Int, Long) =
       decodeStub(payload, modality)
+  }
+
+  /** REAL image decode via the JDK's own `javax.imageio` — PNG/BMP/GIF/
+    * JPEG readers ship with the JDK, so the image modality needs no
+    * external codec library: width/height from the decoded raster,
+    * channels from the color model. Audio/video stay on the stub (the
+    * JDK bundles no audio/video codecs). An undecodable image payload
+    * fails loudly — route through
+    * [[graft.ops.Reliability.routeBadRecords]] upstream when the corpus
+    * may contain corrupt files (the quarantine pattern).
+    */
+  object ImageIoCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], modality: String): (Int, Int, Int, Long) =
+      modality match {
+        case "image" =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null,
+            "payload is not a decodable image (ImageIO found no reader)")
+          (img.getWidth, img.getHeight, img.getColorModel.getNumComponents, 0L)
+        case other => StubCodec.decode(payload, other)
+      }
   }
 
   def decodeStub(payload: Array[Byte], modality: String): (Int, Int, Int, Long) = {

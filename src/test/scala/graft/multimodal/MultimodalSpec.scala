@@ -48,6 +48,46 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() >= media.where(col("modality") === "video").count())
   }
 
+  test("ImageIoCodec decodes real PNG and BMP payloads end-to-end") {
+    import java.awt.image.BufferedImage
+    def imageBytes(w: Int, h: Int, fmt: String, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image", imageBytes(17, 9, "png", BufferedImage.TYPE_INT_RGB),
+        "image/png", Map.empty[String, String]),
+      (2L, "image", imageBytes(33, 21, "bmp", BufferedImage.TYPE_3BYTE_BGR),
+        "image/bmp", Map.empty[String, String]),
+      (3L, "audio", Array.tabulate[Byte](64)(_.toByte),
+        "application/x-fake-audio", Map.empty[String, String]))
+    val df = rows.toDF("media_id", "modality", "payload", "mime", "meta")
+    val f = Multimodal.extractFeatures(df, batchSize = 2,
+      codec = Multimodal.ImageIoCodec).collect().map(x => x.media_id -> x).toMap
+    // real decoded dimensions, not stub arithmetic
+    assert(f(1L).width == 17 && f(1L).height == 9 && f(1L).channels == 3)
+    assert(f(1L).duration_ms == 0L)
+    assert(f(2L).width == 33 && f(2L).height == 21 && f(2L).channels == 3)
+    // non-image modalities still flow through the stub
+    val (sw, sh, sc, sd) = Multimodal.decodeStub(
+      Array.tabulate[Byte](64)(_.toByte), "audio")
+    assert(f(3L).width == sw && f(3L).height == sh
+      && f(3L).channels == sc && f(3L).duration_ms == sd)
+    // a corrupt "image" fails loudly instead of fabricating dimensions
+    assertThrows[org.apache.spark.SparkException] {
+      Seq((9L, "image", Array[Byte](1, 2, 3), "image/png",
+        Map.empty[String, String]))
+        .toDF("media_id", "modality", "payload", "mime", "meta")
+        .transform(d => Multimodal.extractFeatures(d,
+          codec = Multimodal.ImageIoCodec).toDF)
+        .collect()
+    }
+  }
+
   test("codec seam: a non-stub decoder plugs in without plumbing changes") {
     // fake "real" codec: fixed dims per modality — proves extractFeatures
     // is codec-agnostic (the stub is an implementation, not the API)
