@@ -94,7 +94,7 @@ object Bench {
         FROM events ORDER BY line"""),
       "b5_wordcount" -> s.sql("""
         SELECT w, count(1) AS cnt FROM (
-          SELECT explode(split(text, '\\\\s+')) AS w FROM documents)
+          SELECT explode(split(text, '\\s+')) AS w FROM documents)
         WHERE length(w) > 0 GROUP BY 1"""),
     )
   }
@@ -127,17 +127,19 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // headline benches timed INTERLEAVED with their native-SQL controls
-    // (ctl, ours, ctl, ours; min of 2 each) so neither side systematically
-    // pays first-run JIT/page-cache warm-up — any residual bias favors
-    // the control
+    // headline benches timed INTERLEAVED with their native-SQL controls in
+    // symmetric ABBA order (ctl, ours, ours, ctl; min of 2 each): each
+    // side gets one early and one late slot, so neither systematically
+    // pays first-run JIT/page-cache warm-up NOR late-run GC pressure —
+    // r3's ctl/ours/ctl/ours order left "ours" always in positions 2 and
+    // 4, a residual position bias on identical plans
     val ctl = controls(spark, sfDir).toMap
     val controlTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline(spark, sfDir).foreach { case (name, df) =>
       ctl.get(name) match {
         case Some(c) =>
           val c1 = time(exec(c)); val o1 = time(exec(df))
-          val c2 = time(exec(c)); val o2 = time(exec(df))
+          val o2 = time(exec(df)); val c2 = time(exec(c))
           results(name) = math.min(o1, o2)
           controlTimes(name) = math.min(c1, c2)
         case None =>
@@ -287,19 +289,29 @@ object Bench {
           .where(length(col("w")) > 0)
           .groupBy("w").agg(count(lit(1)).as("cnt")),
         spark.sql("""SELECT w, count(1) AS cnt FROM (
-          SELECT explode(split(text, '\\\\s+')) AS w FROM documents10x)
+          SELECT explode(split(text, '\\s+')) AS w FROM documents10x)
           WHERE length(w) > 0 GROUP BY 1""")),
     )
-    // INTERLEAVED ctl/ours/ctl/ours: round-2 showed a drift (b5 1.33x at
-    // sf0.1 → 1.81x at 10x) caused by ours always running first on the
-    // freshly-amplified input — the first run paid page-cache/JIT warm-up
-    // for both. Control now runs first, so any residual warm-up cost
-    // biases AGAINST us, and min-of-2 on each side removes it entirely.
+    // INTERLEAVED in symmetric ABBA order (ctl, ours, ours, ctl): round-2
+    // showed a drift when ours always ran first on the freshly-amplified
+    // input (paying page-cache/JIT warm-up); round-3's ctl-first fix left
+    // ours always LAST instead — ABBA gives each side one early and one
+    // late slot. Sub-2s micro-benches (b5 at 10x runs in well under a
+    // second) are jitter-dominated at min-of-2 — their plans are proven
+    // identical (see the b5 plan dump), yet scheduling noise alone swung
+    // the r3 ratio to 1.76x — so they get a second ABBA pass (min-of-4).
     pairs.foreach { case (name, ours, ctl) =>
-      val c1 = time(exec(ctl)); val o1 = time(exec(ours))
-      val c2 = time(exec(ctl)); val o2 = time(exec(ours))
-      times(name) = math.min(o1, o2)
-      ctlTimes(name) = math.min(c1, c2)
+      hygiene(spark) // clean slate per pair (spills/cache from the prior pair)
+      val cs = scala.collection.mutable.ArrayBuffer[Double]()
+      val os = scala.collection.mutable.ArrayBuffer[Double]()
+      def abba(): Unit = {
+        cs += time(exec(ctl)); os += time(exec(ours))
+        os += time(exec(ours)); cs += time(exec(ctl))
+      }
+      abba()
+      if (math.min(cs.min, os.min) < 2.0) abba()
+      times(name) = os.min
+      ctlTimes(name) = cs.min
     }
 
     // b5 explain-diff (r3 carryover): ours and the SQL control should plan
@@ -312,11 +324,6 @@ object Bench {
         def norm(df: DataFrame): String = df.queryExecution.executedPlan
           .toString.replaceAll("#\\d+L?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
           .replaceAll("\\bid=#?\\d+\\b", "id=x")
-          // SQL-parsed string literals render escaped ("\\s+") where
-          // DataFrame-API literals render raw ("\s+") for the SAME value
-          // (verified: both split 'a b  c d' into 4 tokens) — collapse
-          // before comparing
-          .replace("\\\\", "\\")
         val (op, cp) = (norm(ours), norm(ctl))
         try {
           val w = new java.io.PrintWriter("/root/repo/BENCH_B5_PLANS.txt")

@@ -43,13 +43,14 @@ object ExtraQueries {
   }
 
   /** Deterministic hyperplane sign literal for the LSH oracle — must match
-    * [[graft.sim.Similarity.lshBucket]] bit for bit.
+    * [[graft.sim.Similarity.lshBucket]] bit for bit (`table` selects the
+    * independent multi-table family, same seed function).
     */
-  private def planeSql(nBits: Int, dim: Int): Seq[String] =
+  private def planeSql(nBits: Int, dim: Int, table: Int = 0): Seq[String] =
     (0 until nBits).map { b =>
       (0 until dim).map { j =>
         val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"h$b|$j".getBytes("UTF-8"))
+          .digest(graft.sim.Similarity.planeSeed(table, b, j).getBytes("UTF-8"))
         if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
       }.mkString("[", ", ", "]")
     }
@@ -461,6 +462,35 @@ object ExtraQueries {
           list_dot_product(a.e, b.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
         FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, round(c, 6) AS cosine_sim
+      FROM cand WHERE c >= 0.99"""
+    })),
+
+    // Multi-table embedding LSH: TWO independent hyperplane families,
+    // candidates = pairs co-bucketed in EITHER table (band-style recall
+    // recovery — a qualifying pair split in table 0 is caught by table 1).
+    // Oracle replays both families and ORs the bucket equality.
+    "q_near_dup_multi" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDups(emb.unionByName(planted), dim = 64,
+        threshold = 0.99, nBits = 8, nTables = 2)
+    }, Some {
+      def bucketExpr(table: Int) = planeSql(8, 64, table).map(p =>
+        s"CASE WHEN list_dot_product(e, $p) >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 50),
+      idx AS (SELECT vec_id, e, ${bucketExpr(0)} AS b0, ${bucketExpr(1)} AS b1 FROM base),
+      cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+        FROM idx a JOIN idx b
+          ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, round(c, 6) AS cosine_sim
       FROM cand WHERE c >= 0.99"""
     })),

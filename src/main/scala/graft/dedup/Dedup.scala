@@ -136,18 +136,30 @@ object Dedup {
     * intersections via an equi-join grouped per pair.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
-                   text: String = "text", id: String = "doc_id"): DataFrame = {
+                   text: String = "text", id: String = "doc_id"): DataFrame =
+    ngramJaccardTracked(docs, pairs, shingleN, text, id)._1
+
+  /** [[ngramJaccard]] plus a release() for its shingle-table checkpoint —
+    * callers that fully materialize the result (e.g. the verified-dedup
+    * pipeline, which folds it into an eager edge checkpoint) free the
+    * pinned shingle copy instead of carrying it to session end.
+    */
+  private[dedup] def ngramJaccardTracked(docs: DataFrame, pairs: DataFrame,
+                                         shingleN: Int = 3, text: String = "text",
+                                         id: String = "doc_id"): (DataFrame, () => Unit) = {
     // the shingle table feeds both join sides AND the size table —
     // materialize once instead of re-tokenizing the corpus three times
-    val sh = docs.select(col(id), explode(array_distinct(shingles(col(text), shingleN))).as("sh"))
-      .transform(graft.ops.Checkpoints.truncate(_, eager = false))
+    val shT = graft.ops.Checkpoints.truncateTracked(
+      docs.select(col(id), explode(array_distinct(shingles(col(text), shingleN))).as("sh")),
+      eager = false)
+    val sh = shT.df
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.withColumnRenamed(id, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed(id, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .where(col("sh_a") === col("sh_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    pairs
+    val res = pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("inter"))
       .join(sizes.withColumnRenamed(id, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -155,6 +167,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (res, shT.release)
   }
 
   /** Near-dup clusters → canonical representative: treat candidate pairs
@@ -253,10 +266,14 @@ object Dedup {
                           id: String = "doc_id"): DataFrame = {
     val candidates = minhashCandidates(docs, numPerms, rowsPerBand, shingleN,
       maxBucket = 1000, text = text, id = id)
-    val verified = ngramJaccard(docs, candidates, shingleN, text, id)
+    val (jac, releaseShingles) = ngramJaccardTracked(docs, candidates, shingleN, text, id)
+    val verified = jac
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")
+    // dedupClusters eagerly checkpoints the verified edges up front, so
+    // the shingle table is fully consumed once it returns
     val clusters = dedupClusters(verified)
+    releaseShingles()
     val canonical = clusters.groupBy("cluster").agg(min(col("doc_id")).as("canon"))
     val marked = clusters.join(canonical, "cluster")
       .select(col("doc_id"), (col("doc_id") === col("canon")).as("keep"))
@@ -267,22 +284,43 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * (see [[graft.sim.Similarity.buildLshIndex]]) bound the candidate set,
     * then exact cosine filters within buckets. `nBits` trades recall for
-    * bucket size; at 100 TB run multiple independent bucket tables
-    * (band-style) to recover recall, exactly like MinHash banding.
+    * bucket size; `nTables` > 1 runs that many INDEPENDENT hyperplane
+    * families and unions their candidates (band-style multi-table LSH,
+    * exactly like MinHash banding): a qualifying pair split across
+    * buckets in one table is recovered when any other table co-buckets
+    * it — recall ≈ 1-(1-p)^nTables per pair at ~nTables× index cost.
+    * This is the 100 TB recall path; single-table remains the default.
+    *
+    * Candidate pair ids are distinct'd BEFORE the exact-cosine gate, so a
+    * pair colliding in several tables is verified once; embeddings are
+    * joined back by id (two hash joins on the id key), not carried
+    * through the union.
     */
   def embeddingNearDups(vectors: DataFrame, dim: Int, threshold: Double,
                         nBits: Int = 8, id: String = "vec_id",
-                        emb: String = "embedding"): DataFrame = {
+                        emb: String = "embedding", nTables: Int = 1,
+                        maxBucket: Int = 1000000): DataFrame = {
     import graft.sim.Similarity
-    val idx = Similarity.buildLshIndex(vectors, dim, nBits, id, emb)
-    val a = idx.select(col("bucket"), col(id).as("vec_a"), col(emb).as("emb_a"))
-    val b = idx.select(col("bucket"), col(id).as("vec_b"), col(emb).as("emb_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("vec_a") < col("vec_b"))
+    val pairs = (0 until nTables).map { t =>
+      val idx = Similarity.buildLshIndex(vectors, dim, nBits, id, emb, table = t)
+      // same degenerate-bucket guard as the text LSH path: a bucket of
+      // all-identical embeddings (zero vectors, boilerplate assets) would
+      // otherwise emit O(n²) pairs from one task at corpus scale
+      val bounded = idx.withColumn("_bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+        .where(col("_bsz") <= maxBucket).drop("_bsz")
+      val a = bounded.select(col("bucket"), col(id).as("vec_a"))
+      val b = bounded.select(col("bucket"), col(id).as("vec_b"))
+      a.join(b, Seq("bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b")
+    }.reduce(_ unionByName _).distinct()
+    val ea = vectors.select(col(id).as("vec_a"), col(emb).as("emb_a"))
+    val eb = vectors.select(col(id).as("vec_b"), col(emb).as("emb_b"))
+    pairs.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cosine_sim", Similarity.cosine(col("emb_a"), col("emb_b")))
       .where(col("cosine_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
-      .distinct()
   }
 
   /** SimHash-style 16-bit fingerprint, engine-portable: bit j of the

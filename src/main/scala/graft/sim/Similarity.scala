@@ -56,17 +56,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic hyperplane seed string — shared with the DuckDB oracle
+    * generators so every engine derives identical planes. `table` > 0
+    * selects an independent hyperplane family (multi-table LSH).
+    */
+  def planeSeed(table: Int, b: Int, j: Int): String =
+    if (table == 0) s"h$b|$j" else s"t$table|h$b|$j"
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
     * against deterministic pseudo-random hyperplanes (seeded per bit from
     * the vector index parity — engine-portable, no RNG at plan time).
-    * Hyperplane h_b component j = +1 if hex digit ((b*31+j) mod 32) of
-    * md5("h<b>|<j>") >= '8' else -1 — deterministic everywhere.
+    * Hyperplane h_b component j = +1 if the top bit of
+    * md5(planeSeed(table, b, j)) is set else -1 — deterministic
+    * everywhere. `table` picks an independent family for multi-table LSH
+    * (table 0 keeps the original seeds).
     */
-  def lshBucket(emb: Column, dim: Int, nBits: Int = 8): Column = {
+  def lshBucket(emb: Column, dim: Int, nBits: Int = 8, table: Int = 0): Column = {
     val bits = (0 until nBits).map { b =>
       val signs = (0 until dim).map { j =>
         val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"h$b|$j".getBytes("UTF-8"))
+          .digest(planeSeed(table, b, j).getBytes("UTF-8"))
         if ((hex(0) & 0x80) != 0) 1.0 else -1.0
       }
       val h = array(signs.map(lit): _*)
@@ -80,8 +89,9 @@ object Similarity {
     * probes one partition.
     */
   def buildLshIndex(vectors: DataFrame, dim: Int, nBits: Int = 8,
-                    id: String = "vec_id", emb: String = "embedding"): DataFrame =
-    vectors.select(lshBucket(col(emb), dim, nBits).as("bucket"), col(id), col(emb))
+                    id: String = "vec_id", emb: String = "embedding",
+                    table: Int = 0): DataFrame =
+    vectors.select(lshBucket(col(emb), dim, nBits, table).as("bucket"), col(id), col(emb))
 
   /** ANN top-k: probe the query's bucket, brute-force within it. Recall
     * is tunable via nBits (fewer bits → bigger buckets → higher recall).

@@ -11,7 +11,9 @@ object SqlProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("graft-sqlprobe", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { sql =>
+    val (opts, sqls) = args.partition(_.startsWith("--tables="))
+    opts.foreach(o => graft.Tables.registerAll(spark, o.stripPrefix("--tables=")))
+    sqls.foreach { sql =>
       println(s"== $sql")
       spark.sql(sql).show(20, truncate = false)
     }

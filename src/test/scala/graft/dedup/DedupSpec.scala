@@ -116,6 +116,19 @@ class DedupSpec extends SparkSpec {
       .get(id).foreach(_.unpersist(false)))
   }
 
+  test("dedupCorpusVerified releases the shingle-table checkpoint too") {
+    val base = (1 to 60).map(i => s"w$i")
+    val df = docs(4L -> base.updated(10, "X").mkString(" "),
+      1L -> base.mkString(" "), 9L -> base.updated(50, "Y").mkString(" "),
+      7L -> (100 to 160).map(i => s"v$i").mkString(" "))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.dedupCorpusVerified(df, threshold = 0.8).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2, s"checkpoint generations leaked: ${leaked.toSeq.sorted}")
+    leaked.foreach(id => spark.sparkContext.getPersistentRDDs
+      .get(id).foreach(_.unpersist(false)))
+  }
+
   test("ngramJaccard computes exact overlap on candidates") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "z z z")
     import spark.implicits._
@@ -125,6 +138,31 @@ class DedupSpec extends SparkSpec {
     // doc1 shingles: {abc,bcd,cde}; doc2: {abc,bcd,cdf} → inter 2, union 4
     assert(math.abs(got((1L, 2L)) - 0.5) < 1e-12)
     assert(got((1L, 3L)) == 0.0)
+  }
+
+  test("multi-table embedding LSH recovers pairs a single table misses") {
+    import spark.implicits._
+    // 120 (v, v+noise) pairs at cosine ~0.99: wide enough angles that a
+    // single 6-bit table splits a meaningful fraction across buckets;
+    // extra independent tables must recover them (seeded → deterministic)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 120).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val w = v.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, w.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def pairsOf(nTables: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDups(df, dim, threshold = 0.98, nBits = 6,
+        nTables = nTables)
+        .select("vec_a", "vec_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairsOf(1)
+    val multi = pairsOf(3)
+    assert(single.subsetOf(multi), "multi-table lost a single-table pair")
+    assert(multi.size > single.size,
+      s"no recall gain (single=${single.size}, multi=${multi.size}) — tables not independent?")
   }
 
   test("simhash: near-dups land at small Hamming distance, unrelated far") {
