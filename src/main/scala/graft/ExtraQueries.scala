@@ -466,6 +466,32 @@ object ExtraQueries {
       FROM cand WHERE c >= 0.99"""
     })),
 
+    // Winnowing (rolling-hash) fingerprints: k-gram hash stream → window
+    // minima → distinct fingerprints per doc, exploded for the compare.
+    // Oracle replays the same k=3 shingles, 60-bit md5-prefix hashes and
+    // w=4 window minima with DuckDB list ops.
+    "q_winnow_fp" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(Dedup.winnowFingerprints(col("text"), k = 3, w = 4)).as("fp"))
+    }, Some("""WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM documents),
+      shl AS (
+        SELECT doc_id, list_transform(range(greatest(len(tk)-2, 1)),
+          i -> array_to_string(list_slice(tk, i+1, i+3), ' ')) AS shs
+        FROM w),
+      hs AS (
+        SELECT doc_id, list_transform(shs,
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hh
+        FROM shl),
+      mins AS (
+        SELECT doc_id, CASE WHEN len(hh) >= 4
+          THEN list_transform(range(len(hh)-3),
+            i -> least(hh[i+1], hh[i+2], hh[i+3], hh[i+4]))
+          ELSE [list_min(hh)] END AS m
+        FROM hs)
+      SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp FROM mins"""))),
+
     // Multi-table embedding LSH: TWO independent hyperplane families,
     // candidates = pairs co-bucketed in EITHER table (band-style recall
     // recovery — a qualifying pair split in table 0 is caught by table 1).

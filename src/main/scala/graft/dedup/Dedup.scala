@@ -139,14 +139,19 @@ object Dedup {
                    text: String = "text", id: String = "doc_id"): DataFrame =
     ngramJaccardTracked(docs, pairs, shingleN, text, id)._1
 
-  /** [[ngramJaccard]] plus a release() for its shingle-table checkpoint —
-    * callers that fully materialize the result (e.g. the verified-dedup
-    * pipeline, which folds it into an eager edge checkpoint) free the
-    * pinned shingle copy instead of carrying it to session end.
+  /** [[ngramJaccard]] plus a release() for its checkpoints — callers that
+    * fully materialize the result (e.g. the verified-dedup pipeline,
+    * which folds it into an eager edge checkpoint) free the pinned
+    * copies instead of carrying them to session end.
     */
   private[dedup] def ngramJaccardTracked(docs: DataFrame, pairs: DataFrame,
                                          shingleN: Int = 3, text: String = "text",
                                          id: String = "doc_id"): (DataFrame, () => Unit) = {
+    // the candidate pairs re-enter two subplans (intersection join and the
+    // left join back) — deliberately NOT checkpointed: the subplans are
+    // identical, so ReuseExchange deduplicates the LSH pipeline inside
+    // the one action, and an explicit eager checkpoint just adds a full
+    // materialization (measured ~1.5x slower on q_ngram_jaccard at sf0.1)
     // the shingle table feeds both join sides AND the size table —
     // materialize once instead of re-tokenizing the corpus three times
     val shT = graft.ops.Checkpoints.truncateTracked(
@@ -321,6 +326,28 @@ object Dedup {
       .withColumn("cosine_sim", Similarity.cosine(col("emb_a"), col("emb_b")))
       .where(col("cosine_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * rolling-hash fingerprinting scheme): k-gram shingle hashes form the
+    * rolling-hash stream; each window of `w` consecutive hashes
+    * contributes its minimum; the distinct minima are the document's
+    * fingerprints. Guarantee: two documents sharing any token run of
+    * length ≥ w+k-1 share at least one fingerprint — the standard
+    * plagiarism/near-dup sketch with bounded density 2/(w+1).
+    *
+    * Linear in tokens: the window minima come from the same shifted-view
+    * `zip_with` trick as [[shingles]] (w shifted views folded with
+    * `least`), never a per-position slice. Engine-portable hashing
+    * ([[shingleHash]]) so the DuckDB oracle replays it exactly.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hs = transform(shingles(text, k), sh => shingleHash(sh))
+    val m = greatest(size(hs) - (w - 1), lit(1))
+    val views = (0 until w).map(i => slice(hs, lit(i + 1), m))
+    val mins = views.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    array_sort(array_distinct(
+      when(size(hs) >= w, mins).otherwise(array(array_min(hs)))))
   }
 
   /** SimHash-style 16-bit fingerprint, engine-portable: bit j of the

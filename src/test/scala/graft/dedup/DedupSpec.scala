@@ -165,6 +165,24 @@ class DedupSpec extends SparkSpec {
       s"no recall gain (single=${single.size}, multi=${multi.size}) — tables not independent?")
   }
 
+  test("winnowing: docs sharing a long run share a fingerprint, unrelated don't") {
+    import spark.implicits._
+    val common = (1 to 10).map(i => s"c$i") // run of 10 ≥ w+k-1 = 6
+    val a = ((1 to 8).map(i => s"a$i") ++ common ++ (1 to 8).map(i => s"x$i")).mkString(" ")
+    val b = ((1 to 8).map(i => s"b$i") ++ common ++ (1 to 8).map(i => s"y$i")).mkString(" ")
+    val c = (100 to 130).map(i => s"z$i").mkString(" ")
+    val fps = docs(1L -> a, 2L -> b, 3L -> c)
+      .select(col("doc_id"), Dedup.winnowFingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared 10-token run produced no shared fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // short doc (< k tokens) still fingerprints (whole-text fallback)
+    val short = docs(9L -> "just two")
+      .select(Dedup.winnowFingerprints(col("text"))).head().getSeq[Long](0)
+    assert(short.size == 1)
+  }
+
   test("simhash: near-dups land at small Hamming distance, unrelated far") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 80).map(i => if (i % 40 == 0) "CHANGED" + i else s"w$i").mkString(" ")
