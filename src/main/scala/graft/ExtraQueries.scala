@@ -466,13 +466,33 @@ object ExtraQueries {
       FROM cand WHERE c >= 0.99"""
     })),
 
+    // PercentFilter (SequenceFileInputFilter.PercentFilter: keep every
+    // f-th record by reader position). Reader position does not exist
+    // under a distributed scan, so the analog defines position as the
+    // GLOBAL RANK over an explicit total order — the same keep-set on
+    // any engine/partitioning, which the row_number oracle replays. The
+    // md5 filter (q_sample_md5) remains the preferred sampling operator;
+    // this row exists for exact positional parity.
+    "q_percent_filter" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      graft.ops.GlobalRank.withGlobalRank(li,
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .where((col("rank") - 1) % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rank"))
+    }, Some("""SELECT l_orderkey, l_linenumber, rank FROM (
+        SELECT l_orderkey, l_linenumber,
+          (row_number() OVER (ORDER BY l_orderkey, l_linenumber))::BIGINT AS rank
+        FROM lineitem)
+      WHERE (rank - 1) % 10 = 0"""))),
+
     // Winnowing (rolling-hash) fingerprints: k-gram hash stream → window
     // minima → distinct fingerprints per doc, exploded for the compare.
     // Oracle replays the same k=3 shingles, 60-bit md5-prefix hashes and
     // w=4 window minima with DuckDB list ops.
     "q_winnow_fp" -> (((s: SparkSession, dir: String) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        explode(Dedup.winnowFingerprints(col("text"), k = 3, w = 4)).as("fp"))
+      Dedup.winnowFingerprints(t(s, dir, "documents"), k = 3, w = 4)
+        .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
     }, Some("""WITH w AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
         FROM documents),

@@ -27,24 +27,38 @@ object Dedup {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > lit(0))
 
+  /** Let-binding for Column expressions: binds `value` to a lambda
+    * variable so `body` can reference it many times while it is COMPUTED
+    * ONCE per row. Catalyst's CollapseProject/column pruning re-inline a
+    * projected alias into every use site (an expensive expression used w
+    * times runs w times — measured 5x slowdown on winnowing), but a
+    * lambda variable is opaque to the optimizer: `transform` over a
+    * 1-element array evaluates `value` once and the body against the
+    * bound element.
+    */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    get(transform(array(value), body), lit(0))
+
   /** Contiguous word `n`-gram shingles of the text.
     * Docs shorter than n words shingle to the whole text.
     *
     * Built by zipping n shifted views of the token array — O(tokens)
     * total. (The obvious `transform(sequence(...), i -> slice(t, i, n))`
     * is O(tokens x n) with an array copy per position: quadratic-ish and
-    * 10x slower at corpus scale.)
+    * 10x slower at corpus scale.) The token array binds once
+    * ([[bindOnce]]) — it re-enters every shifted view plus the guards,
+    * and inlined copies would re-split the text per view.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = toks(text)
-    val m = greatest(size(t) - (n - 1), lit(1)) // shingle count (>=1)
-    val views = (0 until n).map(k => slice(t, lit(k + 1), m))
-    val zipped = views.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    // zip_with pads the shorter side with null → null shingles when the
-    // doc has < n tokens; fall back to the whole text joined.
-    filter(when(size(t) >= n, zipped).otherwise(array(array_join(t, " "))),
-      s => s.isNotNull)
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    bindOnce(toks(text), { t =>
+      val m = greatest(size(t) - (n - 1), lit(1)) // shingle count (>=1)
+      val views = (0 until n).map(k => slice(t, lit(k + 1), m))
+      val zipped = views.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+      // zip_with pads the shorter side with null → null shingles when the
+      // doc has < n tokens; fall back to the whole text joined.
+      filter(when(size(t) >= n, zipped).otherwise(array(array_join(t, " "))),
+        s => s.isNotNull)
+    })
 
   /** Exact dedup: canonical row per identical text. Returns (text_hash,
     * doc_id) keeping the smallest doc_id per hash — one hash-shuffle,
@@ -328,27 +342,45 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
+  /** The k-gram rolling-hash stream for winnowing: ordered shingle hashes
+    * per document. Project this into a NAMED COLUMN before calling
+    * [[winnowFromHashes]] — see that method's scaladoc for why.
+    */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), sh => shingleHash(sh))
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
-    * rolling-hash fingerprinting scheme): k-gram shingle hashes form the
-    * rolling-hash stream; each window of `w` consecutive hashes
-    * contributes its minimum; the distinct minima are the document's
-    * fingerprints. Guarantee: two documents sharing any token run of
-    * length ≥ w+k-1 share at least one fingerprint — the standard
-    * plagiarism/near-dup sketch with bounded density 2/(w+1).
+    * rolling-hash fingerprinting scheme) over a pre-projected hash-stream
+    * column: each window of `w` consecutive hashes contributes its
+    * minimum; the distinct minima are the document's fingerprints.
+    * Guarantee: two documents sharing any token run of length ≥ w+k-1
+    * share at least one fingerprint — the standard plagiarism/near-dup
+    * sketch with bounded density 2/(w+1).
     *
-    * Linear in tokens: the window minima come from the same shifted-view
-    * `zip_with` trick as [[shingles]] (w shifted views folded with
+    * The hash stream binds once ([[bindOnce]]): it re-enters this
+    * expression w+2 times (every shifted view, the size guard, the
+    * fallback), and Catalyst would otherwise re-inline — re-tokenizing
+    * and re-md5-ing the document per occurrence (measured ~5x slower at
+    * sf0.1; a staged projection does NOT help, CollapseProject inlines
+    * right through it). The window minima come from the same
+    * shifted-view `zip_with` trick as [[shingles]] (w views folded with
     * `least`), never a per-position slice. Engine-portable hashing
     * ([[shingleHash]]) so the DuckDB oracle replays it exactly.
     */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hs = transform(shingles(text, k), sh => shingleHash(sh))
-    val m = greatest(size(hs) - (w - 1), lit(1))
-    val views = (0 until w).map(i => slice(hs, lit(i + 1), m))
-    val mins = views.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
-    array_sort(array_distinct(
-      when(size(hs) >= w, mins).otherwise(array(array_min(hs)))))
-  }
+  def winnowFromHashes(hs0: Column, w: Int = 4): Column =
+    bindOnce(hs0, { hs =>
+      val m = greatest(size(hs) - (w - 1), lit(1))
+      val views = (0 until w).map(i => slice(hs, lit(i + 1), m))
+      val mins = views.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+      array_sort(array_distinct(
+        when(size(hs) >= w, mins).otherwise(array(array_min(hs)))))
+    })
+
+  /** Winnowing fingerprints per document. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                         text: String = "text", id: String = "doc_id"): DataFrame =
+    docs.select(col(id),
+      winnowFromHashes(shingleHashes(col(text), k), w).as("fingerprints"))
 
   /** SimHash-style 16-bit fingerprint, engine-portable: bit j of the
     * fingerprint is the majority vote across the doc's distinct tokens of

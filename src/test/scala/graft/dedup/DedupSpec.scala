@@ -171,15 +171,14 @@ class DedupSpec extends SparkSpec {
     val a = ((1 to 8).map(i => s"a$i") ++ common ++ (1 to 8).map(i => s"x$i")).mkString(" ")
     val b = ((1 to 8).map(i => s"b$i") ++ common ++ (1 to 8).map(i => s"y$i")).mkString(" ")
     val c = (100 to 130).map(i => s"z$i").mkString(" ")
-    val fps = docs(1L -> a, 2L -> b, 3L -> c)
-      .select(col("doc_id"), Dedup.winnowFingerprints(col("text")).as("fp"))
+    val fps = Dedup.winnowFingerprints(docs(1L -> a, 2L -> b, 3L -> c))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert((fps(1L) intersect fps(2L)).nonEmpty,
       "shared 10-token run produced no shared fingerprint")
     assert((fps(1L) intersect fps(3L)).isEmpty)
     // short doc (< k tokens) still fingerprints (whole-text fallback)
-    val short = docs(9L -> "just two")
-      .select(Dedup.winnowFingerprints(col("text"))).head().getSeq[Long](0)
+    val short = Dedup.winnowFingerprints(docs(9L -> "just two"))
+      .select("fingerprints").head().getSeq[Long](0)
     assert(short.size == 1)
   }
 
