@@ -301,17 +301,23 @@ object Bench {
     // identical (see the b5 plan dump), yet scheduling noise alone swung
     // the r3 ratio to 1.76x — so they get a second ABBA pass (min-of-4).
     pairs.foreach { case (name, ours, ctl) =>
-      hygiene(spark) // clean slate per pair (spills/cache from the prior pair)
-      val cs = scala.collection.mutable.ArrayBuffer[Double]()
-      val os = scala.collection.mutable.ArrayBuffer[Double]()
-      def abba(): Unit = {
-        cs += time(exec(ctl)); os += time(exec(ours))
-        os += time(exec(ours)); cs += time(exec(ctl))
+      // a scale-step failure must degrade the report (missing entry), not
+      // abort Bench.main and discard the 80+ suite timings already taken
+      try {
+        hygiene(spark) // clean slate per pair (spills/cache from the prior pair)
+        val cs = scala.collection.mutable.ArrayBuffer[Double]()
+        val os = scala.collection.mutable.ArrayBuffer[Double]()
+        def abba(): Unit = {
+          cs += time(exec(ctl)); os += time(exec(ours))
+          os += time(exec(ours)); cs += time(exec(ctl))
+        }
+        abba()
+        if (math.min(cs.min, os.min) < 2.0) abba()
+        times(name) = os.min
+        ctlTimes(name) = cs.min
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale10x $name failed: ${e.getMessage}")
       }
-      abba()
-      if (math.min(cs.min, os.min) < 2.0) abba()
-      times(name) = os.min
-      ctlTimes(name) = cs.min
     }
 
     // b5 explain-diff (r3 carryover): ours and the SQL control should plan
@@ -368,15 +374,20 @@ object Bench {
       .withColumn("embedding", transform(col("embedding"),
         (x, i) => when(pmod(hash(col("_k"), i), lit(2)) === 0, x).otherwise(-x)))
       .drop("_k")
-    hygiene(spark)
-    ctlTimes("d1_dedup_corpus") = time(exec(Dedup.dedupCorpus(docs1x)))
-    hygiene(spark)
-    times("d1_dedup_corpus") = time(exec(Dedup.dedupCorpus(docs10x)))
-    hygiene(spark)
-    ctlTimes("d2_near_dup_embed") = time(exec(
+    // same failure isolation as the pair loop: a non-convergence on the
+    // amplified input (the realistic failure mode for dedupClusters) must
+    // not take the whole report down with it
+    def measure(key: String, into: scala.collection.mutable.Map[String, Double])
+               (fn: => Unit): Unit =
+      try { hygiene(spark); into(key) = time(fn) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scale-step $key failed: ${e.getMessage}")
+      }
+    measure("d1_dedup_corpus", ctlTimes)(exec(Dedup.dedupCorpus(docs1x)))
+    measure("d1_dedup_corpus", times)(exec(Dedup.dedupCorpus(docs10x)))
+    measure("d2_near_dup_embed", ctlTimes)(exec(
       Dedup.embeddingNearDups(emb1x, dim = 64, threshold = 0.99, nBits = 8)))
-    hygiene(spark)
-    times("d2_near_dup_embed") = time(exec(
+    measure("d2_near_dup_embed", times)(exec(
       Dedup.embeddingNearDups(emb10x, dim = 64, threshold = 0.99, nBits = 8)))
     hygiene(spark)
     b5PlanMatch

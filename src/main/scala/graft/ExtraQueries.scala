@@ -410,12 +410,16 @@ object ExtraQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
-      // sentinel: raw file schema (ts = long nanos), 30 days past max
-      val maxNs = t(s, dir, "events").agg(max("ts_ns")).head().getLong(0)
-      import s.implicits._
+      // sentinel: derived FROM the raw file's own schema (one real row,
+      // event_type and ts overridden) so fixture schema drift surfaces as
+      // a changed column list here, not as a confusing stream-side
+      // schema-mismatch at bench time
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxNs = raw.agg(max("ts")).head().getLong(0)
       val sentinelTmp = tmp("stream_sentinel", dir)
-      Seq((-1L, maxNs + 30L * 86400 * 1000000000L, -1L, "sentinel", 0.0, ""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      raw.limit(1)
+        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("sentinel"))
         .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
       val part = new java.io.File(sentinelTmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get

@@ -104,23 +104,44 @@ object Aggregates {
   * estimates use `approx_count_distinct` (HLL). This Aggregator exists for
   * the reference's *capped* semantics, which neither built-in has.
   *
-  * The buffer is a sorted-distinct `Seq[String]` in a product encoder —
+  * The buffer is a pair of `Seq[String]` in a product encoder —
   * Tungsten-native (UnsafeArrayData), so partial merges ship flat bytes
   * instead of serializing an opaque Kryo blob per merge, and the aggregate
   * stays inside the codegen'd hash-aggregate path.
   */
 final case class UniqReport(count: Long, items: Seq[String])
 
-/** Sorted-distinct buffer, at most `cap` items (enforced by CappedUniq). */
-final case class UniqBuf(items: Seq[String])
+/** Two-sided buffer: `sorted` is sorted-distinct (≤ cap, smallest seen);
+  * `pending` holds raw appends awaiting compaction (≤ cap). Splitting the
+  * buffer keeps reduce() O(1) amortized — a full sorted rebuild per input
+  * row is O(cap) per row, O(rows·cap) per group, which on a hot key with a
+  * large cap outweighs the Tungsten-encoder win this Aggregator exists for.
+  */
+final case class UniqBuf(sorted: Seq[String], pending: Seq[String])
 
 class CappedUniq(cap: Int) extends Aggregator[String, UniqBuf, UniqReport] {
   import org.apache.spark.sql.{Encoder, Encoders}
-  override def zero: UniqBuf = UniqBuf(Vector.empty)
+  override def zero: UniqBuf = UniqBuf(Vector.empty, Vector.empty)
   override def reduce(b: UniqBuf, a: String): UniqBuf =
-    UniqBuf(mergeSorted(b.items.toIndexedSeq, Vector(a)))
+    // Early drop: once `sorted` holds cap values all ≤ its last element,
+    // any a ≥ that last element already has cap smaller values ahead of it
+    // and can never enter the final smallest-cap set.
+    if (b.sorted.length >= cap && b.sorted.last <= a) b
+    else {
+      val p = b.pending :+ a
+      if (p.length >= cap) UniqBuf(compact(b.sorted, p), Vector.empty)
+      else UniqBuf(b.sorted, p)
+    }
   override def merge(b1: UniqBuf, b2: UniqBuf): UniqBuf =
-    UniqBuf(mergeSorted(b1.items.toIndexedSeq, b2.items.toIndexedSeq))
+    UniqBuf(mergeSorted(compact(b1.sorted, b1.pending).toIndexedSeq,
+      compact(b2.sorted, b2.pending).toIndexedSeq), Vector.empty)
+  /** Fold `pending` into the sorted-distinct side (sort-distinct the small
+    * pending batch, then one two-pointer merge) — amortizes to O(log cap)
+    * per reduced row.
+    */
+  private def compact(sorted: Seq[String], pending: Seq[String]): Seq[String] =
+    if (pending.isEmpty) sorted
+    else mergeSorted(sorted.toIndexedSeq, pending.distinct.sorted.toIndexedSeq)
   /** Two-pointer merge of sorted-distinct inputs; stops at `cap` items —
     * values beyond the cap can never re-enter (TreeMap retention keeps
     * the smallest), so they are dropped, not buffered.
@@ -139,8 +160,10 @@ class CappedUniq(cap: Int) extends Aggregator[String, UniqBuf, UniqReport] {
     }
     out.result()
   }
-  override def finish(r: UniqBuf): UniqReport =
-    UniqReport(r.items.size.toLong, r.items)
+  override def finish(r: UniqBuf): UniqReport = {
+    val items = compact(r.sorted, r.pending)
+    UniqReport(items.size.toLong, items)
+  }
   override def bufferEncoder: Encoder[UniqBuf] = Encoders.product[UniqBuf]
   override def outputEncoder: Encoder[UniqReport] = Encoders.product[UniqReport]
 }

@@ -58,7 +58,14 @@ object Checkpoints {
     if (reliable) {
       requireDir(sc.getCheckpointDir.isDefined)
       val before = reliableRddDirs(spark)
-      val cp = df.checkpoint(eager)
+      // Always materialize eagerly on the reliable path, even when the
+      // caller asked for eager=false: a lazy checkpoint creates its rdd-*
+      // directory only at first use — AFTER the diff below — so release()
+      // would silently leak the directory. Deferring the diff to release()
+      // time instead is worse: by then a LATER generation's live dir may
+      // have appeared and would be deleted out from under its consumers.
+      // The laziness saving is real only on the local path (kept below).
+      val cp = df.checkpoint(eager = true)
       val added = reliableRddDirs(spark).diff(before)
       Truncated(cp, () => added.foreach(deleteDir(spark, _)))
     } else {

@@ -38,6 +38,34 @@ class CheckpointsSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.ReliableKey)
   }
 
+  test("reliable truncateTracked with eager=false still releases its dir") {
+    // a lazy reliable checkpoint creates its rdd-* dir only at first
+    // materialization — after truncateTracked's diff — so without the
+    // forced-eager fix release() would be a silent no-op and the dir
+    // would leak (the exact leak class truncateTracked exists to fix)
+    val ckptDir = "/tmp/graft_test/reliable_ckpt_lazy"
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    def rddDirs: Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty[String]
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
+        .map(_.getPath.toString).toSet
+    }
+    spark.conf.set(Checkpoints.ReliableKey, "true")
+    try {
+      val before = rddDirs
+      val tr = Checkpoints.truncateTracked(spark.range(50).toDF("id"), eager = false)
+      assert(tr.df.count() == 50)
+      assert((rddDirs -- before).nonEmpty, "no checkpoint dir was captured")
+      tr.release()
+      assert((rddDirs -- before).isEmpty,
+        "lazy reliable checkpoint dir leaked after release()")
+    } finally spark.conf.unset(Checkpoints.ReliableKey)
+  }
+
   test("dedupClusters is identical under local and reliable checkpoints") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("doc_a", "doc_b")
