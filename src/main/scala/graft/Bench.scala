@@ -18,6 +18,79 @@ object Bench {
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def time(fn: => Unit): Double = {
+    val t0 = System.nanoTime()
+    fn
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Normalized physical-plan string: expression/plan ids stripped and
+    * `substring`/`substr` unified (the SQL parser and the Column API render
+    * the same expression under different names). Sides that compare equal
+    * here run the same physical operators — any timing gap between them is
+    * environment, not plans.
+    */
+  private def normPlan(df: DataFrame): String = df.queryExecution.executedPlan
+    .toString.replaceAll("#\\d+L?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+    .replaceAll("\\bid=#?\\d+\\b", "id=x").replaceAll("substring\\(", "substr(")
+
+  private val planDump = new StringBuilder
+  private val planMatches = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+
+  /** Record + dump whether ours/control plan identically (per scale tag). */
+  private def checkPlanMatch(tag: String, ours: DataFrame, ctl: DataFrame): Unit =
+    try {
+      val (op, cp) = (normPlan(ours), normPlan(ctl))
+      planMatches(tag) = op == cp
+      planDump.append(s"== $tag OURS ==\n$op\n== $tag CONTROL ==\n$cp\n")
+        .append(s"== MATCH: ${op == cp} ==\n\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] plan-match $tag failed: ${e.getMessage}")
+    }
+
+  /** ABBA-interleaved ours/control measurement. Protocol, in order:
+    *
+    *  1. `hygiene` — clean slate (cache, stray RDDs, scratch dirs, GC).
+    *  2. A BURN pair, one uncounted run per side: the first slot after
+    *     hygiene pays JIT/page-cache/GC settling (PairProbe measured up to
+    *     2.7x on slot 1) — with ctl always in slot 1, min-of-2 handed the
+    *     control a clean-slot advantage "ours" never saw.
+    *  3. One ABBA pass (ctl,ours,ours,ctl), min-of-2 per side; sub-2s
+    *     pairs get a second pass (jitter-dominated at min-of-2).
+    *  4. Adaptive retries: a ratio outside [1/1.5, 1.5] on plan-identical
+    *     sides is JVM-state drift (r4: b3 read 3.75x mid-suite, 0.97x in a
+    *     fresh JVM), so run up to 2 more ABBA passes. Mins only decrease —
+    *     retries cannot fabricate a fast side, they only give both sides
+    *     equal chances at a clean slot; a genuine plan regression survives
+    *     every retry and is reported as-is.
+    */
+  private def measurePair(spark: SparkSession, name: String,
+                          ours: DataFrame, ctl: DataFrame,
+                          times: scala.collection.mutable.Map[String, Double],
+                          ctlTimes: scala.collection.mutable.Map[String, Double]): Unit =
+    try {
+      hygiene(spark)
+      exec(ctl); exec(ours) // burn pair — see scaladoc
+      val cs = scala.collection.mutable.ArrayBuffer[Double]()
+      val os = scala.collection.mutable.ArrayBuffer[Double]()
+      def abba(): Unit = {
+        cs += time(exec(ctl)); os += time(exec(ours))
+        os += time(exec(ours)); cs += time(exec(ctl))
+      }
+      abba()
+      if (math.min(cs.min, os.min) < 2.0) abba()
+      var extra = 0
+      while (extra < 2 && {
+        val r = os.min / math.max(cs.min, 1e-9); r > 1.5 || r < 0.667
+      }) { abba(); extra += 1 }
+      times(name) = os.min
+      ctlTimes(name) = cs.min
+    } catch { case e: Throwable =>
+      // a pair failure degrades the report (missing entry), never aborts
+      // the run — the 80+ suite timings already taken must survive
+      System.err.println(s"[bench] pair $name failed: ${e.getMessage}")
+    }
+
   /** Per-query state hygiene. Round 3's suite timings degraded 3–30x on
     * identical code+data because state accumulated across the 76-query
     * loop: leaked checkpoint blocks pinned executor storage and the
@@ -30,6 +103,12 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     rmrf(new java.io.File("/tmp/graft_q")) // ExtraQueries round-trip scratch
+    // ContextCleaner reaps broadcast blocks and shuffle files only when the
+    // JVM GC collects their driver-side handles — after ~80 queries the
+    // uncollected debt (pinned broadcasts, shuffle dirs) is the r3/r4
+    // environment drift. Force the collection so cleanup actually runs.
+    System.gc()
+    Thread.sleep(50) // let the async cleanup queue drain a little
   }
 
   private def rmrf(f: java.io.File): Unit = {
@@ -119,29 +198,20 @@ object Bench {
     Seq("lineitem", "orders", "customer", "part", "events", "documents",
       "embeddings").foreach(t => exec(Tables.load(spark, sfDir, t)))
 
-    def time(fn: => Unit): Double = {
-      val t0 = System.nanoTime()
-      fn
-      (System.nanoTime() - t0) / 1e9
-    }
-
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // headline benches timed INTERLEAVED with their native-SQL controls in
-    // symmetric ABBA order (ctl, ours, ours, ctl; min of 2 each): each
-    // side gets one early and one late slot, so neither systematically
-    // pays first-run JIT/page-cache warm-up NOR late-run GC pressure —
-    // r3's ctl/ours/ctl/ours order left "ours" always in positions 2 and
-    // 4, a residual position bias on identical plans
+    // headline benches timed INTERLEAVED with their native-SQL controls
+    // via measurePair (burn pair + symmetric ABBA + adaptive retries — see
+    // its scaladoc for why each piece exists), with a plan-identity check
+    // per pair: a reported ratio on matching plans measures environment
+    // spread, and the retries bound it
     val ctl = controls(spark, sfDir).toMap
     val controlTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline(spark, sfDir).foreach { case (name, df) =>
       ctl.get(name) match {
         case Some(c) =>
-          val c1 = time(exec(c)); val o1 = time(exec(df))
-          val o2 = time(exec(df)); val c2 = time(exec(c))
-          results(name) = math.min(o1, o2)
-          controlTimes(name) = math.min(c1, c2)
+          checkPlanMatch(s"${name}_1x", df, c)
+          measurePair(spark, name, df, c, results, controlTimes)
         case None =>
           results(name) = Seq(time(exec(df)), time(exec(df))).min
       }
@@ -159,7 +229,12 @@ object Bench {
     Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         hygiene(spark) // clean slate per query — see hygiene scaladoc
-        val runs = Seq(time(exec(fn(spark, sfDir))), time(exec(fn(spark, sfDir))))
+        val runs = scala.collection.mutable.ArrayBuffer(
+          time(exec(fn(spark, sfDir))), time(exec(fn(spark, sfDir))))
+        // two runs disagreeing >50% means one hit a drift window (GC,
+        // cleanup, page-cache churn) — a third run resolves which
+        if (math.abs(runs(0) - runs(1)) / math.max(runs.min, 1e-9) > 0.5)
+          runs += time(exec(fn(spark, sfDir)))
         results(name) = runs.min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -203,11 +278,19 @@ object Bench {
     // by the judge (controls, ratios, scale trend, twin check) goes last —
     // they survive truncation. The complete line is also written to
     // BENCH_FULL.json in the repo so every number is machine-readable.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"scale10x":${jmap(scaleTimes)},"scale10x_controls":${jmap(scaleCtl)},"b5_plan_match_10x":$b5PlanMatch,"twin_check":{"q_monster":${results.getOrElse("q_monster", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}},"contaminated":$contaminated}"""
+    val pm = planMatches.toSeq
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"scale10x":${jmap(scaleTimes)},"scale10x_controls":${jmap(scaleCtl)},"plan_match":$pm,"b5_plan_match_10x":$b5PlanMatch,"twin_check":{"q_monster":${results.getOrElse("q_monster", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}},"contaminated":$contaminated}"""
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () } // repo may be elsewhere; stdout is canonical
+    try {
+      // full normalized plan dumps behind every plan_match bit, for
+      // inspection (replaces the r4 b5-only BENCH_B5_PLANS.txt)
+      val w = new java.io.PrintWriter("/root/repo/BENCH_PLANS.txt")
+      try w.print(planDump.toString) finally w.close()
+    } catch { case _: Throwable => () }
     println(json)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
@@ -220,11 +303,6 @@ object Bench {
   private def runScaleStep(spark: SparkSession, sfDir: String,
                            times: scala.collection.mutable.Map[String, Double],
                            ctlTimes: scala.collection.mutable.Map[String, Double]): Boolean = {
-    def time(fn: => Unit): Double = {
-      val t0 = System.nanoTime()
-      fn
-      (System.nanoTime() - t0) / 1e9
-    }
     // amplify: 10 copies, integer keys offset per copy so joins/sorts see
     // 10x distinct keys, not 10x duplicates of each key. Exception:
     // b5_wordcount groups on words from the duplicated text, so it sees
@@ -292,57 +370,13 @@ object Bench {
           SELECT explode(split(text, '\\s+')) AS w FROM documents10x)
           WHERE length(w) > 0 GROUP BY 1""")),
     )
-    // INTERLEAVED in symmetric ABBA order (ctl, ours, ours, ctl): round-2
-    // showed a drift when ours always ran first on the freshly-amplified
-    // input (paying page-cache/JIT warm-up); round-3's ctl-first fix left
-    // ours always LAST instead — ABBA gives each side one early and one
-    // late slot. Sub-2s micro-benches (b5 at 10x runs in well under a
-    // second) are jitter-dominated at min-of-2 — their plans are proven
-    // identical (see the b5 plan dump), yet scheduling noise alone swung
-    // the r3 ratio to 1.76x — so they get a second ABBA pass (min-of-4).
+    // measured via measurePair (burn pair + ABBA + adaptive retries —
+    // see its scaladoc), with a per-pair plan-identity check at 10x
     pairs.foreach { case (name, ours, ctl) =>
-      // a scale-step failure must degrade the report (missing entry), not
-      // abort Bench.main and discard the 80+ suite timings already taken
-      try {
-        hygiene(spark) // clean slate per pair (spills/cache from the prior pair)
-        val cs = scala.collection.mutable.ArrayBuffer[Double]()
-        val os = scala.collection.mutable.ArrayBuffer[Double]()
-        def abba(): Unit = {
-          cs += time(exec(ctl)); os += time(exec(ours))
-          os += time(exec(ours)); cs += time(exec(ctl))
-        }
-        abba()
-        if (math.min(cs.min, os.min) < 2.0) abba()
-        times(name) = os.min
-        ctlTimes(name) = cs.min
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] scale10x $name failed: ${e.getMessage}")
-      }
+      checkPlanMatch(s"${name}_10x", ours, ctl)
+      measurePair(spark, name, ours, ctl, times, ctlTimes)
     }
-
-    // b5 explain-diff (r3 carryover): ours and the SQL control should plan
-    // identically at 10x; if they do, any residual ratio gap is
-    // measurement, which the twin self-check covers. Expression ids and
-    // plan ids differ per compilation — normalize before comparing; full
-    // dumps go to BENCH_B5_PLANS.txt for inspection.
-    val b5PlanMatch = pairs.find(_._1 == "b5_wordcount").map {
-      case (_, ours, ctl) =>
-        def norm(df: DataFrame): String = df.queryExecution.executedPlan
-          .toString.replaceAll("#\\d+L?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
-          .replaceAll("\\bid=#?\\d+\\b", "id=x")
-        val (op, cp) = (norm(ours), norm(ctl))
-        try {
-          val w = new java.io.PrintWriter("/root/repo/BENCH_B5_PLANS.txt")
-          try {
-            w.println("== b5_wordcount OURS (10x, normalized) ==")
-            w.println(op)
-            w.println("== b5_wordcount CONTROL (10x, normalized) ==")
-            w.println(cp)
-            w.println(s"== MATCH: ${op == cp} ==")
-          } finally w.close()
-        } catch { case _: Throwable => () }
-        op == cp
-    }.getOrElse(false)
+    val b5PlanMatch = planMatches.getOrElse("b5_wordcount_10x", false)
 
     // LLM-pipeline headliners at scale: the SAME dedup plans at 1x and
     // 10x. No hand-written SQL control exists for the multi-stage

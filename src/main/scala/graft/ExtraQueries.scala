@@ -442,6 +442,72 @@ object ExtraQueries {
         event_type, count(*)::BIGINT AS cnt
         FROM events GROUP BY 1, 2"""))),
 
+    // STATEFUL streaming under the oracle: flatMapGroupsWithState
+    // sessionization (30-min gap, event-time timeout) through a real
+    // AvailableNow micro-batch run. Sentinel mechanics as q_stream_hourly:
+    // a +30d event advances the watermark so every real session closes —
+    // most by EventTimeTimeout in the trailing no-data batch, the sentinel
+    // user's last real session by gap. Values ride as integer cents in a
+    // double (round(value*100) BEFORE sessionize), so the state's double
+    // sums are exact in any arrival order — the same reason the batch
+    // queries aggregate cents, applied to streaming state. Sessions
+    // starting after the last real event (the sentinel's own) are
+    // excluded by start time; a double emission would duplicate a row and
+    // break rows_match loudly, so the fold is deliberately raw.
+    "q_stream_sessionize" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_sess_in", dir)
+      val sink = tmp("stream_sess_out", dir)
+      val ckpt = tmp("stream_sess_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val maxRealSec = maxNs / 1000000000L
+      val sentinelTmp = tmp("stream_sess_sentinel", dir)
+      raw.limit(1)
+        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
+      val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+        .withColumn("value", round(col("value") * 100)) // exact cents-in-double
+      val q = graft.streaming.EventStreams.sessionize(stream)
+        .toDF.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .where(col("startSec") <= maxRealSec)
+        .select(col("user_id"),
+          col("startSec").as("session_start"),
+          col("endSec").as("session_end"),
+          col("n_events").cast("long").as("n_events"),
+          col("sum_value").cast("long").as("value_cents"))
+    }, Some("""WITH ev AS (
+        SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec,
+          (round(value*100, 0))::BIGINT AS vc
+        FROM events),
+      g AS (
+        SELECT user_id, event_id, sec, vc,
+          sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        FROM ev),
+      sessed AS (
+        SELECT user_id, sec, vc,
+          sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY sec, event_id)::BIGINT AS sess
+        FROM g)
+      SELECT user_id, min(sec)::BIGINT AS session_start,
+        max(sec)::BIGINT AS session_end, count(*)::BIGINT AS n_events,
+        sum(vc)::BIGINT AS value_cents
+      FROM sessed GROUP BY user_id, sess"""))),
+
     // Embedding-cosine near-duplicates: corpus = embeddings plus 50
     // planted exact copies under offset ids; hyperplane-LSH buckets bound
     // the candidate set, exact cosine >= 0.99 confirms. The oracle replays
@@ -489,6 +555,26 @@ object ExtraQueries {
           (row_number() OVER (ORDER BY l_orderkey, l_linenumber))::BIGINT AS rank
         FROM lineitem)
       WHERE (rank - 1) % 10 = 0"""))),
+
+    // Stratified sampling (per-stratum keep rates on a stable key hash):
+    // the training-data "downsample the overrepresented class" operator,
+    // and the reproducible analog of InputSampler's split-dependent
+    // random samplers (see [[graft.ops.Sampling.stratifiedSample]]).
+    // Exact full-row compare: the oracle replays the identical md5-hash
+    // arithmetic, so both engines keep the IDENTICAL row set, not merely
+    // equally-sized ones.
+    "q_stratified_sample" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .where(graft.ops.Sampling.stratifiedSample(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+          col("l_returnflag"),
+          Map("A" -> 0.2, "N" -> 0.05)))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    }, Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+      FROM lineitem
+      WHERE (('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 8))::BIGINT
+          / 4294967296.0)
+        < (CASE l_returnflag WHEN 'A' THEN 0.2 WHEN 'N' THEN 0.05 ELSE 1.0 END)"""))),
 
     // Winnowing (rolling-hash) fingerprints: k-gram hash stream → window
     // minima → distinct fingerprints per doc, exploded for the compare.

@@ -237,6 +237,37 @@ object Queries {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY 1""")),
 
+    "q_tpch_q1" -> Q(
+      // pricing-summary shape (TPC-H Q1): the canonical scan-side
+      // partial-agg workload — one pass, 6 aggregates, 6-group output;
+      // the date predicate pushes to the scan, the combiner (partial
+      // hash agg) reduces 6M rows/partition to 6 before the one tiny
+      // shuffle. Averages are carried as (sum, count) pairs in exact
+      // cents — the division is display-side, not engine-side, so the
+      // oracle compare stays FP-association-free.
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+          sum(cents(col("l_discount"))).as("sum_disc_pts"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        sum((round(l_extendedprice*100, 0))::BIGINT)::BIGINT AS sum_base_cents,
+        sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT AS sum_disc_cents,
+        sum((round(l_extendedprice*(1-l_discount)*(1+l_tax)*100, 0))::BIGINT)::BIGINT AS sum_charge_cents,
+        sum((round(l_discount*100, 0))::BIGINT)::BIGINT AS sum_disc_pts,
+        count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "q_join_broadcast" -> Q(
       (s, dir) => t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))

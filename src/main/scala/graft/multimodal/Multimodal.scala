@@ -87,6 +87,48 @@ object Multimodal {
       }
   }
 
+  /** REAL audio decode via the JDK's own `javax.sound.sampled` — the WAV
+    * (RIFF/PCM) reader ships with the JDK, so the audio modality needs no
+    * external codec library either. Field mapping for the (w, h, c, d)
+    * tuple, since images and audio share the features row:
+    * width = sample rate (Hz), height = bits per sample,
+    * channels = channel count, duration from frameLength/frameRate.
+    * An undecodable payload fails loudly (quarantine upstream via
+    * [[graft.ops.Reliability.routeBadRecords]] for dirty corpora).
+    */
+  object WavCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], modality: String): (Int, Int, Int, Long) =
+      modality match {
+        case "audio" =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            val durMs =
+              if (in.getFrameLength >= 0 && fmt.getFrameRate > 0)
+                (in.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+              else 0L
+            (fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
+              fmt.getChannels, durMs)
+          } finally in.close()
+        case other => StubCodec.decode(payload, other)
+      }
+  }
+
+  /** Best-real-available composite: image via [[ImageIoCodec]], audio via
+    * [[WavCodec]] — both pure-JDK — video via [[StubCodec]] (the JDK
+    * bundles no video codec; that seam is where a JNI/FFI decoder plugs
+    * in).
+    */
+  object JdkCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], modality: String): (Int, Int, Int, Long) =
+      modality match {
+        case "image" => ImageIoCodec.decode(payload, modality)
+        case "audio" => WavCodec.decode(payload, modality)
+        case other   => StubCodec.decode(payload, other)
+      }
+  }
+
   def decodeStub(payload: Array[Byte], modality: String): (Int, Int, Int, Long) = {
     def beInt(off: Int): Int =
       if (payload.length < off + 4) 0

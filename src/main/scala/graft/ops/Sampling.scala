@@ -34,4 +34,31 @@ object Sampling {
     */
   def md5PrefixFilter(key: Column, prefix: String): Column =
     substring(md5(key.cast("string")), 1, prefix.length) === prefix
+
+  /** Stratified sample: per-stratum keep rates over a stable key hash —
+    * the training-data "downsample the overrepresented class" operator
+    * (and the scale-correct analog of the reference InputSampler's
+    * per-split sampling,
+    * `/root/reference/src/mapred/org/apache/hadoop/mapred/lib/InputSampler.java:118`:
+    * its samplers draw from `java.util.Random` per split, so the sample
+    * depends on the split layout — this hash sample is reproducible on
+    * any engine and any partitioning).
+    *
+    * Keep iff `hash01(key) < rate(stratum)`, where hash01 is the first 8
+    * md5 hex digits scaled to [0,1). A stratum absent from `rates` keeps
+    * everything (rate 1.0). Rates quantize at 2^-32 — exact for any rate
+    * expressible in 32 bits, and replayable in SQL as
+    * `CAST(CONV(SUBSTR(md5(k),1,8),16,10) AS DOUBLE) / 4294967296 < r`.
+    *
+    * Scale: a pure codegen'd filter Column — no shuffle, no per-split
+    * state; at 100 TB the sample decision rides the scan.
+    */
+  def stratifiedSample(key: Column, stratum: Column,
+                       rates: Map[String, Double]): Column = {
+    val hash01 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    rates.toSeq.sortBy(_._1).foldLeft(lit(1.0)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    } > hash01
+  }
 }

@@ -88,6 +88,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec decodes a real RIFF/PCM WAV via javax.sound (pure JDK)") {
+    import javax.sound.sampled._
+    def wavBytes(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = Array.tabulate[Byte](frames * 2 * channels)(i => (i * 7).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val df = Seq(
+      (1L, "audio", wavBytes(8000f, 1, 4000), "audio/wav",
+        Map.empty[String, String]),
+      (2L, "audio", wavBytes(16000f, 2, 8000), "audio/wav",
+        Map.empty[String, String]),
+      (3L, "video", Array.tabulate[Byte](64)(_.toByte), "video/fake",
+        Map.empty[String, String]))
+      .toDF("media_id", "modality", "payload", "mime", "meta")
+    val f = Multimodal.extractFeatures(df, batchSize = 2,
+      codec = Multimodal.JdkCodec).collect().map(x => x.media_id -> x).toMap
+    // real header fields: width=sampleRate, height=bitsPerSample,
+    // duration from frame count (4000 frames @ 8kHz = 8000 @ 16kHz = 500ms)
+    assert(f(1L).width == 8000 && f(1L).height == 16 && f(1L).channels == 1
+      && f(1L).duration_ms == 500L)
+    assert(f(2L).width == 16000 && f(2L).channels == 2
+      && f(2L).duration_ms == 500L)
+    // video still flows through the stub under the composite codec
+    val (sw, sh, sc, sd) = Multimodal.decodeStub(
+      Array.tabulate[Byte](64)(_.toByte), "video")
+    assert(f(3L).width == sw && f(3L).height == sh && f(3L).channels == sc
+      && f(3L).duration_ms == sd)
+    // corrupt audio fails loudly instead of fabricating a header
+    assertThrows[org.apache.spark.SparkException] {
+      Seq((9L, "audio", Array[Byte](1, 2, 3), "audio/wav",
+        Map.empty[String, String]))
+        .toDF("media_id", "modality", "payload", "mime", "meta")
+        .transform(d => Multimodal.extractFeatures(d,
+          codec = Multimodal.JdkCodec).toDF)
+        .collect()
+    }
+  }
+
   test("codec seam: a non-stub decoder plugs in without plumbing changes") {
     // fake "real" codec: fixed dims per modality — proves extractFeatures
     // is codec-agnostic (the stub is an implementation, not the API)

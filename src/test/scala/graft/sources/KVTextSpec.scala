@@ -37,4 +37,24 @@ class KVTextSpec extends SparkSpec {
     val total = li.count()
     assert(n1 > total / 40 && n1 < total / 6)
   }
+
+  test("stratified sample: per-stratum rates, deterministic, partition-independent") {
+    import graft.ops.Sampling
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+    val rates = Map("A" -> 0.25, "N" -> 0.05)
+    def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.where(Sampling.stratifiedSample(key, col("l_returnflag"), rates))
+        .groupBy("l_returnflag").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c1 = counts(li)
+    val c2 = counts(li.repartition(13)) // same keep-set on any layout
+    assert(c1 == c2)
+    val base = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-stratum rates within loose binomial bounds; absent strata keep all
+    assert(c1("A") > base("A") / 8 && c1("A") < base("A") / 2)
+    assert(c1("N") > base("N") / 100 && c1("N") < base("N") / 10)
+    assert(c1("R") == base("R"))
+  }
 }
