@@ -183,6 +183,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-bench", cpus.toInt)
       .config("spark.sql.shuffle.partitions", cpus)
+      // plan strings truncate field lists at 100 chars by default; the
+      // substring->substr normalization shifts where the "..." cut lands,
+      // so plan_match would false-negative on truncation position alone.
+      // Render plans in full — this config only affects explain strings.
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -55,6 +55,32 @@ object ExtraQueries {
       }.mkString("[", ", ", "]")
     }
 
+  /** DuckDB replay of [[graft.dedup.Dedup.simhash64]]'s vote/band
+    * arithmetic (generated, not hand-written — 64 vote columns): same
+    * md5-hex-digit bit extraction, same band packing, so both engines
+    * compute the IDENTICAL four 16-bit bands per doc.
+    */
+  private def simhashBandsSql: String = {
+    def hexSet(b: Int): String = (0 until 16)
+      .filter(d => ((d >> b) & 1) == 1)
+      .map(d => s"'${d.toHexString}'").mkString("(", ",", ")")
+    val voteCols = (for { j <- 0 until 16; b <- 0 until 4 } yield
+      s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN ${hexSet(b)} THEN 1 ELSE -1 END) AS v_${j}_$b")
+      .mkString(", ")
+    val bandCols = (0 until 4).map { k =>
+      (for { jj <- 0 until 4; b <- 0 until 4 } yield
+        s"(CASE WHEN v_${4 * k + jj}_$b > 0 THEN ${1 << (jj * 4 + b)} ELSE 0 END)")
+        .mkString(" + ") + s" AS b$k"
+    }.mkString(", ")
+    s"""tok AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '),
+          x -> len(x) > 0))) AS t
+        FROM documents),
+      hs AS (SELECT doc_id, md5(t) AS h FROM tok),
+      votes AS (SELECT doc_id, $voteCols FROM hs GROUP BY doc_id),
+      bands AS (SELECT doc_id, $bandCols FROM votes)"""
+  }
+
   val registry: Map[String, (
       (SparkSession, String) => DataFrame, Option[String])] = Map(
 
@@ -575,6 +601,36 @@ object ExtraQueries {
       WHERE (('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 8))::BIGINT
           / 4294967296.0)
         < (CASE l_returnflag WHEN 'A' THEN 0.2 WHEN 'N' THEN 0.05 ELSE 1.0 END)"""))),
+
+    // SimHash near-dup pairs END-TO-END: 64-bit signature → 4-band
+    // pigeonhole candidates (lossless at Hamming <= 3, never all-pairs)
+    // → exact bit_count(xor) verify. The oracle replays the ENTIRE
+    // operator — generated vote/band SQL, the same band-bucket candidate
+    // join, and the same maxBucket degenerate-bucket guard — so both
+    // engines emit the identical pair list, guard effects included.
+    "q_simhash_pairs" -> (((s: SparkSession, dir: String) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
+        maxBucket = 1000)
+    }, Some(s"""WITH $simhashBandsSql,
+      bexp AS (
+        SELECT doc_id, b0, b1, b2, b3, k,
+          CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bkey
+        FROM bands, (SELECT unnest(range(4)) AS k)),
+      bexp2 AS (
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY k, bkey) AS bsz FROM bexp)
+        WHERE bsz <= 1000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bexp2 a JOIN bexp2 b ON a.k = b.k AND a.bkey = b.bkey
+          AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT c.doc_a, c.doc_b,
+          (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT AS hamming
+        FROM cand c JOIN bands x ON c.doc_a = x.doc_id
+          JOIN bands y ON c.doc_b = y.doc_id)
+      WHERE hamming <= 3"""))),
 
     // Winnowing (rolling-hash) fingerprints: k-gram hash stream → window
     // minima → distinct fingerprints per doc, exploded for the compare.

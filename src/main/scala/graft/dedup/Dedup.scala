@@ -400,4 +400,74 @@ object Dedup {
     val bits = (0 until 16).map(j => when(col(s"v$j") > 0, "1").otherwise("0"))
     votes.select(col(id), concat(bits: _*).as("simhash"))
   }
+
+  /** 64-bit SimHash (Charikar, STOC'02 — the fingerprint Manku/Jain/
+    * Sarma's WWW'07 web-dedup paper built on), packed as FOUR 16-bit
+    * band ints `b0..b3`. The bands serve double duty: together they are
+    * the signature; individually they are LSH keys for [[simhashPairs]]
+    * (pigeonhole: two signatures within Hamming distance 3 of each other
+    * differ in at most 3 of the 4 bands, so at least one band matches
+    * exactly — banding loses NO pairs at the ≤3 threshold).
+    *
+    * Bit layout, shared verbatim with the DuckDB oracle: hex digit
+    * j ∈ 0..15 of md5(token) votes on bits (d_j >> b) & 1 for b ∈ 0..3;
+    * band k packs digits 4k..4k+3 at in-band position (j-4k)*4 + b.
+    * One explode + one 64-column partial-aggregated groupBy — a single
+    * shuffle of 64 ints per doc regardless of corpus size.
+    */
+  def simhash64(docs: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    def hexWithBit(b: Int): Seq[String] =
+      (0 until 16).filter(d => ((d >> b) & 1) == 1).map(_.toHexString)
+    val tok = docs.select(col(id),
+      explode(array_distinct(toks(col(text)))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val votes = for { j <- 0 until 16; b <- 0 until 4 } yield
+      sum(when(substring(col("h"), j + 1, 1).isin(hexWithBit(b): _*), 1)
+        .otherwise(-1)).as(s"v_${j}_$b")
+    val agg = tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+    val bandCols = (0 until 4).map { k =>
+      (for { jj <- 0 until 4; b <- 0 until 4 } yield
+        when(col(s"v_${4 * k + jj}_$b") > 0, lit(1 << (jj * 4 + b)))
+          .otherwise(lit(0))).reduce(_ + _).as(s"b$k")
+    }
+    agg.select(col(id) +: bandCols: _*)
+  }
+
+  /** SimHash near-duplicate pairs END-TO-END: signature → band-bucket
+    * self-join (never all-pairs) → exact Hamming verify. Returns
+    * (doc_a, doc_b, hamming) with doc_a < doc_b and hamming ≤ maxHamming.
+    *
+    * Scale shape mirrors [[minhashCandidates]]: candidates come from an
+    * equi-join on (band, bkey) so the cost is Σ bucket², not n²; the
+    * `maxBucket` window guard drops degenerate buckets (a bucket that
+    * big means the band carries no information for those docs). Hamming
+    * is 4 codegen'd `bit_count(xor)` ops on the band ints — no string
+    * comparison in the hot path.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000,
+                   text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for Hamming <= 3")
+    val sig = simhash64(docs, text, id)
+    val bands = sig.select(col(id), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"b$k").as("bkey"))): _*)).as("e"))
+      .select(col(id), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("e.band").as("band"), col("e.bkey").as("bkey"))
+    val bounded = bands
+      .withColumn("_bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .where(col("_bsz") <= maxBucket).drop("_bsz")
+    val a = bounded.select(col("band"), col("bkey"), col(id).as("doc_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = bounded.select(col("band"), col("bkey"), col(id).as("doc_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) " +
+          "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a pair can match in up to 4 bands; hamming is identical
+  }
 }

@@ -192,4 +192,35 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(2L)) <= 3)
     assert(hamming(sh(1L), sh(3L)) >= 4)
   }
+
+  test("simhashPairs: banding finds exactly the brute-force Hamming<=3 pairs") {
+    // corpus: 6 planted duplicate families (hamming 0 — a 64-bit simhash
+    // flips ~1 bit per changed token so "1 token changed" is NOT reliably
+    // <=3; exact dups pin the expectation) + unrelated docs. The REAL
+    // property under test is banding losslessness: banded results must
+    // equal the brute-force all-pairs verify at the <=3 threshold,
+    // whatever near-pairs happen to exist.
+    val corpus = (0 until 6).flatMap { f =>
+      val base = (1 to 100).map(i => s"f${f}w$i").mkString(" ")
+      Seq((f * 10L + 1) -> base, (f * 10L + 2) -> base)
+    } ++ (0 until 8).map(i => (1000L + i) -> (1 to 60).map(j => s"u${i}x$j").mkString(" "))
+    val df = docs(corpus: _*)
+    val banded = Dedup.simhashPairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over the same signatures
+    val sig = Dedup.simhash64(df).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val brute = (for {
+      (a, sa) <- sig.toSeq; (b, sb) <- sig.toSeq if a < b
+      h = sa.zip(sb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(banded == brute, s"banded=${banded.keySet} brute=${brute.keySet}")
+    assert(brute.nonEmpty, "test corpus produced no near-dup pairs at all")
+    // each planted family's pair is present
+    (0 until 6).foreach { f =>
+      assert(banded.contains((f * 10L + 1, f * 10L + 2)),
+        s"family $f near-dup pair missed")
+    }
+  }
 }
