@@ -534,6 +534,51 @@ object ExtraQueries {
         sum(vc)::BIGINT AS value_cents
       FROM sessed GROUP BY user_id, sess"""))),
 
+    // STREAM-STREAM interval join under the oracle: purchase-click
+    // attribution (click within 1h before the purchase) through a real
+    // AvailableNow micro-batch run. Inner-join matches emit as data
+    // arrives; the sentinel still rides along to advance the watermark so
+    // both sides' state is evicted rather than parked (the 100 TB concern
+    // — join state is watermark-bounded). Time arithmetic compares in
+    // integer MICROSECONDS on both engines: Spark's ts is µs-truncated
+    // from the raw nanos, so the oracle truncates identically instead of
+    // comparing at nanos and flipping sub-µs boundary pairs.
+    "q_stream_attribution" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_attr_in", dir)
+      val sink = tmp("stream_attr_out", dir)
+      val ckpt = tmp("stream_attr_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val sentinelTmp = tmp("stream_attr_sentinel", dir)
+      raw.limit(1)
+        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
+      val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+      val q = graft.streaming.EventStreams.purchaseAttribution(stream)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink).select("purchase_id", "user_id", "click_id")
+    }, Some("""WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        FROM events)
+      SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+      FROM ev p JOIN ev c ON p.user_id = c.user_id
+        AND p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.us >= p.us - 3600000000 AND c.us <= p.us"""))),
+
     // Embedding-cosine near-duplicates: corpus = embeddings plus 50
     // planted exact copies under offset ids; hyperplane-LSH buckets bound
     // the candidate set, exact cosine >= 0.99 confirms. The oracle replays
