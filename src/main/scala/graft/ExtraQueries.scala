@@ -81,8 +81,48 @@ object ExtraQueries {
       bands AS (SELECT doc_id, $bandCols FROM votes)"""
   }
 
+  /** DuckDB replay of [[graft.sim.Similarity.kmeansFit]]: `iters` Lloyd
+    * iterations UNROLLED as CTE chains (assign → rounded means → assign
+    * ...), same seeds (k smallest ids, cid 0..k-1), same smaller-cid
+    * tie-break, same round-at-9 mean quantization — so both engines walk
+    * the identical centroid trajectory.
+    */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    def assign(ccte: String): String =
+      s"""SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.c)
+              / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.c, c.c))) DESC,
+            c.cid) AS rn
+        FROM e CROSS JOIN $ccte c) WHERE rn = 1"""
+    def means(acte: String): String =
+      s"""SELECT cell AS cid, list(m ORDER BY i) AS c FROM (
+        SELECT cell, i, round(avg(v[i+1]), 9) AS m
+        FROM $acte, range($dim) t(i) GROUP BY cell, i) GROUP BY cell"""
+    val chain = (0 until iters).map { it =>
+      s"a$it AS (${assign(s"c$it")}), c${it + 1} AS (${means(s"a$it")})"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+      $chain,
+      final_a AS (${assign(s"c$iters")})
+      SELECT vec_id, cell::BIGINT AS cell FROM final_a"""
+  }
+
   val registry: Map[String, (
       (SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // Distributed k-means TRAINING (Lloyd) for the IVF index, under the
+    // oracle: 2 iterations over the embeddings table, final cell
+    // assignment compared row-for-row — the engines must agree on every
+    // intermediate centroid to agree on the final assignment.
+    "q_kmeans" -> (((s: SparkSession, dir: String) => {
+      val (assign, _) = graft.sim.Similarity.kmeansFit(
+        t(s, dir, "embeddings"), k = 4, iters = 2)
+      assign.select(col("vec_id"), col("cell").cast("long").as("cell"))
+    }, Some(kmeansSql(k = 4, iters = 2, dim = 64)))),
 
     // ---- §2.1 compat sources/sinks: real write → real read ------------
 

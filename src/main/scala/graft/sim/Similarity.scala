@@ -118,6 +118,41 @@ object Similarity {
     * the cell column is what the table would be partitioned/bucketed by
     * at 100 TB so probes touch one partition per cell.
     */
+  /** Distributed Lloyd iterations — TRAINS the IVF centroids instead of
+    * just probing seeded ones. Per iteration: one broadcast-style assign
+    * (centroids ride the plan as literals — k·dim doubles, tiny) and one
+    * posexplode + (cell,pos) partial-aggregated mean — a single shuffle
+    * of k·dim cells per partition regardless of corpus size. The k·dim
+    * recomputed means are collected to the driver per iteration (k·dim ≤
+    * a few thousand doubles — the same legitimate centroid-table collect
+    * the IVF probe already does; the DATA never leaves executors).
+    *
+    * Determinism, engine-portable: seeds are the k smallest-id vectors
+    * (cid = 0..k-1 in id order); assignment tie-break prefers the smaller
+    * cid; recomputed means round at 9 decimals so the 1e-16 FP-order
+    * noise of distributed summation cannot cascade into different
+    * assignments across engines/partitionings. Empty cells keep their
+    * previous centroid. Returns (assignment, centroids).
+    */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int,
+                id: String = "vec_id", emb: String = "embedding")
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val v = vectors.select(col(id), col(emb).cast("array<double>").as(emb))
+    var cents: Seq[(Int, Seq[Double])] = v.orderBy(col(id)).limit(k).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1).toVector }.toSeq
+    for (_ <- 0 until iters) {
+      val means = buildIvfIndex(v, cents, id, emb)
+        .select(col("cell"), posexplode(col(emb)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(round(avg("x"), 9).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1).map { case (c, xs) =>
+        c -> xs.sortBy(_._2).map(_._3).toVector
+      }
+      cents = cents.map { case (cid, old) => cid -> byCell.getOrElse(cid, old) }
+    }
+    (buildIvfIndex(v, cents, id, emb).select(col(id), col("cell")), cents)
+  }
+
   def buildIvfIndex(vectors: DataFrame, centroids: Seq[(Int, Seq[Double])],
                     id: String = "vec_id", emb: String = "embedding"): DataFrame = {
     // nearest centroid via a greatest-of-structs fold: (sim, -cid) max —

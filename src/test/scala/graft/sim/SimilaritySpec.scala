@@ -56,6 +56,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getLong(0) == 42L) // own cell contains self
   }
 
+  test("kmeansFit: deterministic across partitionings, improves the objective") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val (a1, c1) = Similarity.kmeansFit(emb, k = 4, iters = 2)
+    val (a2, c2) = Similarity.kmeansFit(emb.repartition(7), k = 4, iters = 2)
+    // identical trajectory on any layout (rounded means kill FP-order noise)
+    assert(c1 == c2)
+    assert(a1.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      == a2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    assert(a1.select("cell").distinct().count() > 1, "all points in one cell")
+    // Lloyd must not worsen the mean assigned-cosine vs the seed centroids
+    def objective(cents: Seq[(Int, Seq[Double])]): Double =
+      Similarity.buildIvfIndex(emb, cents)
+        .select(greatest(cents.map { case (_, c) =>
+          Similarity.cosine(col("embedding").cast("array<double>"),
+            array(c.map(lit): _*))
+        }: _*).as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    val seeds = emb.orderBy("vec_id").limit(4).collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toVector }.toSeq
+    assert(objective(c1) >= objective(seeds) - 1e-9,
+      "training worsened the clustering objective")
+  }
+
   test("embedding near-dup detection finds planted duplicates") {
     import spark.implicits._
     val base = (0 until 32).map(i => math.sin(i * 1.7).toFloat)
