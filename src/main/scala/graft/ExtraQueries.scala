@@ -574,6 +574,53 @@ object ExtraQueries {
         sum(vc)::BIGINT AS value_cents
       FROM sessed GROUP BY user_id, sess"""))),
 
+    // Streaming DEDUP under the oracle: the events file staged TWICE
+    // (simulated duplicate delivery — the reference-era at-least-once
+    // ingestion problem) + sentinel; dropDuplicatesWithinWatermark keeps
+    // each event_id's first occurrence with state bounded by the
+    // watermark. Output = exactly the original events table (raw-value
+    // passthrough, nanos ts — no FP anywhere), which is the whole point:
+    // a duplicated delivery is invisible downstream.
+    "q_stream_dedup" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_dedup_in", dir)
+      val sink = tmp("stream_dedup_out", dir)
+      val ckpt = tmp("stream_dedup_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      Seq("aa_events", "bb_events_dup").foreach { n =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$stage/$n.parquet"))
+      }
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val sentinelTmp = tmp("stream_dedup_sentinel", dir)
+      raw.limit(1)
+        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
+      val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+      val q = graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .where(col("event_type") =!= "sentinel")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          // µs, not raw nanos: DuckDB's native TIMESTAMP truncates the
+          // parquet nanos to µs, so nanos-exact compare is impossible —
+          // µs-exact is (same truncation both sides)
+          expr("ts_ns DIV 1000").as("ts_us"))
+    }, Some("""SELECT event_id, user_id, event_type,
+        epoch_ns(ts) // 1000 AS ts_us
+      FROM events"""))),
+
     // STREAM-STREAM interval join under the oracle: purchase-click
     // attribution (click within 1h before the purchase) through a real
     // AvailableNow micro-batch run. Inner-join matches emit as data
