@@ -86,6 +86,12 @@ object ExtraQueries {
     * ...), same seeds (k smallest ids, cid 0..k-1), same smaller-cid
     * tie-break, same round-at-9 mean quantization — so both engines walk
     * the identical centroid trajectory.
+    *
+    * Assumption: no cell goes empty during the replayed iterations (the
+    * SQL has no keep-old-centroid fallback; kmeansFit does). With k=4
+    * seeds on real embedding data every cell keeps members — if a future
+    * fixture emptied one, this oracle would mismatch loudly rather than
+    * silently diverge.
     */
   private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
     def assign(ccte: String): String =

@@ -448,7 +448,12 @@ object Dedup {
                    text: String = "text", id: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole only guarantees recall for Hamming <= 3")
-    val sig = simhash64(docs, text, id)
+    // checkpoint the signature table: both sides of the candidate
+    // self-join consume it, and without the lineage cut Spark plans the
+    // token-explode + 64-column aggregate TWICE — the dominant cost at
+    // corpus scale. The checkpointed table is ~20 bytes/doc (id + 4
+    // band ints): negligible storage for halving the heavy stage.
+    val sig = graft.ops.Checkpoints.truncate(simhash64(docs, text, id))
     val bands = sig.select(col(id), col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"), col(s"b$k").as("bkey"))): _*)).as("e"))
