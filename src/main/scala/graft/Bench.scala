@@ -428,6 +428,8 @@ object Bench {
       Dedup.embeddingNearDups(emb1x, dim = 64, threshold = 0.99, nBits = 8)))
     measure("d2_near_dup_embed", times)(exec(
       Dedup.embeddingNearDups(emb10x, dim = 64, threshold = 0.99, nBits = 8)))
+    measure("d3_simhash_pairs", ctlTimes)(exec(Dedup.simhashPairs(docs1x)))
+    measure("d3_simhash_pairs", times)(exec(Dedup.simhashPairs(docs10x)))
     hygiene(spark)
     b5PlanMatch
   }

@@ -120,6 +120,22 @@ object ExtraQueries {
   val registry: Map[String, (
       (SparkSession, String) => DataFrame, Option[String])] = Map(
 
+    // Embedding mean-pooling (chunk→document), under the oracle: pool
+    // per synthetic group (vec_id % 37), re-explode the pooled vector
+    // for the compare — exercises the full pool + reassembly path while
+    // the oracle replays the same per-dimension rounded means.
+    "q_mean_pool" -> (((s: SparkSession, dir: String) => {
+      graft.sim.Similarity.meanPool(
+        t(s, dir, "embeddings"), col("vec_id") % 37)
+        .select(col("group_id"),
+          posexplode(col("embedding")).as(Seq("pos", "m")))
+        .select(col("group_id"), col("pos").cast("long").as("pos"), col("m"))
+    }, Some("""WITH e AS (
+        SELECT vec_id % 37 AS group_id, embedding::DOUBLE[] AS v
+        FROM embeddings)
+      SELECT group_id, i AS pos, round(avg(v[i+1]), 9) AS m
+      FROM e, range(64) t(i) GROUP BY group_id, i"""))),
+
     // Distributed k-means TRAINING (Lloyd) for the IVF index, under the
     // oracle: 2 iterations over the embeddings table, final cell
     // assignment compared row-for-row — the engines must agree on every

@@ -118,6 +118,24 @@ object Similarity {
     * the cell column is what the table would be partitioned/bucketed by
     * at 100 TB so probes touch one partition per cell.
     */
+  /** Mean-pool embeddings per group — the chunk→document pooling step of
+    * an embedding pipeline. One posexplode + (group,pos) partial-agg avg
+    * + one reassembly agg: shuffles dim scalars per group, never a
+    * per-group buffer of whole vectors, so a group with 10⁶ chunks costs
+    * the same state as one with 10. Means quantize at 9 decimals (same
+    * trick as [[kmeansFit]]) so the result is identical on any
+    * partitioning and replayable by any SQL engine.
+    */
+  def meanPool(vectors: DataFrame, group: Column,
+               emb: String = "embedding"): DataFrame =
+    vectors
+      .select(group.as("group_id"),
+        posexplode(col(emb).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("group_id", "pos").agg(round(avg("x"), 9).as("m"))
+      .groupBy("group_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as(emb))
+
   /** Distributed Lloyd iterations — TRAINS the IVF centroids instead of
     * just probing seeded ones. Per iteration: one broadcast-style assign
     * (centroids ride the plan as literals — k·dim doubles, tiny) and one

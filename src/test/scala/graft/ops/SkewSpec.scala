@@ -29,4 +29,38 @@ class SkewSpec extends SparkSpec {
     val firstBucket = li.where(col("l_extendedprice") <= pts.head).count()
     assert(firstBucket > total / 16 && firstBucket < total / 4)
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // the session's skewJoin config (on by default in GraftSession) is the
+    // OTHER half of the skew story next to saltedAggregate: joins need no
+    // manual salting because AQE re-plans the hot partition. Force the
+    // shuffle path (no broadcast) and thresholds small enough that the
+    // planted hot key (99% of rows on k=0) trips the splitter, then
+    // assert the executed adaptive plan actually marked the join skewed.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val facts = spark.range(300000).select(
+        when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(3000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = facts.join(dim, "k")
+      // drive THIS DataFrame's own QueryExecution: a write plans a fresh
+      // one, and even Dataset.foreach/rdd use a separate
+      // rddQueryExecution — only toRdd executes the AdaptiveSparkPlan we
+      // inspect below
+      assert(joined.queryExecution.toRdd.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan, got:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
