@@ -147,4 +147,34 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("RocksDB state store produces identical results to the default provider") {
+    // at 100 TB the in-memory HDFS-backed state store is the wrong
+    // provider — sessions/windows/join state must spill; Spark bundles
+    // RocksDB for exactly this. Same sessionization, same answers —
+    // switching the provider is a config, not a code change.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sess = EventStreams.sessionize(staged)
+      EventStreams.runToMemory(sess.toDF(), "sessions_rocks", OutputMode.Append())
+      val rocks = spark.table("sessions_rocks")
+        .where(col("user_id") =!= -1)
+        .select("user_id", "startSec", "endSec", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      spark.conf.unset(key) // default provider for the reference run
+      val sessD = EventStreams.sessionize(staged)
+      EventStreams.runToMemory(sessD.toDF(), "sessions_default", OutputMode.Append())
+      val dflt = spark.table("sessions_default")
+        .where(col("user_id") =!= -1)
+        .select("user_id", "startSec", "endSec", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(rocks == dflt && rocks.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
