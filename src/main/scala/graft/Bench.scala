@@ -102,7 +102,9 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
-    rmrf(new java.io.File("/tmp/graft_q")) // ExtraQueries round-trip scratch
+    // this JVM's ExtraQueries round-trip scratch ONLY — deleting the
+    // shared root would yank a concurrent process's staging mid-write
+    rmrf(new java.io.File(ExtraQueries.scratchRoot))
     // ContextCleaner reaps broadcast blocks and shuffle files only when the
     // JVM GC collects their driver-side handles — after ~80 queries the
     // uncollected debt (pinned broadcasts, shuffle dirs) is the r3/r4

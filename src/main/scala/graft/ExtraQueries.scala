@@ -28,11 +28,17 @@ object ExtraQueries {
   /** Exact money arithmetic: dollars-double → integer cents. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
-  /** Per-(query, scale-factor) scratch dir so sf0.001/sf0.01/sf0.1 runs
-    * never collide; everything under /tmp, never inside the repo.
+  /** Per-(JVM, query, scale-factor) scratch dir so sf0.001/sf0.01/sf0.1
+    * runs never collide — and neither do CONCURRENT PROCESSES: Bench's
+    * per-query hygiene deletes its own scratch tree between queries, so
+    * without the pid segment a Bench run would delete a concurrent
+    * Verify's staging mid-write. Everything under /tmp, never the repo.
     */
+  val scratchRoot: String =
+    s"/tmp/graft_q/pid${ProcessHandle.current().pid()}"
+
   private def tmp(name: String, sfDir: String): String =
-    s"/tmp/graft_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    s"$scratchRoot/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
   private def rmrf(path: String): Unit = {
     def rm(f: java.io.File): Unit = {

@@ -700,14 +700,28 @@ object Queries {
       // flip on FP representation.
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val rep = TextAnalysis.repetitionRatio(d)
-        d.select(col("doc_id"),
-            TextAnalysis.langId(col("text")).as("lang_pred"),
-            TextAnalysis.tokenCount(col("text")).cast("long").as("tok_cnt"),
-            TextAnalysis.qualityScore(col("text")).as("quality"))
-          .join(rep, "doc_id")
+        // cheap scan-side gates FIRST; the 3-gram explode (the only
+        // shuffle-weight stage) runs over survivors only — identical
+        // result (inner join ∧ filters commute), but at corpus scale the
+        // explode's shuffle volume drops by the gates' rejection rate.
+        // (At sf0.1 this reads ~0.5s slower than exploding everything —
+        // the survivor checkpoint costs more than 5k docs of explode;
+        // the crossover is early, and at 100 TB the explode dominates.)
+        // checkpoint the survivor set: both the repetition branch and the
+        // final join consume it, and without the lineage cut the signal
+        // computation + gates would run once per branch
+        val sigs = graft.ops.Checkpoints.truncate(d
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.signals(col("text")).as("s"))
+          .select(col("doc_id"), col("text"),
+            col("s.lang_pred").as("lang_pred"),
+            col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality"))
           .where(col("lang_pred") === "en" && col("tok_cnt") >= 30
-            && col("quality") >= 0.3 && col("rep_ratio") <= 0.2)
+            && col("quality") >= 0.3))
+        val rep = TextAnalysis.repetitionRatio(
+          sigs.select(col("doc_id"), col("text")))
+        sigs.drop("text").join(rep, "doc_id")
+          .where(col("rep_ratio") <= 0.2)
       },
       Some {
         // composed from the q_lang_id / q_quality / q_repetition oracle

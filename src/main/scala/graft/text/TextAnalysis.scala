@@ -92,6 +92,46 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(toks(lower(text)))), " "))
 
+  /** Let-binding (same technique as `Dedup.bindOnce`, see the scaladoc
+    * there): Catalyst re-inlines plain aliases into every use site, so an
+    * expensive shared subexpression runs once per use; a lambda variable
+    * is opaque to the optimizer and evaluates once per row.
+    */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    get(transform(array(value), body), lit(0))
+
+  /** ALL scan-side signals from ONE tokenization pass:
+    * struct(lang_pred, tok_cnt, quality), arithmetic identical to
+    * [[langId]]/[[tokenCount]]/[[qualityScore]] (the per-signal DuckDB
+    * oracles stay valid for the fused form). The raw and lowered token
+    * arrays bind once per row — the separate functions each re-split the
+    * text (~8 splits + 5 lowers per row when composed), which is the
+    * dominant per-row cost of a composite keep-filter at corpus scale.
+    */
+  def signals(text: Column): Column =
+    bindOnce(toks(text), t => bindOnce(toks(lower(text)), lt => {
+      def hits(words: Seq[String]): Column = {
+        val set = array(words.map(lit): _*)
+        size(filter(lt, x => array_contains(set, x)))
+      }
+      val langs = stopwords.keys.toSeq.sorted
+      val scores = langs.map(l => hits(stopwords(l)))
+      val best = greatest(scores: _*)
+      val lang = langs.zip(scores).foldRight(lit("und"): Column) {
+        case ((l, s), acc) => when(best > 0 && s === best, lit(l)).otherwise(acc)
+      }
+      val tokCnt = size(t)
+      val lenScore = least(tokCnt.cast("double") / lit(100.0), lit(1.0))
+      val swRatio = hits(stopwords.values.flatten.toSeq.distinct).cast("double") /
+        greatest(tokCnt, lit(1)).cast("double")
+      val sw = least(swRatio * lit(5.0), lit(1.0))
+      val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+      val quality = round(lenScore * lit(0.4) + sw * lit(0.4)
+        + (lit(1.0) - punctPenalty) * lit(0.2), 6)
+      struct(lang.as("lang_pred"), tokCnt.cast("long").as("tok_cnt"),
+        quality.as("quality"))
+    }))
+
   /** Repetition ratio (Gopher-style): fraction of word n-gram occurrences
     * taken by the single most frequent n-gram — boilerplate/spam detector.
     * Computed distributively (explode + per-(doc, gram) partial counts,
