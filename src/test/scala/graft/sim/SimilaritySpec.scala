@@ -79,6 +79,33 @@ class SimilaritySpec extends SparkSpec {
       "training worsened the clustering objective")
   }
 
+  test("kmeans-trained IVF: probe finds self, recall not worse than seeded centroids") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val seeded = emb.where(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val (_, trained) = Similarity.kmeansFit(emb, k = 8, iters = 3)
+    val queryIds = Seq(7L, 101L, 211L, 307L, 401L)
+    def recall(cents: Seq[(Int, Seq[Double])]): Double = {
+      val idx = Similarity.buildIvfIndex(emb, cents)
+      queryIds.map { qid =>
+        val q = emb.where(col("vec_id") === qid).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val brute = Similarity.topKCosine(emb, q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.ivfTopK(idx, cents, q, 10, nprobe = 2)
+          .collect().map(_.getLong(0)).toSet
+        assert(got.contains(qid), s"probe lost the query vector $qid itself")
+        (brute intersect got).size.toDouble / brute.size
+      }.sum / queryIds.size
+    }
+    val (rs, rt) = (recall(seeded), recall(trained))
+    // Lloyd-trained cells track the data distribution; arbitrary seed
+    // vectors as "centroids" should never probe meaningfully better
+    assert(rt >= rs - 0.05, s"trained recall $rt worse than seeded $rs")
+    assert(rt >= 0.5, s"trained recall@10 (nprobe=2 of 8 cells) too low: $rt")
+  }
+
   test("embedding near-dup detection finds planted duplicates") {
     import spark.implicits._
     val base = (0 until 32).map(i => math.sin(i * 1.7).toFloat)
