@@ -762,6 +762,35 @@ object ExtraQueries {
           / 4294967296.0)
         < (CASE l_returnflag WHEN 'A' THEN 0.2 WHEN 'N' THEN 0.05 ELSE 1.0 END)"""))),
 
+    // LineDocInputFormat (tab-separated doc records): real TSV write →
+    // csv(sep='\t') read round trip on the orders table — the "free"
+    // Spark-primitive mapping made observable end-to-end.
+    "q_linedoc_roundtrip" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("linedoc", dir)
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      src.write.mode("overwrite").option("sep", "\t").csv(out)
+      s.read.option("sep", "\t")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING")
+        .csv(out)
+    }, Some("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders"))),
+
+    // NLineInputFormat's observable contract — every split holds exactly
+    // N records — re-expressed on an explicit total order: global rank →
+    // rank DIV N split ids → per-split count histogram. Every split is
+    // exactly N rows except the last remainder; the row_number oracle
+    // replays the same split arithmetic.
+    "q_nline_splits" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      graft.ops.GlobalRank.withGlobalRank(li,
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(expr("(rank - 1) DIV 1000").as("split_id"))
+        .groupBy("split_id").agg(count(lit(1)).as("n"))
+    }, Some("""SELECT (rank - 1) // 1000 AS split_id, count(*)::BIGINT AS n
+      FROM (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rank
+            FROM lineitem)
+      GROUP BY 1"""))),
+
     // SimHash near-dup pairs END-TO-END: 64-bit signature → 4-band
     // pigeonhole candidates (lossless at Hamming <= 3, never all-pairs)
     // → exact bit_count(xor) verify. The oracle replays the ENTIRE
