@@ -42,6 +42,23 @@ class WarehouseWriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
+  test("compaction merges small files to the byte target without losing a row") {
+    val out = "/tmp/graft_test/compaction"
+    val src = graft.Tables.load(spark, sfDir, "orders")
+    src.repartition(64).write.mode("overwrite").parquet(out) // tiny-file mess
+    val expect = src.collect().map(_.toSeq).toSet
+    val (before, after) = Compaction.compact(spark, out,
+      targetFileBytes = 512L * 1024)
+    assert(before == 64, s"fixture should start at 64 files, had $before")
+    assert(after < before, s"compaction did not reduce files: $before -> $after")
+    val back = spark.read.parquet(out)
+    assert(back.schema == src.schema)
+    assert(back.collect().map(_.toSeq).toSet == expect)
+    // idempotent-ish: compacting a compacted dir is a no-op-sized rewrite
+    val (b2, a2) = Compaction.compact(spark, out, targetFileBytes = 512L * 1024)
+    assert(b2 == after && a2 <= b2)
+  }
+
   test("static overwrite (default) replaces the whole table - the contrast case") {
     val out = "/tmp/graft_test/static_overwrite"
     val ev = graft.Tables.load(spark, sfDir, "events")
