@@ -34,8 +34,20 @@ object ExtraQueries {
     * without the pid segment a Bench run would delete a concurrent
     * Verify's staging mid-write. Everything under /tmp, never the repo.
     */
-  val scratchRoot: String =
+  val scratchRoot: String = {
+    // best-effort sweep of scratch trees left by crashed/finished runs:
+    // a pid dir whose process is gone can never be written again, so
+    // deleting it is race-free; live pids (concurrent Bench/Verify) are
+    // left alone. Without this, /tmp accumulates one tree per crashed JVM.
+    val root = new java.io.File("/tmp/graft_q")
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val pid = f.getName.stripPrefix("pid")
+      if (f.getName.startsWith("pid") && pid.forall(_.isDigit) &&
+          scala.util.Try(ProcessHandle.of(pid.toLong).isEmpty).getOrElse(false))
+        scala.util.Try(rmrf(f.getPath))
+    }
     s"/tmp/graft_q/pid${ProcessHandle.current().pid()}"
+  }
 
   private def tmp(name: String, sfDir: String): String =
     s"$scratchRoot/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
@@ -627,6 +639,12 @@ object ExtraQueries {
       raw.limit(1)
         .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
         .withColumn("event_type", lit("sentinel"))
+        // synthetic event_id: the dedup key is event_id and all staged
+        // files share one AvailableNow micro-batch, so a sentinel keeping
+        // a REAL event_id races that event for first-occurrence — when the
+        // sentinel wins, the real row is dropped and the oracle compare
+        // fails nondeterministically. -1 cannot collide (ids are >= 0).
+        .withColumn("event_id", lit(-1L))
         .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
       val part = new java.io.File(sentinelTmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get

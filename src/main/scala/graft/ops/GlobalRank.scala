@@ -20,19 +20,37 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object GlobalRank {
 
+  /** [[withGlobalRankTracked]] without the release handle — for one-shot
+    * callers that rely on session-level hygiene (Bench unpersists stray
+    * RDDs per query). Long-lived sessions should use the tracked form and
+    * release once the ranked frame has materialized, or the checkpoint
+    * pins a copy of the table in executor storage indefinitely.
+    */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
                      rankCol: String = "rank",
-                     maxWhenChain: Int = MaxWhenChainPartitions): DataFrame = {
+                     maxWhenChain: Int = MaxWhenChainPartitions): DataFrame =
+    withGlobalRankTracked(df, sortCols, rankCol, maxWhenChain).df
+
+  /** Ranked frame plus `release()` for the internal checkpoint — call it
+    * once the ranked frame has materialized downstream (the checkpoint's
+    * blocks ARE the frame's data source; releasing earlier makes the
+    * frame unrecomputable). Symmetric with Dedup's generation hygiene.
+    */
+  def withGlobalRankTracked(df: DataFrame, sortCols: Seq[Column],
+                            rankCol: String = "rank",
+                            maxWhenChain: Int = MaxWhenChainPartitions): Checkpoints.Truncated = {
     import org.apache.spark.sql.functions._
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      // monotonically_increasing_id encodes (partition << 33) + local row
-      // index in iteration (= sorted) order — local position without
-      // leaving codegen (an rdd.zipWithIndex would deserialize every row)
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", spark_partition_id())
-      .transform(Checkpoints.truncate(_, eager = false)) // ids must be stable across the two uses
+    val tracked = Checkpoints.truncateTracked( // ids must be stable across the two uses
+      df.repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        // monotonically_increasing_id encodes (partition << 33) + local row
+        // index in iteration (= sorted) order — local position without
+        // leaving codegen (an rdd.zipWithIndex would deserialize every row)
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn("_pid", spark_partition_id()),
+      eager = false)
+    val sorted = tracked.df
     // per-partition row counts → cumulative start offsets (tiny driver data,
     // the TotalOrderPartitioner "partition file" analog)
     val counts = sorted.groupBy("_pid").count()
@@ -62,7 +80,7 @@ object GlobalRank {
           .withColumn(rankCol, col("_offset") + localRank)
           .drop("_offset")
       }
-    ranked.drop("_mid", "_pid")
+    Checkpoints.Truncated(ranked.drop("_mid", "_pid"), tracked.release)
   }
 
   /** Above this many partitions the rank offsets ride a broadcast join

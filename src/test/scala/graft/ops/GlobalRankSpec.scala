@@ -51,6 +51,25 @@ class GlobalRankSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("tracked release: no graft-owned persisted RDD survives a ranked write") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars")
+    val tracked = GlobalRank.withGlobalRankTracked(docs,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+    val out = "/tmp/graft_test/rank_release"
+    tracked.df.write.mode("overwrite").parquet(out) // materialize downstream
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "the checkpoint should be live while the ranked frame is in use")
+    tracked.release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() must leave no graft-owned persisted RDD behind")
+    // the written result is intact and contiguous
+    val ranks = spark.read.parquet(out).select("rank")
+      .collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to docs.count()).toSeq)
+  }
+
   test("ranks are contiguous 1..n and partitioning-invariant") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "n_chars")

@@ -59,6 +59,59 @@ class WarehouseWriteSpec extends SparkSpec {
     assert(b2 == after && a2 <= b2)
   }
 
+  test("versioned compaction: concurrent reads never fail, data never changes") {
+    val root = "/tmp/graft_test/compaction_versioned"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(root))
+    val src = graft.Tables.load(spark, sfDir, "orders")
+    Compaction.writeVersioned(src.repartition(64), root)
+    val expect = src.count()
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    @volatile var reads = 0
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val n = spark.read.parquet(Compaction.resolve(spark, root)).count()
+          assert(n == expect, s"read saw $n rows, expected $expect")
+          reads += 1
+        } catch { case t: Throwable => failure = Some(t) }
+      }
+    })
+    reader.start()
+    try {
+      // three generations: exercises the pointer swap AND the retirement
+      // of versions two generations back while the reader hammers resolve
+      val (b1, a1) = Compaction.compactVersioned(spark, root, targetFileBytes = 512L * 1024)
+      assert(b1 == 64 && a1 < b1)
+      Compaction.compactVersioned(spark, root, targetFileBytes = 512L * 1024)
+      Compaction.compactVersioned(spark, root, targetFileBytes = 512L * 1024)
+    } finally { stop = true; reader.join() }
+    assert(failure.isEmpty, s"concurrent read failed: ${failure.map(_.toString)}")
+    assert(reads > 0, "reader thread never completed a read")
+    val back = spark.read.parquet(Compaction.resolve(spark, root))
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
+    // only the live + one grace version remain
+    val vs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(vs.toSeq == Seq("v=2", "v=3"), s"expected grace-of-one retention, had ${vs.toSeq}")
+  }
+
+  test("in-place compact survives with data intact even though path moves aside") {
+    // the rename-aside discipline: after compact, no _old or _compacting
+    // residue remains and the data is byte-identical
+    val out = "/tmp/graft_test/compaction_aside"
+    val src = graft.Tables.load(spark, sfDir, "nation")
+    src.repartition(8).write.mode("overwrite").parquet(out)
+    Compaction.compact(spark, out, targetFileBytes = 512L * 1024)
+    assert(!new java.io.File(out + "_old").exists(), "_old residue left behind")
+    assert(!new java.io.File(out + "_compacting").exists(), "_compacting residue left behind")
+    assert(spark.read.parquet(out).collect().map(_.toSeq).toSet ==
+      src.collect().map(_.toSeq).toSet)
+  }
+
   test("static overwrite (default) replaces the whole table - the contrast case") {
     val out = "/tmp/graft_test/static_overwrite"
     val ev = graft.Tables.load(spark, sfDir, "events")
