@@ -189,6 +189,24 @@ object ExtraQueries {
         .groupBy("status").agg(count(lit(1)).as("cnt"))
     }, Some("SELECT o_orderstatus AS status, count(*)::BIGINT AS cnt FROM orders GROUP BY 1"))),
 
+    // XZ-compressed text round trip — the reference's added LZMA codec
+    // (`/root/reference/src/core/org/apache/hadoop/io/compress/LzmaCodec.java:38`)
+    // re-expressed as [[graft.sources.XzCodec]]: write `key\tvalue` lines
+    // through the codec, read the `.xz` parts back through the normal
+    // first-separator KV reader. A codec fidelity bug anywhere in the
+    // compress→decompress path breaks the hash.
+    "q_xz_roundtrip" -> (((s: SparkSession, dir: String) => {
+      graft.sources.XzCodec.register(s)
+      val out = tmp("xztext", dir)
+      val kv = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("key"),
+        col("o_orderstatus").as("value"))
+      kv.select(concat_ws("\t", col("key"), col("value")).as("value"))
+        .write.mode("overwrite")
+        .option("compression", classOf[graft.sources.XzCodec].getName).text(out)
+      KVText.readKV(s, out)
+    }, Some("SELECT o_orderkey::VARCHAR AS key, o_orderstatus AS value FROM orders"))),
+
     // SequenceFile write → read round trip (Text/Text KV container).
     "q_seqfile_roundtrip" -> (((s: SparkSession, dir: String) => {
       val out = tmp("seqfile", dir)
@@ -711,6 +729,65 @@ object ExtraQueries {
       FROM ev p JOIN ev c ON p.user_id = c.user_id
         AND p.event_type = 'purchase' AND c.event_type = 'click'
         AND c.us >= p.us - 3600000000 AND c.us <= p.us"""))),
+
+    // CHECKPOINT RESTART under the oracle: the stream is run TWICE against
+    // one checkpoint dir — run 1 sees the older half of the events, the
+    // query object is discarded (the in-JVM analog of a killed driver),
+    // and a fresh query resumes from the checkpoint with the newer half +
+    // sentinel staged. Exactly-once across the restart is what the compare
+    // proves: a re-emitted run-1 window would double a count, lost state
+    // would undercount every window straddling the split, and a
+    // re-processed run-1 file would double everything — any of them breaks
+    // the hash against the same whole-table oracle as q_stream_hourly.
+    // Reference analog: FileOutputCommitter's _temporary promote protocol
+    // (`/root/reference/src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java:34`)
+    // — the commit story that makes task restarts invisible downstream.
+    "q_stream_restart" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_restart_in", dir)
+      val sink = tmp("stream_restart_out", dir)
+      val ckpt = tmp("stream_restart_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val Array(minNs, maxNs) = raw.agg(min("ts"), max("ts")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val midNs = minNs + (maxNs - minNs) / 2 // deterministic time split
+      def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val t = tmp(s"stream_restart_$name", dir)
+        df.coalesce(1).write.mode("overwrite").parquet(t)
+        val part = new java.io.File(t).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$stage/$name.parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+        val q = graft.streaming.EventStreams.hourlyCounts(stream)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stageFile(raw.where(col("ts") <= midNs), "aa_events_run1")
+      runOnce() // emits pre-watermark windows, parks the rest in state
+      // "restart": the newer half arrives while the query is down; the
+      // resumed query must merge it into the checkpointed window state
+      stageFile(raw.where(col("ts") > midNs), "bb_events_run2")
+      stageFile(raw.limit(1)
+        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("sentinel"))
+        .withColumn("event_id", lit(-1L)), "zz_sentinel")
+      runOnce()
+      s.read.parquet(sink)
+        .where(col("event_type") =!= "sentinel")
+        .groupBy(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"))
+    }, Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2"""))),
 
     // Embedding-cosine near-duplicates: corpus = embeddings plus 50
     // planted exact copies under offset ids; hyperplane-LSH buckets bound

@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * value-add surface mandated by the build plan. The Spark-side plumbing —
   * schema, batching shape, partitioning, column pruning (metadata-only
   * queries never touch payload bytes) — is real and tested. The decode
-  * seam ([[MediaCodec]]) ships two implementations: [[ImageIoCodec]]
-  * decodes images for REAL via the JDK's bundled `javax.imageio`
-  * (PNG/BMP/GIF/JPEG — no external library needed); audio/video use the
-  * deterministic [[StubCodec]] because the JDK and this container bundle
-  * no A/V codecs — swap in a JNI/FFI codec without touching any plumbing.
+  * seam ([[MediaCodec]]) ships real-JDK implementations where the JDK
+  * bundles a codec: [[ImageIoCodec]] for images (`javax.imageio`,
+  * PNG/BMP/GIF/JPEG), [[WavCodec]] for audio (`javax.sound.sampled`), and
+  * [[GifFrames]] for multi-frame video sampling (animated GIF). Other
+  * video containers use the deterministic [[StubCodec]] — the JDK bundles
+  * no general video codec; swap in a JNI/FFI decoder without touching any
+  * plumbing.
   *
   * Scale notes:
   *  - payloads stay in `binary` columns end-to-end (Parquet keeps them
@@ -183,8 +185,68 @@ object Multimodal {
     media.withColumn("payload", resize(col("payload"), col("modality")))
   }
 
-  /** Frame sampling stub for video: one synthetic "frame" payload per
-    * `everyMs` of duration — a 1→N generator keeping media_id lineage.
+  /** REAL multi-frame decode for the GIF container via the JDK's ImageIO
+    * GIF reader — the one video-ish container the JDK can open without an
+    * external codec, which makes [[sampleFrames]] real for it. Frames are
+    * returned as stored (no disposal/compositing replay — feature
+    * pipelines hash/measure the patch, they don't replay an animation);
+    * per-frame delay comes from the GraphicControlExtension (centiseconds;
+    * 0 normalized to the de-facto 100 ms, as renderers do).
+    */
+  object GifFrames {
+    def isGif(payload: Array[Byte]): Boolean =
+      payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == '8'
+
+    /** (startMs, delayMs, frame) for every stored frame, start times
+      * cumulative from 0.
+      */
+    def decode(payload: Array[Byte]): Seq[(Long, Long, java.awt.image.BufferedImage)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a readable GIF")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, false) // keep metadata: delays live there
+        val n = reader.getNumImages(true)
+        var ts = 0L
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val delay = frameDelayMs(reader.getImageMetadata(i))
+          val start = ts
+          ts += delay
+          (start, delay, img)
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    private def frameDelayMs(meta: javax.imageio.metadata.IIOMetadata): Long = {
+      val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gce = root.getElementsByTagName("GraphicControlExtension")
+      val centis = if (gce.getLength == 0) 10L
+        else gce.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("delayTime").toLong
+      if (centis == 0L) 100L else centis * 10L
+    }
+
+    /** PNG-encode a decoded frame (a self-contained payload downstream
+      * image ops can decode independently).
+      */
+    def toPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Frame sampling for video: the frame visible at each instant
+    * `0, everyMs, 2·everyMs, …` of the clip's duration — a 1→N generator
+    * keeping media_id lineage. GIF payloads decode for REAL through
+    * [[GifFrames]] (frames PNG-encoded); other containers fall back to the
+    * deterministic stub (the JDK bundles no other video codec — that seam
+    * is where a JNI/FFI decoder plugs in).
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
     val spark = media.sparkSession
@@ -192,11 +254,21 @@ object Multimodal {
     media.where(col("modality") === "video")
       .select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
       .flatMap { case (id, modality, payload) =>
-        val (_, _, _, durMs) = decodeStub(payload, modality)
-        val n = math.max(1, (durMs / everyMs).toInt)
-        (0 until math.min(n, 1000)).map { f =>
-          (id, f.toLong * everyMs, java.util.Arrays.copyOfRange(
-            payload, 0, math.min(payload.length, 64)))
+        if (GifFrames.isGif(payload)) {
+          val frames = GifFrames.decode(payload)
+          val totalMs = frames.lastOption.map { case (s, d, _) => s + d }.getOrElse(0L)
+          val instants = 0L until math.max(1L, totalMs) by everyMs
+          instants.flatMap { t =>
+            frames.find { case (s, d, _) => t >= s && t < s + d }
+              .map { case (_, _, img) => (id, t, GifFrames.toPng(img)) }
+          }
+        } else {
+          val (_, _, _, durMs) = decodeStub(payload, modality)
+          val n = math.max(1, (durMs / everyMs).toInt)
+          (0 until math.min(n, 1000)).map { f =>
+            (id, f.toLong * everyMs, java.util.Arrays.copyOfRange(
+              payload, 0, math.min(payload.length, 64)))
+          }
         }
       }.toDF("media_id", "frame_ms", "frame_payload")
   }

@@ -138,7 +138,8 @@ object Similarity {
 
   /** Distributed Lloyd iterations — TRAINS the IVF centroids instead of
     * just probing seeded ones. Per iteration: one broadcast-style assign
-    * (centroids ride the plan as literals — k·dim doubles, tiny) and one
+    * (via [[buildIvfIndex]] — plan-literal centroids at small k, a
+    * broadcast centroid array above [[MaxLiteralCentroids]]) and one
     * posexplode + (cell,pos) partial-aggregated mean — a single shuffle
     * of k·dim cells per partition regardless of corpus size. The k·dim
     * recomputed means are collected to the driver per iteration (k·dim ≤
@@ -171,16 +172,62 @@ object Similarity {
     (buildIvfIndex(v, cents, id, emb).select(col(id), col("cell")), cents)
   }
 
+  /** Above this many centroids the assignment switches from plan-literal
+    * `greatest` structs to the broadcast-data fold: the literal form is
+    * fastest at small k (fully codegen'd, zero join) but its plan string,
+    * codegen method size, and analyzer cost all grow O(k·dim) — a
+    * realistic IVF cell count for 100 TB (k in the tens of thousands)
+    * would blow the plan up. The broadcast form's plan is k-independent.
+    */
+  val MaxLiteralCentroids: Int = 64
+
+  /** Nearest-centroid assignment, (sim, -cid) argmax — deterministic
+    * tie-break on the smaller centroid id. Two physical forms with
+    * identical semantics (dispatch on k, overridable for tests):
+    *
+    *  - literal (k ≤ `maxLiteralCentroids`): centroids ride the plan as
+    *    literal arrays inside a `greatest`-of-structs fold — broadcast-
+    *    free, whole-stage-codegen'd, ideal at probe-scale k;
+    *  - broadcast (large k): centroids ride as ONE broadcast row holding
+    *    `array<struct<cid, vec>>`, attached by a 1-row broadcast
+    *    nested-loop join, and the argmax folds over that array with
+    *    `aggregate()`. Shuffle-free, plan/codegen size independent of k;
+    *    the per-element lambda is interpreter-dispatched but each cosine
+    *    is still [[graft.functions.CosineSimilarity]]'s tight primitive
+    *    loop, so the O(k·dim) per-row work dominates dispatch.
+    */
   def buildIvfIndex(vectors: DataFrame, centroids: Seq[(Int, Seq[Double])],
-                    id: String = "vec_id", emb: String = "embedding"): DataFrame = {
-    // nearest centroid via a greatest-of-structs fold: (sim, -cid) max —
-    // deterministic tie-break on smaller centroid id
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(cosine(col(emb), array(cvec.map(lit): _*)).as("sim"),
-        lit(-cid).as("negcid"))
+                    id: String = "vec_id", emb: String = "embedding",
+                    maxLiteralCentroids: Int = MaxLiteralCentroids): DataFrame = {
+    require(centroids.nonEmpty, "buildIvfIndex: empty centroid set")
+    if (centroids.size <= maxLiteralCentroids) {
+      val scored = centroids.map { case (cid, cvec) =>
+        struct(cosine(col(emb), array(cvec.map(lit): _*)).as("sim"),
+          lit(-cid).as("negcid"))
+      }
+      vectors.select(col(id), col(emb),
+        (-greatest(scored: _*).getField("negcid")).as("cell"))
+    } else {
+      val spark = vectors.sparkSession
+      import spark.implicits._
+      val centRow = broadcast(
+        Seq(centroids.map { case (cid, v) => (cid, v) }).toDF("_cents"))
+      // (sim, negcid) running max over the broadcast centroid array —
+      // same comparison the literal path's greatest performs, so the two
+      // paths tie-break identically on equal similarities
+      val best = aggregate(
+        col("_cents"),
+        struct(lit(Double.NegativeInfinity).as("sim"),
+          lit(Int.MinValue).as("negcid")),
+        (acc, c) => {
+          val cand = struct(
+            cosine(col(emb), c.getField("_2")).as("sim"),
+            (-c.getField("_1")).as("negcid"))
+          when(cand > acc, cand).otherwise(acc)
+        })
+      vectors.crossJoin(centRow)
+        .select(col(id), col(emb), (-best.getField("negcid")).as("cell"))
     }
-    vectors.select(col(id), col(emb),
-      (-greatest(scored: _*).getField("negcid")).as("cell"))
   }
 
   /** IVF ANN top-k: score the query against every centroid, probe the

@@ -48,6 +48,33 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() >= media.where(col("modality") === "video").count())
   }
 
+  test("animated GIF: sampleFrames decodes the actual frames, one per instant") {
+    import spark.implicits._
+    val gif = MultimodalSpec.animatedGif(nFrames = 5, delayCs = 100) // 5 x 1000ms
+    // raw multi-frame decode: actual frame count + accumulated timestamps
+    val decoded = Multimodal.GifFrames.decode(gif)
+    assert(decoded.length == 5, s"expected 5 stored frames, got ${decoded.length}")
+    assert(decoded.map(_._1) == Seq(0L, 1000L, 2000L, 3000L, 4000L))
+    val media = Seq(
+      (1L, "video", gif, "image/gif", Map("src" -> "test")),
+      (2L, "image", gif, "image/gif", Map("src" -> "test")) // non-video: excluded
+    ).toDF("media_id", "modality", "payload", "mime", "meta")
+    // 5s clip sampled at 1s -> the 5 real frames, PNG-encoded
+    val perSec = Multimodal.sampleFrames(media, everyMs = 1000).collect()
+    assert(perSec.length == 5)
+    assert(perSec.map(_.getLong(1)).sorted.toSeq ==
+      Seq(0L, 1000L, 2000L, 3000L, 4000L))
+    val pngs = perSec.map(_.getAs[Array[Byte]](2))
+    pngs.foreach { p =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img != null && img.getWidth == 16, "frame payload must be a decodable image")
+    }
+    // frames differ (each was painted a different color)
+    assert(pngs.map(_.toSeq).distinct.length == 5, "sampled frames should be distinct")
+    // coarser sampling picks fewer frames: instants 0 and 2500 of a 5s clip
+    assert(Multimodal.sampleFrames(media, everyMs = 2500).count() == 2)
+  }
+
   test("ImageIoCodec decodes real PNG and BMP payloads end-to-end") {
     import java.awt.image.BufferedImage
     def imageBytes(w: Int, h: Int, fmt: String, imgType: Int): Array[Byte] = {
@@ -155,5 +182,47 @@ class MultimodalSpec extends SparkSpec {
       // payload-derived fields still flow from the real pipeline
       assert(r.byte_len > 0 && r.checksum.length == 32)
     }
+  }
+}
+
+object MultimodalSpec {
+
+  /** Write a real animated GIF with `nFrames` frames of `delayCs`
+    * centiseconds each (the delay rides each frame's
+    * GraphicControlExtension, exactly where GifFrames reads it back).
+    */
+  def animatedGif(nFrames: Int, delayCs: Int, size: Int = 16): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.BufferedImage
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { i =>
+      val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color((i * 47) % 256, (i * 83) % 256, (i * 131) % 256))
+      g.fillRect(0, 0, size, size)
+      g.dispose()
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromBufferedImageType(BufferedImage.TYPE_INT_RGB),
+        writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
   }
 }

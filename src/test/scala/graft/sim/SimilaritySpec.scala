@@ -56,6 +56,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getLong(0) == 42L) // own cell contains self
   }
 
+  test("large-k IVF (k=256, dim=64) plans the broadcast fold and matches the literal path") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 256)
+      .collect().map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    assert(centroids.size == 256)
+    // default dispatch: k=256 > MaxLiteralCentroids → broadcast path
+    val bcast = Similarity.buildIvfIndex(emb, centroids)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(!plan.contains("greatest"),
+      s"broadcast path must not plan a 256-way greatest:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids should attach via a 1-row broadcast join:\n${plan.take(2000)}")
+    // forced literal path: same assignments, cell for cell
+    val literal = Similarity.buildIvfIndex(emb, centroids,
+      maxLiteralCentroids = Int.MaxValue)
+    assert(literal.queryExecution.executedPlan.toString.contains("greatest"))
+    val a = bcast.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = literal.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "broadcast and literal assignments diverge")
+    // every centroid vector is its own nearest centroid
+    (0 until 256).foreach(i => assert(a(i.toLong) == i, s"vector $i not in own cell"))
+  }
+
   test("kmeansFit: deterministic across partitionings, improves the objective") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val (a1, c1) = Similarity.kmeansFit(emb, k = 4, iters = 2)

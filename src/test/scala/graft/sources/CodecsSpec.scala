@@ -40,6 +40,26 @@ class CodecsSpec extends SparkSpec {
     roundTripText("bzip2", ".bz2")
   }
 
+  test("xz text round trip (the reference's added LZMA codec, re-expressed)") {
+    XzCodec.register(spark)
+    val out = "/tmp/graft_test/codec_xz"
+    val expect = kv.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    kv.select(concat_ws("\t", col("key"), col("value")).as("value"))
+      .write.mode("overwrite")
+      .option("compression", classOf[XzCodec].getName).text(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".xz")),
+      "part files must carry the .xz extension")
+    // the bytes are a real xz container, not just a renamed file
+    val magic = java.nio.file.Files.readAllBytes(parts.head.toPath).take(6)
+    assert(magic.sameElements(Array(0xFD, '7', 'z', 'X', 'Z', 0x00).map(_.toByte)),
+      s"missing xz magic, got ${magic.map("%02x".format(_)).mkString(" ")}")
+    val back = KVText.readKV(spark, out)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == expect)
+  }
+
   test("parquet zstd round trip preserves every column exactly") {
     val out = "/tmp/graft_test/codec_zstd_parquet"
     val src = graft.Tables.load(spark, sfDir, "supplier")
