@@ -417,21 +417,75 @@ object Bench {
       .drop("_k")
     // same failure isolation as the pair loop: a non-convergence on the
     // amplified input (the realistic failure mode for dedupClusters) must
-    // not take the whole report down with it
+    // not take the whole report down with it. Min-of-2 per point: the
+    // single-run trend lines drifted between rounds (d1 read 3.70x in r4,
+    // 4.61x in r5 on identical code) — two hygiene-separated runs bound
+    // the JVM-state noise the pair protocol bounds for the headliners.
     def measure(key: String, into: scala.collection.mutable.Map[String, Double])
                (fn: => Unit): Unit =
-      try { hygiene(spark); into(key) = time(fn) }
-      catch { case e: Throwable =>
+      try {
+        hygiene(spark); val t1 = time(fn)
+        hygiene(spark); val t2 = time(fn)
+        into(key) = math.min(t1, t2)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] scale-step $key failed: ${e.getMessage}")
       }
     measure("d1_dedup_corpus", ctlTimes)(exec(Dedup.dedupCorpus(docs1x)))
     measure("d1_dedup_corpus", times)(exec(Dedup.dedupCorpus(docs10x)))
+    // d1's candidate-generation stage alone (minhash + banding + bucket
+    // join, same args dedupCorpus passes): attributes a d1 trend move to
+    // candidates vs clustering — d1 minus d1a is the label-propagation share
+    measure("d1a_candidates", ctlTimes)(exec(
+      Dedup.minhashCandidates(docs1x, numPerms = 8, rowsPerBand = 2,
+        shingleN = 3, maxBucket = 1000)))
+    measure("d1a_candidates", times)(exec(
+      Dedup.minhashCandidates(docs10x, numPerms = 8, rowsPerBand = 2,
+        shingleN = 3, maxBucket = 1000)))
     measure("d2_near_dup_embed", ctlTimes)(exec(
       Dedup.embeddingNearDups(emb1x, dim = 64, threshold = 0.99, nBits = 8)))
     measure("d2_near_dup_embed", times)(exec(
       Dedup.embeddingNearDups(emb10x, dim = 64, threshold = 0.99, nBits = 8)))
     measure("d3_simhash_pairs", ctlTimes)(exec(Dedup.simhashPairs(docs1x)))
     measure("d3_simhash_pairs", times)(exec(Dedup.simhashPairs(docs10x)))
+
+    // d4: Structured Streaming at scale — the same watermarked
+    // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
+    // and 10x staged events. Copies shift ts by k*(span+2h) so each
+    // copy's windows are disjoint: state rows (windows x event_types)
+    // grow 10x alongside input rows — a state-store scaling trend, not
+    // just source throughput. Staging lives outside scratchRoot (hygiene
+    // deletes that between runs); each measured run gets a fresh
+    // sink+checkpoint or the second run would be a no-op replay.
+    val d4root = java.nio.file.Files.createTempDirectory("graft_d4").toString
+    try {
+      val rawEv = spark.read.parquet(s"$sfDir/events.parquet")
+      val mm = rawEv.agg(min("ts"), max("ts")).head()
+      val spanNs = mm.getLong(1) - mm.getLong(0) + 2L * 3600 * 1000000000L
+      val ev10xRaw = rawEv
+        .crossJoin(spark.range(10).select(col("id").as("_k")))
+        .withColumn("event_id", col("event_id") + col("_k") * lit(1000000000L))
+        .withColumn("ts", col("ts") + col("_k") * lit(spanNs))
+        .drop("_k")
+      rawEv.write.mode("overwrite").parquet(s"$d4root/in1x")
+      ev10xRaw.write.mode("overwrite").parquet(s"$d4root/in10x")
+      var d4run = 0
+      def streamOnce(tag: String): Unit = {
+        import org.apache.spark.sql.streaming.Trigger
+        d4run += 1
+        val out = s"$d4root/run$d4run"
+        val stream = graft.streaming.EventStreams
+          .readEvents(spark, s"$d4root/in$tag", "*.parquet")
+        val q = graft.streaming.EventStreams.hourlyCounts(stream)
+          .writeStream.format("parquet")
+          .option("path", s"$out/sink").option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      measure("d4_stream_hourly", ctlTimes)(streamOnce("1x"))
+      measure("d4_stream_hourly", times)(streamOnce("10x"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] d4 staging failed: ${e.getMessage}")
+    } finally rmrf(new java.io.File(d4root))
     hygiene(spark)
     b5PlanMatch
   }
