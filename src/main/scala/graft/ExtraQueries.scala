@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.model.{RecRecord1, Records}
 import graft.ops.{KeyFieldSpec, Pipe, Reliability, Skew}
-import graft.sources.{Bucketed, Jdbc, KVText, MultiOutput, SequenceFiles, XmlRecords}
+import graft.sources.{Bucketed, Compaction, Jdbc, KVText, MultiOutput, SequenceFiles, XmlRecords}
 
 /** Round-3 oracle queries: every operator that previously had only a
   * ScalaTest spec gets a driver-checked CORRECTNESS entry here. The
@@ -35,14 +35,20 @@ object ExtraQueries {
     * Verify's staging mid-write. Everything under /tmp, never the repo.
     */
   val scratchRoot: String = {
-    // best-effort sweep of scratch trees left by crashed/finished runs:
-    // a pid dir whose process is gone can never be written again, so
-    // deleting it is race-free; live pids (concurrent Bench/Verify) are
-    // left alone. Without this, /tmp accumulates one tree per crashed JVM.
+    // best-effort sweep of scratch trees left by crashed/finished runs.
+    // Liveness alone has a TOCTOU: the OS can recycle a dead pid to a
+    // freshly started graft JVM between the isEmpty check and the rmrf,
+    // deleting a live run's staging. So deletion additionally requires
+    // the dir to be older than an hour — a recycled-pid newcomer has a
+    // fresh mtime and is left alone, and an old dir whose pid now names
+    // an unrelated live process is reclaimed on a later sweep once that
+    // process exits. Live pids (concurrent Bench/Verify) are never swept.
     val root = new java.io.File("/tmp/graft_q")
+    val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       val pid = f.getName.stripPrefix("pid")
       if (f.getName.startsWith("pid") && pid.forall(_.isDigit) &&
+          f.lastModified() < staleMs &&
           scala.util.Try(ProcessHandle.of(pid.toLong).isEmpty).getOrElse(false))
         scala.util.Try(rmrf(f.getPath))
     }
@@ -216,6 +222,26 @@ object ExtraQueries {
       SequenceFiles.writeKV(kv, out)
       SequenceFiles.readKV(s, out)
     }, Some("SELECT event_id::VARCHAR AS key, event_type AS value FROM events"))),
+
+    // Versioned warehouse table (INSERT OVERWRITE + compaction analog):
+    // writeVersioned as a 64-file mess → compactVersioned twice (second
+    // run exercises marker-commit AND grace retirement of v=0) → read the
+    // live version via resolve. Oracle is the source table itself: a row
+    // lost, duplicated, or mutated anywhere across the publish/commit/
+    // retire cycle breaks the hash compare.
+    "q_compact_read" -> (((s: SparkSession, dir: String) => {
+      val root = tmp("compact_versioned", dir)
+      rmrf(root)
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      Compaction.writeVersioned(src.repartition(64), root)
+      Compaction.compactVersioned(s, root, targetFileBytes = 512L * 1024)
+      Compaction.compactVersioned(s, root, targetFileBytes = 512L * 1024)
+      s.read.parquet(Compaction.resolve(s, root))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+    }, Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders"))),
 
     // StreamXmlRecordReader: pattern-delimited records from written files.
     "q_xml_records" -> (((s: SparkSession, dir: String) => {

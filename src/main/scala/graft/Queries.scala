@@ -896,6 +896,37 @@ object Queries {
         FROM assign a, q WHERE a.cid IN (SELECT cid FROM qc)
         ORDER BY cosine_sim DESC, a.vec_id LIMIT 20""")),
 
+    // same IVF pipeline at k=256 — above MaxLiteralCentroids, so the
+    // assignment runs the broadcast centroid-array fold (the 100 TB-scale
+    // path, plan size independent of k) end-to-end against the oracle
+    // rather than only spec-vs-literal-path
+    "q_ivf_large" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.where(col("vec_id") < 256)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val qvec = emb.where(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val index = Similarity.buildIvfIndex(emb, centroids)
+        Similarity.ivfTopK(index, centroids, qvec, 20, nprobe = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 256),
+        scored AS (
+          SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+          FROM e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored) WHERE rn = 1),
+        q AS (SELECT v FROM e WHERE vec_id = 0),
+        qc AS (SELECT c.cid FROM c, q
+               ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid LIMIT 8)
+        SELECT a.vec_id, round(list_cosine_similarity(a.v, q.v), 6) AS cosine_sim
+        FROM assign a, q WHERE a.cid IN (SELECT cid FROM qc)
+        ORDER BY cosine_sim DESC, a.vec_id LIMIT 20""")),
+
     "q_range_join" -> Q(
       (s, dir) => {
         // purchases within +-1h of each error event, counted per error —

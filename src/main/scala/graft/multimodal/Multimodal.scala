@@ -257,7 +257,10 @@ object Multimodal {
         if (GifFrames.isGif(payload)) {
           val frames = GifFrames.decode(payload)
           val totalMs = frames.lastOption.map { case (s, d, _) => s + d }.getOrElse(0L)
-          val instants = 0L until math.max(1L, totalMs) by everyMs
+          // same 1000-sample budget as the stub path: GCE delays go up to
+          // 65535 cs/frame, so an unclamped totalMs/everyMs would amplify
+          // one payload into millions of PNG rows inside a single flatMap
+          val instants = (0L until math.max(1L, totalMs) by everyMs).take(1000)
           instants.flatMap { t =>
             frames.find { case (s, d, _) => t >= s && t < s + d }
               .map { case (_, _, img) => (id, t, GifFrames.toPng(img)) }

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import java.io.FileNotFoundException
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction — the warehouse housekeeping job every
@@ -20,13 +22,21 @@ import org.apache.spark.sql.SparkSession
   *    the path stable.
   *  - [[compactVersioned]] + [[resolve]] close that window without a
   *    metastore: data lives in immutable `v=N` dirs under a table root,
-  *    a one-line `CURRENT` pointer file names the live one, and the swap
-  *    is an atomic pointer rename (`FileContext.rename(OVERWRITE)` — the
-  *    same primitive HDFS gives a metastore). Readers resolve the pointer
-  *    per read; the superseded version outlives the swap by one
-  *    generation so an in-flight reader holding the old resolution still
-  *    completes. This is the single-table form of a metastore location
-  *    swap.
+  *    and each version is published by creating an immutable, empty-ish
+  *    commit marker `_committed_v=N` at the root. Readers resolve to the
+  *    HIGHEST committed version. Nothing is ever renamed or overwritten
+  *    on the commit path — the only visibility primitive is the atomic
+  *    appearance of a new directory entry, which holds on local
+  *    filesystems, HDFS, and object stores (S3 PUT + strongly consistent
+  *    LIST). This is deliberately NOT a mutable `CURRENT` pointer:
+  *    Hadoop's local `rename(OVERWRITE)` is delete-then-rename, and
+  *    object stores have no atomic rename at all, so any
+  *    overwrite-a-pointer scheme has a reader window somewhere. A
+  *    superseded version outlives its successor by `grace` generations so
+  *    an in-flight reader holding a just-stale resolution still completes
+  *    its scan. This is the single-table form of a metastore location
+  *    swap (reference promote protocol:
+  *    `/root/reference/src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java:34`).
   */
 object Compaction {
 
@@ -61,15 +71,38 @@ object Compaction {
     (before.length, after)
   }
 
-  private val Current = "CURRENT"
+  private val MarkerPrefix = "_committed_v="
 
-  /** Read the `CURRENT` pointer: the live data directory under `root`. */
-  def resolve(spark: SparkSession, root: String): String = {
+  private def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(root, Current))
-    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    s"$root/$v"
+    fs.listStatus(new Path(root))
+      .filter(s => s.isFile && s.getPath.getName.startsWith(MarkerPrefix))
+      .map(_.getPath.getName.stripPrefix(MarkerPrefix).toLong)
+      .toSeq
+  }
+
+  /** Resolve the live data directory under `root`: the highest committed
+    * version. The version is carried in the marker FILENAME, so resolve
+    * never opens a file — a half-written marker body cannot be observed.
+    * Bounded retry on a missing/empty root defends against
+    * eventual-consistency windows on stores whose LIST can briefly trail
+    * a PUT (and makes downstream jobs robust to racing a first
+    * `writeVersioned`).
+    */
+  def resolve(spark: SparkSession, root: String): String = {
+    var attempt = 0
+    while (true) {
+      val vs =
+        try committedVersions(spark, root)
+        catch { case _: FileNotFoundException => Seq.empty[Long] }
+      if (vs.nonEmpty) return s"$root/v=${vs.max}"
+      attempt += 1
+      if (attempt >= 20)
+        throw new FileNotFoundException(
+          s"$root has no $MarkerPrefix<N> commit marker after $attempt attempts")
+      Thread.sleep(25)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def currentVersion(spark: SparkSession, root: String): Long = {
@@ -77,23 +110,42 @@ object Compaction {
     dir.substring(dir.lastIndexOf("v=") + 2).toLong
   }
 
+  /** Publish version `v`: create the immutable `_committed_v=N` marker.
+    * The atomic primitive is directory-entry creation — no rename, no
+    * overwrite of a live file, valid on local FS, HDFS, and object
+    * stores. The body records the version for humans; readers never
+    * parse it.
+    */
+  private def commitMarker(spark: SparkSession, root: String, v: Long): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, MarkerPrefix + v)
+    val out = fs.create(marker, true)
+    try out.write(s"v=$v".getBytes("UTF-8")) finally out.close()
+  }
+
   /** Initialize a versioned table root: write the frame as `v=0` and
-    * point `CURRENT` at it.
+    * commit it.
     */
   def writeVersioned(df: org.apache.spark.sql.DataFrame, root: String): Unit = {
     df.write.mode("overwrite").parquet(s"$root/v=0")
-    swapPointer(df.sparkSession, root, 0)
+    commitMarker(df.sparkSession, root, 0)
   }
 
-  /** Compact the live version into `v=N+1` and atomically repoint
-    * `CURRENT`. Versions older than the one just superseded are removed;
-    * the superseded version itself survives until the NEXT compaction so
-    * readers holding a just-stale resolution finish their scan.
+  /** Compact the live version into `v=N+1` and publish it by creating its
+    * commit marker. Versions more than `grace` generations behind the new
+    * head are retired (marker first, then data, so a concurrent resolve
+    * can never select a version whose data is mid-delete); keeping
+    * `grace ≥ 1` lets readers holding a just-stale resolution finish
+    * their scan. Crash-safe: a failure after writing `v=N+1` data but
+    * before its marker leaves readers on `v=N`, and the next compaction
+    * overwrites the uncommitted orphan dir.
     *
     * @return (filesBefore, filesAfter) part-file counts.
     */
   def compactVersioned(spark: SparkSession, root: String,
-                       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+                       targetFileBytes: Long = 128L * 1024 * 1024,
+                       grace: Int = 1): (Int, Int) = {
+    require(grace >= 1, s"grace must be >= 1, got $grace")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parts(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -107,28 +159,14 @@ object Compaction {
     spark.read.parquet(src.toString).coalesce(n)
       .write.mode("overwrite").parquet(next.toString)
     val after = parts(next).length
-    swapPointer(spark, root, cur + 1)
-    // retire everything BEFORE the superseded version (grace of one)
-    fs.listStatus(new Path(root))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath)
-      .filter(_.getName.stripPrefix("v=").toLong < cur)
-      .foreach(fs.delete(_, true))
+    commitMarker(spark, root, cur + 1)
+    // retire everything more than `grace` generations behind the new head
+    committedVersions(spark, root)
+      .filter(_ <= cur - grace)
+      .foreach { v =>
+        fs.delete(new Path(root, MarkerPrefix + v), false)
+        fs.delete(new Path(s"$root/v=$v"), true)
+      }
     (before.length, after)
-  }
-
-  /** Atomic pointer swap: write `CURRENT.tmp`, rename over `CURRENT` with
-    * `Options.Rename.OVERWRITE` — atomic on HDFS and on POSIX local FS,
-    * so a reader sees either the old pointer or the new one, never a
-    * missing or partial file.
-    */
-  private def swapPointer(spark: SparkSession, root: String, v: Long): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(root).getFileSystem(conf)
-    val tmp = new Path(root, Current + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"v=$v".getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(tmp.toUri, conf)
-      .rename(tmp, new Path(root, Current), Options.Rename.OVERWRITE)
   }
 }

@@ -93,8 +93,11 @@ object XzCodec {
       conf.set(key, (cur.toSeq ++ defaultCodecs :+ cls).distinct.mkString(","))
   }
 
-  /** The factory replaces (not extends) its default list when the key is
-    * set, so re-list the stock codecs alongside ours.
+  /** Defensive only: `CompressionCodecFactory.getCodecClasses` APPENDS
+    * conf-listed classes to its ServiceLoader discoveries, so the stock
+    * codecs stay registered either way — re-listing them just keeps the
+    * factory's behavior explicit if a deployment ships a stripped
+    * ServiceLoader manifest.
     */
   private val defaultCodecs = Seq(
     "org.apache.hadoop.io.compress.DefaultCodec",

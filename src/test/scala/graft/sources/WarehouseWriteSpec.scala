@@ -59,12 +59,13 @@ class WarehouseWriteSpec extends SparkSpec {
     assert(b2 == after && a2 <= b2)
   }
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
   test("versioned compaction: concurrent reads never fail, data never changes") {
     val root = "/tmp/graft_test/compaction_versioned"
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
     rmrf(new java.io.File(root))
     val src = graft.Tables.load(spark, sfDir, "orders")
     Compaction.writeVersioned(src.repartition(64), root)
@@ -83,8 +84,9 @@ class WarehouseWriteSpec extends SparkSpec {
     })
     reader.start()
     try {
-      // three generations: exercises the pointer swap AND the retirement
-      // of versions two generations back while the reader hammers resolve
+      // three generations: exercises the marker-commit publish AND the
+      // retirement of versions two generations back while the reader
+      // hammers resolve
       val (b1, a1) = Compaction.compactVersioned(spark, root, targetFileBytes = 512L * 1024)
       assert(b1 == 64 && a1 < b1)
       Compaction.compactVersioned(spark, root, targetFileBytes = 512L * 1024)
@@ -97,6 +99,65 @@ class WarehouseWriteSpec extends SparkSpec {
     // only the live + one grace version remain
     val vs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v=")).sorted
     assert(vs.toSeq == Seq("v=2", "v=3"), s"expected grace-of-one retention, had ${vs.toSeq}")
+  }
+
+  test("versioned compaction stress: 20 swaps under a hammering reader") {
+    // the commit path has no rename and no overwrite of a live file —
+    // each version is published by the atomic creation of an immutable
+    // `_committed_v=N` marker, so no number of swaps opens a reader
+    // window. grace=2 keeps two superseded generations alive, which is
+    // the retention a slow scanner on a real store would need.
+    val root = "/tmp/graft_test/compaction_stress"
+    rmrf(new java.io.File(root))
+    val src = graft.Tables.load(spark, sfDir, "nation")
+    Compaction.writeVersioned(src.repartition(8), root)
+    val expect = src.count()
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    @volatile var reads = 0
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val n = spark.read.parquet(Compaction.resolve(spark, root)).count()
+          assert(n == expect, s"read saw $n rows, expected $expect")
+          reads += 1
+        } catch { case t: Throwable => failure = Some(t) }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 20).foreach { _ =>
+        Compaction.compactVersioned(spark, root, targetFileBytes = 512L * 1024,
+          grace = 2)
+      }
+    } finally { stop = true; reader.join() }
+    assert(failure.isEmpty, s"concurrent read failed: ${failure.map(_.toString)}")
+    assert(reads > 0, "reader thread never completed a read")
+    assert(spark.read.parquet(Compaction.resolve(spark, root)).count() == expect)
+    // head is v=20; grace=2 keeps v=18..20
+    val vs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).sorted
+    assert(vs.toSeq == Seq("v=18", "v=19", "v=20"),
+      s"expected grace-of-two retention, had ${vs.toSeq}")
+  }
+
+  test("resolve survives a transiently missing commit marker") {
+    // reader-side self-healing: even with an atomic publish, real stores
+    // have eventual-consistency windows — resolve must retry, not throw.
+    val root = "/tmp/graft_test/compaction_resolve_retry"
+    rmrf(new java.io.File(root))
+    val src = graft.Tables.load(spark, sfDir, "region")
+    Compaction.writeVersioned(src, root)
+    val marker = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_committed_v=")).head
+    val hidden = new java.io.File(root, ".hidden_marker")
+    assert(marker.renameTo(hidden), "test setup: could not hide marker")
+    // restore the marker after resolve has started retrying
+    val restorer = new Thread(() => { Thread.sleep(120); hidden.renameTo(marker) })
+    restorer.start()
+    val dir = Compaction.resolve(spark, root) // must survive the window
+    restorer.join()
+    assert(spark.read.parquet(dir).count() == src.count())
   }
 
   test("in-place compact survives with data intact even though path moves aside") {
