@@ -117,7 +117,13 @@ object ExtraQueries {
     * fixture emptied one, this oracle would mismatch loudly rather than
     * silently diverge.
     */
-  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+  /** The Lloyd-chain CTEs alone (ending in `final_a(vec_id, v, cell)`) so
+    * queries that BUILD ON the trained clustering (q_semantic_dedup) can
+    * append their own final SELECT over the identical trajectory.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+      base: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+      : String = {
     def assign(ccte: String): String =
       s"""SELECT vec_id, v, cid AS cell FROM (
         SELECT e.vec_id, e.v, c.cid,
@@ -133,13 +139,16 @@ object ExtraQueries {
     val chain = (0 until iters).map { it =>
       s"a$it AS (${assign(s"c$it")}), c${it + 1} AS (${means(s"a$it")})"
     }.mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS ($base),
       c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
       $chain,
-      final_a AS (${assign(s"c$iters")})
-      SELECT vec_id, cell::BIGINT AS cell FROM final_a"""
+      final_a AS (${assign(s"c$iters")})"""
   }
+
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String =
+    s"""${kmeansCtes(k, iters, dim)}
+      SELECT vec_id, cell::BIGINT AS cell FROM final_a"""
 
   val registry: Map[String, (
       (SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -169,6 +178,30 @@ object ExtraQueries {
         t(s, dir, "embeddings"), k = 4, iters = 2)
       assign.select(col("vec_id"), col("cell").cast("long").as("cell"))
     }, Some(kmeansSql(k = 4, iters = 2, dim = 64)))),
+
+    // SemDeDup-style semantic near-dup (Abbas et al. 2023): trained
+    // k-means cells as candidate buckets, exact cosine gate within cells.
+    // Same planted-duplicate fixture as q_near_dup_embed (the synthetic
+    // embeddings have no natural ≥0.99 pairs): 50 cloned vectors must
+    // co-cluster with their originals — identical vectors score
+    // identically against every centroid and the tie-break is
+    // deterministic — and the exact gate must pass exactly those pairs.
+    // The oracle replays the identical Lloyd trajectory (kmeansCtes over
+    // the SAME planted base) then pairs within cells.
+    "q_semantic_dedup" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Dedup.semanticNearDups(emb.unionByName(planted),
+        k = 4, iters = 2, threshold = 0.99)
+    }, Some(s"""${kmeansCtes(k = 4, iters = 2, dim = 64,
+        base = """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 50""")}
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM final_a a JOIN final_a b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.99"""))),
 
     // ---- §2.1 compat sources/sinks: real write → real read ------------
 

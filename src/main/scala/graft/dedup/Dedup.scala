@@ -342,6 +342,43 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
+  /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al., 2023,
+    * arXiv:2303.09540): candidate buckets come from TRAINED k-means cells
+    * ([[graft.sim.Similarity.kmeansFit]]) instead of random hyperplanes —
+    * clusters follow the data's actual density, so semantically-close
+    * pairs co-bucket at far smaller k than random projections need bits.
+    * Exact cosine then gates within cells, joined back by id exactly as
+    * [[embeddingNearDups]] does.
+    *
+    * Scale shape: assignment rides the scan (one pass, k·dim broadcast-
+    * class centroids); the within-cell self-join costs Σ cell² — at
+    * corpus scale k grows with the corpus (SemDeDup uses ~100k clusters
+    * for billions of docs) so cells stay bounded, and the same
+    * `maxCell` window guard as every other candidate generator drops
+    * degenerate cells instead of letting one emit O(n²) pairs.
+    */
+  def semanticNearDups(vectors: DataFrame, k: Int, iters: Int,
+                       threshold: Double, id: String = "vec_id",
+                       emb: String = "embedding",
+                       maxCell: Int = 1000000): DataFrame = {
+    import graft.sim.Similarity
+    val (assign, _) = Similarity.kmeansFit(vectors, k, iters, id, emb)
+    val bounded = assign.withColumn("_csz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .where(col("_csz") <= maxCell).drop("_csz")
+    val a = bounded.select(col("cell"), col(id).as("vec_a"))
+    val b = bounded.select(col("cell"), col(id).as("vec_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    val ea = vectors.select(col(id).as("vec_a"), col(emb).as("emb_a"))
+    val eb = vectors.select(col(id).as("vec_b"), col(emb).as("emb_b"))
+    pairs.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cosine_sim", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .where(col("cosine_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
+  }
+
   /** The k-gram rolling-hash stream for winnowing: ordered shingle hashes
     * per document. Project this into a NAMED COLUMN before calling
     * [[winnowFromHashes]] — see that method's scaladoc for why.

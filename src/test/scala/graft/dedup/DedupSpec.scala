@@ -165,6 +165,32 @@ class DedupSpec extends SparkSpec {
       s"no recall gain (single=${single.size}, multi=${multi.size}) — tables not independent?")
   }
 
+  test("semanticNearDups: k-means cells recover planted clone pairs exactly") {
+    import spark.implicits._
+    // 4 well-separated gaussian blobs of 30 vectors; every 5th vector is
+    // cloned under id+1000. The trained cells must co-bucket each clone
+    // with its original (identical vectors score identically against every
+    // centroid) and the exact gate must emit exactly the clone pairs —
+    // blob-mates sit at cosine far below the 0.999 threshold.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0 until 4).flatMap { blob =>
+      val center = Array.tabulate(dim)(j => if (j % 4 == blob) 10.0f else 0.0f)
+      (0 until 30).map { i =>
+        val v = center.map(x => x + 0.5f * rnd.nextGaussian().toFloat)
+        ((blob * 30 + i).toLong, v.toSeq)
+      }
+    }
+    val clones = rows.filter(_._1 % 5 == 0).map { case (i, v) => (i + 1000L, v) }
+    val df = (rows ++ clones).toDF("vec_id", "embedding")
+    val got = Dedup.semanticNearDups(df, k = 4, iters = 2, threshold = 0.999)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows.map(_._1).filter(_ % 5 == 0).map(i => (i, i + 1000L)).toSet
+    assert(got == want, s"expected exactly the planted clone pairs; " +
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("winnowing: docs sharing a long run share a fingerprint, unrelated don't") {
     import spark.implicits._
     val common = (1 to 10).map(i => s"c$i") // run of 10 ≥ w+k-1 = 6
