@@ -362,7 +362,14 @@ object Dedup {
                        emb: String = "embedding",
                        maxCell: Int = 1000000): DataFrame = {
     import graft.sim.Similarity
-    val (assign, _) = Similarity.kmeansFit(vectors, k, iters, id, emb)
+    // checkpoint the (id, cell) assignment before the self-join — same
+    // discipline as simhashPairs' signature table: both join sides
+    // consume it, and without the lineage cut the k·dim-cosine
+    // assignment scan (the dominant cost at corpus scale) plans TWICE
+    // (the broadcast side wraps its copy in a BroadcastExchange, so
+    // ReuseExchange cannot deduplicate across the two). ~12 bytes/vector.
+    val assign = graft.ops.Checkpoints.truncate(
+      Similarity.kmeansFit(vectors, k, iters, id, emb)._1)
     val bounded = assign.withColumn("_csz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cell")))
       .where(col("_csz") <= maxCell).drop("_csz")
