@@ -203,6 +203,28 @@ object ExtraQueries {
       FROM final_a a JOIN final_a b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.99"""))),
 
+    // PII scrubbing (training-corpus redaction): plant a deterministic
+    // email + IP + phone per doc from doc_id, scrub with the shared
+    // regex constants, compare the full scrubbed strings. Both engines
+    // run the IDENTICAL pattern text (the SQL interpolates the same
+    // constants), so any Java-regex/RE2 semantic divergence in the
+    // chosen subset breaks the hash loudly.
+    "q_pii_scrub" -> (((s: SparkSession, dir: String) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.20."),
+          col("doc_id") % 256, lit(".7 call +1 555 01"),
+          col("doc_id") % 90 + 10, lit(" now")).as("text"))
+      planted.select(col("doc_id"),
+        graft.text.TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+    }, Some(s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        text || ' contact user' || doc_id || '@example.com from 10.20.'
+             || (doc_id % 256) || '.7 call +1 555 01' || (doc_id % 90 + 10) || ' now',
+        '${graft.text.TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+        '${graft.text.TextAnalysis.PiiIpv4}', '<IP>', 'g'),
+        '${graft.text.TextAnalysis.PiiDigitRun}', '<PHONE>', 'g') AS scrubbed
+      FROM documents"""))),
+
     // ---- §2.1 compat sources/sinks: real write → real read ------------
 
     // TextOutputFormat (`key\tvalue` lines) → KeyValueTextInputFormat

@@ -92,6 +92,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(toks(lower(text)))), " "))
 
+  /** PII scrubbing for training corpora: replace emails, IPv4 addresses,
+    * and long digit runs (phone-class identifiers) with typed tags —
+    * the standard pre-training redaction pass. Pure codegen'd
+    * `regexp_replace` chain, no UDF; patterns deliberately stay inside
+    * the Java-regex/RE2 common subset (no backrefs, no lookaround) so an
+    * oracle engine replays them verbatim. Order matters and is part of
+    * the contract: emails first (an email's digits must not be half-
+    * scrubbed as a phone), then IPs (dotted digits, would otherwise
+    * partially match the digit-run pattern), then digit runs.
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiDigitRun = "\\b[0-9][0-9 ()+-]{6,}[0-9]\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiIpv4, "<IP>"),
+      PiiDigitRun, "<PHONE>")
+
   /** Let-binding (same technique as `Dedup.bindOnce`, see the scaladoc
     * there): Catalyst re-inlines plain aliases into every use site, so an
     * expensive shared subexpression runs once per use; a lambda variable

@@ -37,6 +37,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
 
+  test("scrubPii replaces emails, IPs, digit runs; order protects typed tags") {
+    def scrub(s: String): String =
+      one(s, TextAnalysis.scrubPii(col("text"))).getString(0)
+    assert(scrub("mail bob.smith+x@corp.example.org now") == "mail <EMAIL> now")
+    assert(scrub("from 192.168.0.1 port") == "from <IP> port")
+    assert(scrub("call +1 555 014-2398 ok") == "call +<PHONE> ok")
+    // ordering: an email's digits must become part of <EMAIL>, not
+    // <PHONE>; an IP's dotted digits must become <IP>, not <PHONE>
+    assert(scrub("x 12345678@num.example.com y") == "x <EMAIL> y")
+    assert(scrub("x 10.20.30.40 y") == "x <IP> y")
+    // clean text passes through untouched (short numbers are not PII)
+    assert(scrub("take route 66 at 9am, room 101") == "take route 66 at 9am, room 101")
+    // composite line, all three classes
+    assert(scrub("a@b.co at 8.8.8.8 tel 5551234567") == "<EMAIL> at <IP> tel <PHONE>")
+  }
+
   test("fingerprint equals dedup fingerprint (shared definition)") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
     val n = docs.select(
