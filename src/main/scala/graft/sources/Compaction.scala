@@ -124,9 +124,18 @@ object Compaction {
   }
 
   /** Initialize a versioned table root: write the frame as `v=0` and
-    * commit it.
+    * commit it. INIT-ONLY by design: resolve takes the MAX committed
+    * version, so re-initializing a root that already has committed
+    * versions would write data no reader ever sees — fail loudly
+    * instead of losing the write silently.
     */
   def writeVersioned(df: org.apache.spark.sql.DataFrame, root: String): Unit = {
+    val existing =
+      try committedVersions(df.sparkSession, root)
+      catch { case _: FileNotFoundException => Seq.empty[Long] }
+    require(existing.isEmpty,
+      s"writeVersioned: $root already has committed versions ${existing.sorted}; " +
+        "use compactVersioned to advance an initialized table")
     df.write.mode("overwrite").parquet(s"$root/v=0")
     commitMarker(df.sparkSession, root, 0)
   }
@@ -138,7 +147,12 @@ object Compaction {
     * `grace ≥ 1` lets readers holding a just-stale resolution finish
     * their scan. Crash-safe: a failure after writing `v=N+1` data but
     * before its marker leaves readers on `v=N`, and the next compaction
-    * overwrites the uncommitted orphan dir.
+    * overwrites the uncommitted orphan dir. Single-compactor contract
+    * (the reference's housekeeping jobs were singletons too): concurrent
+    * compactions of one root can both target `v=N+1` and interleave
+    * writes into it — readers still never break (they only see committed
+    * markers and max-version resolution), but run one compactor per
+    * table.
     *
     * @return (filesBefore, filesAfter) part-file counts.
     */

@@ -141,6 +141,22 @@ class WarehouseWriteSpec extends SparkSpec {
       s"expected grace-of-two retention, had ${vs.toSeq}")
   }
 
+  test("writeVersioned is init-only: re-initializing a live root fails loudly") {
+    // resolve takes the MAX committed version, so a re-init's v=0 would
+    // be invisible to every reader — the write must refuse, not vanish
+    val root = "/tmp/graft_test/compaction_reinit"
+    rmrf(new java.io.File(root))
+    val src = graft.Tables.load(spark, sfDir, "region")
+    Compaction.writeVersioned(src, root)
+    Compaction.compactVersioned(spark, root, targetFileBytes = 512L * 1024)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.writeVersioned(src, root)
+    }
+    assert(e.getMessage.contains("already has committed versions"))
+    // the refused write changed nothing
+    assert(Compaction.resolve(spark, root).endsWith("v=1"))
+  }
+
   test("resolve survives a transiently missing commit marker") {
     // reader-side self-healing: even with an atomic publish, real stores
     // have eventual-consistency windows — resolve must retry, not throw.
