@@ -84,14 +84,14 @@ object ExtraQueries {
     * md5-hex-digit bit extraction, same band packing, so both engines
     * compute the IDENTICAL four 16-bit bands per doc.
     */
-  private def simhashBandsSql: String = {
+  private def simhashBandsSql(nBands: Int): String = {
     def hexSet(b: Int): String = (0 until 16)
       .filter(d => ((d >> b) & 1) == 1)
       .map(d => s"'${d.toHexString}'").mkString("(", ",", ")")
-    val voteCols = (for { j <- 0 until 16; b <- 0 until 4 } yield
+    val voteCols = (for { j <- 0 until 4 * nBands; b <- 0 until 4 } yield
       s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN ${hexSet(b)} THEN 1 ELSE -1 END) AS v_${j}_$b")
       .mkString(", ")
-    val bandCols = (0 until 4).map { k =>
+    val bandCols = (0 until nBands).map { k =>
       (for { jj <- 0 until 4; b <- 0 until 4 } yield
         s"(CASE WHEN v_${4 * k + jj}_$b > 0 THEN ${1 << (jj * 4 + b)} ELSE 0 END)")
         .mkString(" + ") + s" AS b$k"
@@ -103,6 +103,34 @@ object ExtraQueries {
       hs AS (SELECT doc_id, md5(t) AS h FROM tok),
       votes AS (SELECT doc_id, $voteCols FROM hs GROUP BY doc_id),
       bands AS (SELECT doc_id, $bandCols FROM votes)"""
+  }
+
+  /** The full banded-pairs replay (candidate join + guard + verify) for
+    * either signature width — shared by q_simhash_pairs (4 bands, ≤3)
+    * and q_simhash128_pairs (8 bands, ≤7).
+    */
+  private def simhashPairsSql(nBands: Int, maxHamming: Int): String = {
+    val bn = (0 until nBands).map(k => s"b$k")
+    val caseK = "CASE k " + (0 until nBands - 1)
+      .map(k => s"WHEN $k THEN b$k").mkString(" ") + s" ELSE b${nBands - 1} END"
+    val ham = bn.map(b => s"bit_count(xor(x.$b, y.$b))").mkString(" + ")
+    s"""WITH ${simhashBandsSql(nBands)},
+      bexp AS (
+        SELECT doc_id, ${bn.mkString(", ")}, k, $caseK AS bkey
+        FROM bands, (SELECT unnest(range($nBands)) AS k)),
+      bexp2 AS (
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY k, bkey) AS bsz FROM bexp)
+        WHERE bsz <= 1000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bexp2 a JOIN bexp2 b ON a.k = b.k AND a.bkey = b.bkey
+          AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT c.doc_a, c.doc_b, ($ham)::BIGINT AS hamming
+        FROM cand c JOIN bands x ON c.doc_a = x.doc_id
+          JOIN bands y ON c.doc_b = y.doc_id)
+      WHERE hamming <= $maxHamming"""
   }
 
   /** DuckDB replay of [[graft.sim.Similarity.kmeansFit]]: `iters` Lloyd
@@ -976,26 +1004,16 @@ object ExtraQueries {
     "q_simhash_pairs" -> (((s: SparkSession, dir: String) => {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
         maxBucket = 1000)
-    }, Some(s"""WITH $simhashBandsSql,
-      bexp AS (
-        SELECT doc_id, b0, b1, b2, b3, k,
-          CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bkey
-        FROM bands, (SELECT unnest(range(4)) AS k)),
-      bexp2 AS (
-        SELECT * FROM (
-          SELECT *, count(*) OVER (PARTITION BY k, bkey) AS bsz FROM bexp)
-        WHERE bsz <= 1000),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bexp2 a JOIN bexp2 b ON a.k = b.k AND a.bkey = b.bkey
-          AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, hamming FROM (
-        SELECT c.doc_a, c.doc_b,
-          (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT AS hamming
-        FROM cand c JOIN bands x ON c.doc_a = x.doc_id
-          JOIN bands y ON c.doc_b = y.doc_id)
-      WHERE hamming <= 3"""))),
+    }, Some(simhashPairsSql(nBands = 4, maxHamming = 3)))),
+
+    // The 128-bit/8-band variant at its deeper lossless threshold (≤7):
+    // same full-replay oracle, generated at twice the width — the wider
+    // band space is the documented mitigation for the d3 bucket-depth
+    // saturation (SCALING.md).
+    "q_simhash128_pairs" -> (((s: SparkSession, dir: String) => {
+      Dedup.simhashPairs128(t(s, dir, "documents"), maxHamming = 7,
+        maxBucket = 1000)
+    }, Some(simhashPairsSql(nBands = 8, maxHamming = 7)))),
 
     // Winnowing (rolling-hash) fingerprints: k-gram hash stream → window
     // minima → distinct fingerprints per doc, exploded for the compare.

@@ -459,17 +459,39 @@ object Dedup {
     * One explode + one 64-column partial-aggregated groupBy — a single
     * shuffle of 64 ints per doc regardless of corpus size.
     */
-  def simhash64(docs: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+  def simhash64(docs: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame =
+    simhashBands(docs, nBands = 4, text, id)
+
+  /** 128-bit SimHash as EIGHT 16-bit bands `b0..b7` — the wider-band
+    * variant for corpora where the 64-bit band space saturates (the d3
+    * `scale10x_diag` counters showed mean bucket depth rising with
+    * corpus size: 4 bands × 2^16 keys only spread so far). Same md5
+    * backbone — the digest has 32 hex digits, the 64-bit form uses half
+    * of them — so the cost is the same one explode + one partial-agg
+    * shuffle, just 128 vote columns. Pigeonhole: lossless for pairs at
+    * Hamming ≤ 7 when used with [[simhashPairs128]].
+    */
+  def simhash128(docs: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame =
+    simhashBands(docs, nBands = 8, text, id)
+
+  /** Shared n-band SimHash core: hex digit j ∈ 0..4·nBands-1 of
+    * md5(token) votes on bits (d_j >> b) & 1; band k packs digits
+    * 4k..4k+3 at in-band position (j-4k)·4 + b. md5 supplies 32 hex
+    * digits, so nBands ≤ 8.
+    */
+  private def simhashBands(docs: DataFrame, nBands: Int,
+                           text: String, id: String): DataFrame = {
+    require(nBands >= 1 && nBands <= 8, s"md5 has 32 hex digits: nBands <= 8, got $nBands")
     def hexWithBit(b: Int): Seq[String] =
       (0 until 16).filter(d => ((d >> b) & 1) == 1).map(_.toHexString)
     val tok = docs.select(col(id),
       explode(array_distinct(toks(col(text)))).as("t"))
       .withColumn("h", md5(col("t")))
-    val votes = for { j <- 0 until 16; b <- 0 until 4 } yield
+    val votes = for { j <- 0 until 4 * nBands; b <- 0 until 4 } yield
       sum(when(substring(col("h"), j + 1, 1).isin(hexWithBit(b): _*), 1)
         .otherwise(-1)).as(s"v_${j}_$b")
     val agg = tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
-    val bandCols = (0 until 4).map { k =>
+    val bandCols = (0 until nBands).map { k =>
       (for { jj <- 0 until 4; b <- 0 until 4 } yield
         when(col(s"v_${4 * k + jj}_$b") > 0, lit(1 << (jj * 4 + b)))
           .otherwise(lit(0))).reduce(_ + _).as(s"b$k")
@@ -497,26 +519,46 @@ object Dedup {
     // token-explode + 64-column aggregate TWICE — the dominant cost at
     // corpus scale. The checkpointed table is ~20 bytes/doc (id + 4
     // band ints): negligible storage for halving the heavy stage.
-    val sig = graft.ops.Checkpoints.truncate(simhash64(docs, text, id))
-    val bands = sig.select(col(id), col("b0"), col("b1"), col("b2"), col("b3"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band"), col(s"b$k").as("bkey"))): _*)).as("e"))
-      .select(col(id), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("e.band").as("band"), col("e.bkey").as("bkey"))
+    simhashPairsBanded(docs, nBands = 4, maxHamming, maxBucket, text, id)
+  }
+
+  /** [[simhashPairs]] over the 128-bit signature: 8-band pigeonhole,
+    * lossless recall for Hamming ≤ 7 — the wider-band variant for
+    * corpora where 4 bands over 2^16 keys saturate (mean bucket depth
+    * grows with corpus size; see SCALING.md's d3 attribution). Same
+    * Σ bucket² join shape and `maxBucket` guard; twice the signature
+    * bits buys 2× band keys AND a deeper verify threshold.
+    */
+  def simhashPairs128(docs: DataFrame, maxHamming: Int = 7, maxBucket: Int = 1000,
+                      text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 7,
+      "8-band pigeonhole only guarantees recall for Hamming <= 7")
+    simhashPairsBanded(docs, nBands = 8, maxHamming, maxBucket, text, id)
+  }
+
+  private def simhashPairsBanded(docs: DataFrame, nBands: Int, maxHamming: Int,
+                                 maxBucket: Int, text: String, id: String): DataFrame = {
+    val bn = (0 until nBands).map(k => s"b$k")
+    val sig = graft.ops.Checkpoints.truncate(simhashBands(docs, nBands, text, id))
+    val bands = sig.select(col(id) +: bn.map(col) :+
+        explode(array((0 until nBands).map(k =>
+          struct(lit(k).as("band"), col(s"b$k").as("bkey"))): _*)).as("e"): _*)
+      .select(col(id) +: bn.map(col) :+
+        col("e.band").as("band") :+ col("e.bkey").as("bkey"): _*)
     val bounded = bands
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
       .where(col("_bsz") <= maxBucket).drop("_bsz")
-    val a = bounded.select(col("band"), col("bkey"), col(id).as("doc_a"),
-      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val b = bounded.select(col("band"), col("bkey"), col(id).as("doc_b"),
-      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val a = bounded.select(col("band") +: col("bkey") +: col(id).as("doc_a") +:
+      bn.zipWithIndex.map { case (b, k) => col(b).as(s"a$k") }: _*)
+    val b = bounded.select(col("band") +: col("bkey") +: col(id).as("doc_b") +:
+      bn.zipWithIndex.map { case (b, k) => col(b).as(s"c$k") }: _*)
     a.join(b, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) " +
-          "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)").as("hamming"))
+        expr("CAST(" + (0 until nBands).map(k => s"bit_count(a$k ^ c$k)")
+          .mkString(" + ") + " AS BIGINT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct() // a pair can match in up to 4 bands; hamming is identical
+      .distinct() // a pair can match in several bands; hamming is identical
   }
 }

@@ -248,5 +248,22 @@ class DedupSpec extends SparkSpec {
       assert(banded.contains((f * 10L + 1, f * 10L + 2)),
         s"family $f near-dup pair missed")
     }
+    // the 128-bit/8-band variant is lossless at the deeper <=7 threshold
+    // on the same corpus: banded == brute force over the 8-band signature
+    val banded128 = Dedup.simhashPairs128(df, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sig128 = Dedup.simhash128(df).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getInt)).toMap
+    val brute128 = (for {
+      (a, sa) <- sig128.toSeq; (b, sb) <- sig128.toSeq if a < b
+      h = sa.zip(sb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 7
+    } yield (a, b) -> h.toLong).toMap
+    assert(banded128 == brute128,
+      s"128-bit banded=${banded128.keySet} brute=${brute128.keySet}")
+    (0 until 6).foreach { f =>
+      assert(banded128.contains((f * 10L + 1, f * 10L + 2)),
+        s"family $f pair missed by 128-bit banding")
+    }
   }
 }
