@@ -253,6 +253,28 @@ object ExtraQueries {
         '${graft.text.TextAnalysis.PiiDigitRun}', '<PHONE>', 'g') AS scrubbed
       FROM documents"""))),
 
+    // TF-IDF top-3 terms per doc. The oracle replays tokenize → tf → df
+    // → smoothed idf → round-6 → per-doc rank verbatim; rounding BEFORE
+    // the window is what makes the rank comparable across engines.
+    "q_tfidf" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.tfidf(t(s, dir, "documents"), topK = 3)
+    }, Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      nd AS (SELECT count(*) AS n FROM documents),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT t.doc_id, t.term,
+          round(t.tf * (ln((1.0 + nd.n) / (1.0 + d.df)) + 1.0), 6) AS tfidf
+        FROM tf t JOIN dfq d USING (term), nd)
+      SELECT doc_id, term, tfidf FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+      WHERE rn <= 3"""))),
+
     // ---- §2.1 compat sources/sinks: real write → real read ------------
 
     // TextOutputFormat (`key\tvalue` lines) → KeyValueTextInputFormat

@@ -113,6 +113,40 @@ object TextAnalysis {
         PiiIpv4, "<IP>"),
       PiiDigitRun, "<PHONE>")
 
+  /** TF-IDF term relevance: the top-`topK` terms per document by
+    * tf · (ln((1+N)/(1+df)) + 1) — the smoothed-idf formulation, so an
+    * every-doc term still scores tf·1 rather than 0 and a never-seen df
+    * cannot divide by zero. Scores round at 6 digits BEFORE the ranking
+    * window, so cross-engine libm ulp differences in ln can neither
+    * reorder rows nor flip the top-k cutoff (ties break on term).
+    *
+    * Plan shape at corpus scale: one tokenize+count shuffle for tf, one
+    * term-keyed aggregate for df (df is NOT broadcast — a 100 TB corpus
+    * vocabulary is itself huge; the term equi-join shuffles), the 1-row
+    * corpus count rides a broadcast cross join, and the ranking window
+    * partitions by doc — never a global sort. The tf table is
+    * checkpointed: it feeds both the df aggregate and the join left, and
+    * without the cut the tokenization explode plans twice (the shingle-
+    * table discipline, see Dedup.ngramJaccardTracked).
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, topK: Int = 5,
+            text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val tf = graft.ops.Checkpoints.truncate(
+      docs.select(col(id), explode(toks(col(text))).as("term"))
+        .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf")))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((lit(1.0) + col("_n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= topK)
+      .select(col(id), col("term"), col("tfidf"))
+  }
+
   /** Let-binding (same technique as `Dedup.bindOnce`, see the scaladoc
     * there): Catalyst re-inlines plain aliases into every use site, so an
     * expensive shared subexpression runs once per use; a lambda variable

@@ -53,6 +53,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrub("a@b.co at 8.8.8.8 tel 5551234567") == "<EMAIL> at <IP> tel <PHONE>")
   }
 
+  test("tfidf ranks rare terms above common ones; topK truncates by score then term") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple banana the"),
+      (2L, "banana the cherry"),
+      (3L, "the the the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(df, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(-_._3).map(x => (x._2, x._3)).toSeq }
+    // N=3; df: apple 1, banana 2, cherry 1, the 3
+    // idf: apple/cherry ln(4/2)+1, banana ln(4/3)+1, the ln(4/4)+1 = 1
+    val idfRare = math.log(4.0 / 2.0) + 1
+    val idfMid = math.log(4.0 / 3.0) + 1
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out(1L) == Seq("apple" -> r6(2 * idfRare), "banana" -> r6(idfMid)))
+    assert(out(2L) == Seq("cherry" -> r6(idfRare), "banana" -> r6(idfMid)))
+    // doc 3 has only one distinct term; topK must not pad
+    assert(out(3L) == Seq("the" -> 3.0))
+  }
+
   test("fingerprint equals dedup fingerprint (shared definition)") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
     val n = docs.select(
