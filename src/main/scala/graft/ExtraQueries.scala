@@ -275,6 +275,24 @@ object ExtraQueries {
         FROM scored)
       WHERE rn <= 3"""))),
 
+    // Sliding-window document chunking (window 32, stride 16): the
+    // pre-tokenization split every training pipeline runs. Oracle
+    // replays starts/slices with DuckDB list ops; comparing the joined
+    // chunk text checks boundaries exactly.
+    "q_chunk" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.chunk(t(s, dir, "documents"),
+        window = 32, stride = 16)
+    }, Some("""WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      nz AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+      starts AS (
+        SELECT doc_id, t, unnest(range(0, len(t), 16)) AS s FROM nz)
+      SELECT doc_id, (s // 16)::BIGINT AS chunk_id,
+        array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
+      FROM starts"""))),
+
     // ---- §2.1 compat sources/sinks: real write → real read ------------
 
     // TextOutputFormat (`key\tvalue` lines) → KeyValueTextInputFormat

@@ -147,6 +147,31 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tfidf"))
   }
 
+  /** Document chunking for training pipelines: token windows of size
+    * `window` starting every `stride` tokens — the standard
+    * sliding-window split applied before tokenization/embedding. Chunk
+    * starts are 0, stride, 2·stride, … while < token count, so every
+    * token is covered and trailing chunks may be shorter than `window`
+    * (the usual overlap-stride contract). A 1→N generator in pure
+    * Column ops (sequence → transform/slice → posexplode): per-row cost
+    * is linear in tokens, no UDF, no shuffle at all — chunking is
+    * embarrassingly parallel and stays inside the scan stage at any
+    * corpus size. Empty docs yield no chunks.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, window: Int, stride: Int,
+            text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1")
+    val t = docs.select(col(id), toks(col(text)).as("_t"))
+      .where(size(col("_t")) > 0)
+    val chunks = transform(
+      sequence(lit(0), size(col("_t")) - 1, lit(stride)),
+      s => array_join(slice(col("_t"), s + 1, lit(window)), " "))
+    t.select(col(id), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .select(col(id), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"))
+  }
+
   /** Let-binding (same technique as `Dedup.bindOnce`, see the scaladoc
     * there): Catalyst re-inlines plain aliases into every use site, so an
     * expensive shared subexpression runs once per use; a lambda variable

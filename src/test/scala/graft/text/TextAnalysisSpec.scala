@@ -74,6 +74,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == Seq("the" -> 3.0))
   }
 
+  test("chunk: overlap-stride windows cover every token; trailing chunks shorten") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x"),                   // shorter than a window
+      (3L, "  ")                   // empty after tokenization
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(doc1 == Seq("a b c d", "d e f g", "g h i j", "j"),
+      s"stride-3/window-4 chunking wrong: $doc1")
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("x"))
+    assert(!out.exists(_._1 == 3L), "empty doc must yield no chunks")
+    // every token of doc 1 appears in at least one chunk
+    assert(doc1.flatMap(_.split(" ")).toSet == "abcdefghij".map(_.toString).toSet)
+  }
+
   test("fingerprint equals dedup fingerprint (shared definition)") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
     val n = docs.select(
