@@ -293,6 +293,31 @@ object ExtraQueries {
         array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
       FROM starts"""))),
 
+    // Benchmark decontamination: train docs (doc_id % 7 != 0) sharing any
+    // 3-gram with the held-out slice (doc_id % 7 == 0), counted per doc.
+    // The corpus's planted near-dup families span the split, so the
+    // overlap set is non-trivial; oracle replays shingling (same
+    // short-doc whole-text collapse), the distinct eval shingle set, the
+    // equi-join, and the per-doc count.
+    "q_contamination" -> (((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminatedDocs(
+        d.where(col("doc_id") % 7 =!= 0),
+        d.where(col("doc_id") % 7 === 0), shingleN = 3)
+    }, Some("""WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM documents),
+      shl AS (
+        SELECT doc_id, list_distinct(list_transform(range(greatest(len(tk)-2, 1)),
+          i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS shs
+        FROM w),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 7 = 0),
+      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 7 <> 0)
+      SELECT t.doc_id, count(*)::BIGINT AS shared_ngrams
+      FROM tr t JOIN ev e USING (sh)
+      GROUP BY 1"""))),
+
     // ---- §2.1 compat sources/sinks: real write → real read ------------
 
     // TextOutputFormat (`key\tvalue` lines) → KeyValueTextInputFormat

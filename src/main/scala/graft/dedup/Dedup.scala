@@ -386,6 +386,31 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
   }
 
+  /** Benchmark decontamination: training documents sharing at least one
+    * word n-gram with an evaluation corpus, with the count of distinct
+    * shared shingles per document (the n-gram-overlap decontamination
+    * rule used to scrub eval sets out of pre-training data; 13-grams in
+    * the published recipes, parameterized here).
+    *
+    * Scale shape: both corpora explode to distinct shingles (linear, one
+    * pass), the eval side dedupes to the distinct shingle set, and the
+    * overlap is ONE equi-join keyed on the shingle — at 100 TB train /
+    * small eval the eval shingle set broadcasts and the whole check
+    * rides the training scan; Spark picks that automatically from size
+    * estimates. The per-doc count aggregates map-side first. No
+    * all-pairs stage exists at any size.
+    */
+  def contaminatedDocs(train: DataFrame, eval: DataFrame, shingleN: Int = 13,
+                       text: String = "text", id: String = "doc_id"): DataFrame = {
+    val tSh = train.select(col(id),
+      explode(array_distinct(shingles(col(text), shingleN))).as("sh"))
+    val eSh = eval.select(
+      explode(array_distinct(shingles(col(text), shingleN))).as("sh")).distinct()
+    tSh.join(eSh, Seq("sh"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** The k-gram rolling-hash stream for winnowing: ordered shingle hashes
     * per document. Project this into a NAMED COLUMN before calling
     * [[winnowFromHashes]] — see that method's scaladoc for why.

@@ -165,6 +165,20 @@ class DedupSpec extends SparkSpec {
       s"no recall gain (single=${single.size}, multi=${multi.size}) — tables not independent?")
   }
 
+  test("contaminatedDocs flags exactly the train docs overlapping eval n-grams") {
+    val train = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "completely different words entirely",
+      3L -> "the quick brown fox")
+    val eval = docs(
+      10L -> "zz yy alpha beta gamma xx",
+      11L -> "unrelated eval content here")
+    val out = Dedup.contaminatedDocs(train, eval, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only doc 1 shares a 3-gram ("alpha beta gamma"); exactly one of them
+    assert(out == Map(1L -> 1L), s"got $out")
+  }
+
   test("semanticNearDups: k-means cells recover planted clone pairs exactly") {
     import spark.implicits._
     // 4 well-separated gaussian blobs of 30 vectors; every 5th vector is
