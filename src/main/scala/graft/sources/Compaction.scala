@@ -77,7 +77,9 @@ object Compaction {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new Path(root))
       .filter(s => s.isFile && s.getPath.getName.startsWith(MarkerPrefix))
-      .map(_.getPath.getName.stripPrefix(MarkerPrefix).toLong)
+      // tolerate stray non-numeric suffixes (e.g. `_committed_v=3.tmp`
+      // left by a copying tool) rather than poisoning every resolve
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix(MarkerPrefix).toLong).toOption)
       .toSeq
   }
 
@@ -92,11 +94,19 @@ object Compaction {
   def resolve(spark: SparkSession, root: String): String = {
     var attempt = 0
     while (true) {
+      // A missing root is almost always a typo or an uninitialized table,
+      // not an eventual-consistency window: give it one short retry and
+      // fail fast, reserving the full retry budget for the
+      // root-exists-but-marker-not-yet-listed case.
+      var rootMissing = false
       val vs =
         try committedVersions(spark, root)
-        catch { case _: FileNotFoundException => Seq.empty[Long] }
+        catch { case _: FileNotFoundException => rootMissing = true; Seq.empty[Long] }
       if (vs.nonEmpty) return s"$root/v=${vs.max}"
       attempt += 1
+      if (rootMissing && attempt >= 2)
+        throw new FileNotFoundException(
+          s"$root does not exist (no table root after $attempt attempts)")
       if (attempt >= 20)
         throw new FileNotFoundException(
           s"$root has no $MarkerPrefix<N> commit marker after $attempt attempts")
@@ -116,10 +126,13 @@ object Compaction {
     * stores. The body records the version for humans; readers never
     * parse it.
     */
-  private def commitMarker(spark: SparkSession, root: String, v: Long): Unit = {
+  private[sources] def commitMarker(spark: SparkSession, root: String, v: Long): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(root, MarkerPrefix + v)
-    val out = fs.create(marker, true)
+    // create-once (overwrite=false): a second publisher of the same
+    // version fails loudly instead of silently re-publishing — markers
+    // are immutable, matching the nothing-is-ever-overwritten contract
+    val out = fs.create(marker, false)
     try out.write(s"v=$v".getBytes("UTF-8")) finally out.close()
   }
 
@@ -151,8 +164,9 @@ object Compaction {
     * (the reference's housekeeping jobs were singletons too): concurrent
     * compactions of one root can both target `v=N+1` and interleave
     * writes into it — readers still never break (they only see committed
-    * markers and max-version resolution), but run one compactor per
-    * table.
+    * markers and max-version resolution), and the create-once marker
+    * ensures the second publisher of `v=N+1` fails loudly instead of
+    * silently double-committing — but run one compactor per table.
     *
     * @return (filesBefore, filesAfter) part-file counts.
     */

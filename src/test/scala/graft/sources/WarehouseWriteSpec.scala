@@ -176,6 +176,45 @@ class WarehouseWriteSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == src.count())
   }
 
+  test("stray non-numeric marker names are skipped, not fatal") {
+    // a copying tool can leave `_committed_v=0.tmp` next to the real
+    // markers; resolve must skip it instead of throwing NumberFormatException
+    val root = "/tmp/graft_test/compaction_stray_marker"
+    rmrf(new java.io.File(root))
+    val src = graft.Tables.load(spark, sfDir, "region")
+    Compaction.writeVersioned(src, root)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_committed_v=0.tmp"), "junk")
+    assert(Compaction.resolve(spark, root).endsWith("v=0"))
+    assert(spark.read.parquet(Compaction.resolve(spark, root)).count() == src.count())
+  }
+
+  test("resolve fails fast on a missing table root") {
+    // a typo'd root is not an eventual-consistency window: the error must
+    // surface in well under the 20x25ms marker-retry budget
+    val root = "/tmp/graft_test/compaction_no_such_root"
+    rmrf(new java.io.File(root))
+    val t0 = System.nanoTime()
+    val e = intercept[java.io.FileNotFoundException] {
+      Compaction.resolve(spark, root)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage.contains("does not exist"))
+    assert(elapsedMs < 300, s"missing-root resolve took ${elapsedMs}ms; should fail fast")
+  }
+
+  test("commit markers are create-once: double-publishing a version fails loudly") {
+    val root = "/tmp/graft_test/compaction_double_publish"
+    rmrf(new java.io.File(root))
+    val src = graft.Tables.load(spark, sfDir, "region")
+    Compaction.writeVersioned(src, root) // publishes _committed_v=0
+    intercept[java.io.IOException] {
+      Compaction.commitMarker(spark, root, 0)
+    }
+    // the refused publish changed nothing
+    assert(Compaction.resolve(spark, root).endsWith("v=0"))
+  }
+
   test("in-place compact survives with data intact even though path moves aside") {
     // the rename-aside discipline: after compact, no _old or _compacting
     // residue remains and the data is byte-identical
