@@ -225,10 +225,24 @@ object Bench {
           results(name) = Seq(time(exec(df)), time(exec(df))).min
       }
     }
-    // B6 MRBench analog: repeated small sort, avg latency over 5 runs
+    // B6 MRBench analog: repeated small sort, avg latency over 5 runs,
+    // paired with a native-SQL control (BASELINE.md's criterion is ≤2x a
+    // native control for EVERY bench) — order alternates per rep so
+    // neither side systematically inherits the cleaner slot, and the
+    // plan-identity bit certifies any gap as environment, not plans
     val nat = Tables.load(spark, sfDir, "supplier")
-    val b6 = (1 to 5).map(_ => time(exec(nat.orderBy("s_name")))).sum / 5
-    results("b6_mrbench_avg") = b6
+    val b6ours = nat.orderBy("s_name")
+    val b6ctl = spark.sql("SELECT * FROM supplier ORDER BY s_name")
+    checkPlanMatch("b6_mrbench_1x", b6ours, b6ctl)
+    hygiene(spark)
+    exec(b6ctl); exec(b6ours) // burn pair — same rationale as measurePair
+    var b6o = 0.0; var b6c = 0.0
+    (0 until 5).foreach { i =>
+      if (i % 2 == 0) { b6c += time(exec(b6ctl)); b6o += time(exec(b6ours)) }
+      else { b6o += time(exec(b6ours)); b6c += time(exec(b6ctl)) }
+    }
+    results("b6_mrbench_avg") = b6o / 5
+    controlTimes("b6_mrbench_avg") = b6c / 5
 
     // full correctness-suite queries (operator coverage under timing) —
     // min-of-2 like the headliners: a single run times GC/page-cache
@@ -406,13 +420,14 @@ object Bench {
     import graft.dedup.Dedup
     val docs1x = Tables.load(spark, sfDir, "documents")
     val emb1x = Tables.load(spark, sfDir, "embeddings")
-    val docs10x = docs1x
-      .crossJoin(spark.range(10).select(col("id").as("_k")))
+    def ampDocs(n: Int): DataFrame = docs1x
+      .crossJoin(spark.range(n).select(col("id").as("_k")))
       .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
       .withColumn("text", array_join(
         transform(split(col("text"), "\\s+"),
           t => concat(t, lit("~"), col("_k"))), " "))
       .drop("_k")
+    val docs10x = ampDocs(10)
     val emb10x = emb1x
       .crossJoin(spark.range(10).select(col("id").as("_k")))
       .withColumn("vec_id", col("vec_id") + col("_k") * lit(1000000000L))
@@ -477,12 +492,18 @@ object Bench {
     }
     bucketDiag("1x", docs1x)
     bucketDiag("10x", docs10x)
-    // same attribution counters for d3's pigeonhole-band buckets, so a
-    // moved simhash trend decomposes the same way
-    def simhashDiag(tag: String, docs: DataFrame): Unit = try {
-      val sig = Dedup.simhash64(docs)
+    // d1a at 30x, counters only (single untimed pass): the 10x counters
+    // prove linearity; this point shows sum_bucket_sq stays ∝ rows as
+    // bucket occupancy keeps rising another 3x
+    bucketDiag("30x", ampDocs(30))
+    // same attribution counters for the pigeonhole-band simhash buckets
+    // (4-band/64-bit = d3, 8-band/128-bit = d3b), so a moved trend
+    // decomposes the same way — and the two widths' bucket profiles are
+    // directly comparable
+    def simhashDiag(prefix: String, tag: String, nBands: Int, docs: DataFrame): Unit = try {
+      val sig = if (nBands == 8) Dedup.simhash128(docs) else Dedup.simhash64(docs)
       val sizes = sig.select(col("doc_id"),
-          explode(array((0 until 4).map(k =>
+          explode(array((0 until nBands).map(k =>
             struct(lit(k).as("band"), col(s"b$k").as("bkey"))): _*)).as("e"))
         .groupBy(col("e.band"), col("e.bkey")).agg(count(lit(1)).as("n"))
       val r = sizes.agg(
@@ -490,21 +511,62 @@ object Bench {
         coalesce(sum(when(col("n") <= 1000, col("n"))), lit(0L)).as("sum_n"),
         coalesce(sum(when(col("n") <= 1000, col("n") * col("n"))), lit(0L)).as("sum_n2"),
         coalesce(sum(when(col("n") > 1000, lit(1L))), lit(0L)).as("dropped")).head()
-      scaleDiag(s"d3_${tag}_buckets") = r.getLong(0)
-      scaleDiag(s"d3_${tag}_sum_bucket") = r.getLong(1)
-      scaleDiag(s"d3_${tag}_sum_bucket_sq") = r.getLong(2)
-      scaleDiag(s"d3_${tag}_dropped_buckets") = r.getLong(3)
+      scaleDiag(s"${prefix}_${tag}_buckets") = r.getLong(0)
+      scaleDiag(s"${prefix}_${tag}_sum_bucket") = r.getLong(1)
+      scaleDiag(s"${prefix}_${tag}_sum_bucket_sq") = r.getLong(2)
+      scaleDiag(s"${prefix}_${tag}_dropped_buckets") = r.getLong(3)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] simhash diag $tag failed: ${e.getMessage}")
+      System.err.println(s"[bench] simhash diag $prefix $tag failed: ${e.getMessage}")
     }
-    simhashDiag("1x", docs1x)
-    simhashDiag("10x", docs10x)
+    simhashDiag("d3", "1x", 4, docs1x)
+    simhashDiag("d3", "10x", 4, docs10x)
     measure("d2_near_dup_embed", ctlTimes)(exec(
       Dedup.embeddingNearDups(emb1x, dim = 64, threshold = 0.99, nBits = 8)))
     measure("d2_near_dup_embed", times)(exec(
       Dedup.embeddingNearDups(emb10x, dim = 64, threshold = 0.99, nBits = 8)))
     measure("d3_simhash_pairs", ctlTimes)(exec(Dedup.simhashPairs(docs1x)))
     measure("d3_simhash_pairs", times)(exec(Dedup.simhashPairs(docs10x)))
+    // d3b: the 128-bit/8-band mitigation on the same two scales. The d3
+    // counters showed the 64-bit band space saturating (sum_bucket_sq
+    // 14x under 10x rows, drops rising); this trend + its own counters
+    // verify the wider bands actually flatten that knee (expect
+    // sum_bucket_sq growth ≈ rows growth, drops → 0)
+    measure("d3b_simhash128_pairs", ctlTimes)(exec(Dedup.simhashPairs128(docs1x)))
+    measure("d3b_simhash128_pairs", times)(exec(Dedup.simhashPairs128(docs10x)))
+    simhashDiag("d3b", "1x", 8, docs1x)
+    simhashDiag("d3b", "10x", 8, docs10x)
+    // d5: SemDeDup semantic dedup trend — trained k-means cells are the
+    // candidate buckets, so the self-join costs Σcell². Fixed k at 1x and
+    // 10x exposes cells deepening with the corpus (sum_cell_sq ≈ n²/k);
+    // the third point re-runs 10x with k scaled ∝ corpus — the
+    // discipline the operator's scaladoc prescribes — and shares the d5
+    // 1x denominator, so its ratio ≈ 10 IS the restored-linearity claim.
+    measure("d5_semantic_dedup", ctlTimes)(exec(
+      Dedup.semanticNearDups(emb1x, k = 16, iters = 2, threshold = 0.99)))
+    measure("d5_semantic_dedup", times)(exec(
+      Dedup.semanticNearDups(emb10x, k = 16, iters = 2, threshold = 0.99)))
+    measure("d5k_semantic_kprop", times)(exec(
+      Dedup.semanticNearDups(emb10x, k = 160, iters = 2, threshold = 0.99)))
+    // d5k's control slot is the SAME 1x/k=16 reading as d5 (copied, not
+    // re-measured): k∝corpus at 10x vs fixed-k at 1x is exactly the
+    // pairing whose ratio should read ≈ linear
+    ctlTimes.get("d5_semantic_dedup").foreach(v => ctlTimes("d5k_semantic_kprop") = v)
+    def cellDiag(tag: String, vecs: DataFrame, k: Int): Unit = try {
+      val assign = graft.sim.Similarity.kmeansFit(vecs, k, 2)._1
+      val sizes = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+      val r = sizes.agg(
+        count(lit(1)).as("cells"),
+        coalesce(sum(col("n")), lit(0L)).as("sum_n"),
+        coalesce(sum(col("n") * col("n")), lit(0L)).as("sum_n2")).head()
+      scaleDiag(s"d5_${tag}_cells") = r.getLong(0)
+      scaleDiag(s"d5_${tag}_sum_cell") = r.getLong(1)
+      scaleDiag(s"d5_${tag}_sum_cell_sq") = r.getLong(2)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cell diag $tag failed: ${e.getMessage}")
+    }
+    cellDiag("1x_k16", emb1x, 16)
+    cellDiag("10x_k16", emb10x, 16)
+    cellDiag("10x_k160", emb10x, 160)
 
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x

@@ -293,6 +293,44 @@ object ExtraQueries {
         array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
       FROM starts"""))),
 
+    // The chunk → embed → meanPool document pipeline composed end-to-end:
+    // chunk at the same window/stride as q_chunk, a deterministic
+    // per-chunk pseudo-embedding (dim 4; component i hashes
+    // chunk_text#chunk_id#i — the container has no embedding model, and
+    // folding chunk_id in makes the compare sensitive to chunk NUMBERING,
+    // not just chunk content), meanPool back to the document. This pins
+    // the composition contract the two operators share: chunk_id
+    // assignment order, shortfall trailing chunks, empty-doc drop, and
+    // the 9-decimal pooling quantization.
+    "q_chunk_pool" -> (((s: SparkSession, dir: String) => {
+      val chunks = graft.text.TextAnalysis.chunk(t(s, dir, "documents"),
+        window = 32, stride = 16)
+      val emb = array((0 until 4).map(i =>
+        round((Dedup.shingleHash(concat_ws("#", col("chunk_text"),
+            col("chunk_id"), lit(i.toString))) % 1000000L)
+          .cast("double") / 1000000.0, 6)): _*)
+      graft.sim.Similarity.meanPool(
+          chunks.withColumn("embedding", emb), col("doc_id"))
+        .select(col("group_id").as("doc_id"),
+          posexplode(col("embedding")).as(Seq("pos", "m")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("m"))
+    }, Some("""WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      nz AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+      chunks AS (
+        SELECT doc_id, (s // 16)::BIGINT AS chunk_id,
+          array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
+        FROM (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS s FROM nz)),
+      ce AS (
+        SELECT doc_id, i,
+          round((('0x' || substr(md5(chunk_text || '#' || chunk_id::VARCHAR
+            || '#' || i::VARCHAR), 1, 15))::BIGINT % 1000000) / 1000000.0, 6) AS x
+        FROM chunks, range(4) r(i))
+      SELECT doc_id, i AS pos, round(avg(x), 9) AS m
+      FROM ce GROUP BY doc_id, i"""))),
+
     // Benchmark decontamination: train docs (doc_id % 7 != 0) sharing any
     // 3-gram with the held-out slice (doc_id % 7 == 0), counted per doc.
     // The corpus's planted near-dup families span the split, so the
@@ -316,6 +354,45 @@ object ExtraQueries {
       tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 7 <> 0)
       SELECT t.doc_id, count(*)::BIGINT AS shared_ngrams
       FROM tr t JOIN ev e USING (sh)
+      GROUP BY 1"""))),
+
+    // The DEFAULT 13-gram decontamination path (the published recipe's
+    // shingle width), with a planted leak: the "benchmark" corpus is
+    // verbatim 13-token slices of a deterministic subset of TRAINING
+    // docs plus a per-snippet salt token (so each snippet's only other
+    // 13-gram matches nothing) — every source doc must be flagged via
+    // exactly the 13-gram equi-join, and short train docs exercise the
+    // whole-text shingle collapse under width 13.
+    "q_contamination13" -> (((s: SparkSession, dir: String) => {
+      val train = t(s, dir, "documents").where(col("doc_id") % 7 =!= 0)
+      val tk = filter(split(col("text"), "\\s+"), x => length(x) > lit(0))
+      val evalDf = train.where(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), tk.as("tk"))
+        .where(size(col("tk")) >= 18)
+        .select(concat(array_join(slice(col("tk"), 6, 13), " "),
+          lit(" qeval"), col("doc_id").cast("string")).as("text"))
+      Dedup.contaminatedDocs(train, evalDf) // shingleN defaults to 13
+    }, Some("""WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM documents WHERE doc_id % 7 <> 0),
+      snips AS (
+        SELECT list_filter(string_split(
+            array_to_string(list_slice(tk, 6, 18), ' ')
+              || ' qeval' || doc_id::VARCHAR, ' '), x -> len(x) > 0) AS etk
+        FROM w WHERE doc_id % 5 = 1 AND len(tk) >= 18),
+      tsh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(greatest(len(tk)-12, 1)),
+          i -> array_to_string(list_slice(tk, i+1, i+13), ' ')))) AS sh
+        FROM w),
+      esh0 AS (
+        SELECT unnest(list_distinct(list_transform(
+          range(greatest(len(etk)-12, 1)),
+          i -> array_to_string(list_slice(etk, i+1, i+13), ' ')))) AS sh
+        FROM snips),
+      esh AS (SELECT DISTINCT sh FROM esh0)
+      SELECT t.doc_id, count(*)::BIGINT AS shared_ngrams
+      FROM tsh t JOIN esh e USING (sh)
       GROUP BY 1"""))),
 
     // ---- §2.1 compat sources/sinks: real write → real read ------------
