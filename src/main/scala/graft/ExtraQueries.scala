@@ -275,6 +275,70 @@ object ExtraQueries {
         FROM scored)
       WHERE rn <= 3"""))),
 
+    // BM25 top-terms (Lucene-form positive idf, k1=1.2 b=0.75): the
+    // oracle replays tf → df → dl → the two corpus scalars → the exact
+    // score expression (identical association order, so the doubles are
+    // bit-identical) → the round-6-then-rank window.
+    "q_bm25" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.bm25(t(s, dir, "documents"), topK = 3)
+    }, Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n FROM documents),
+      tt AS (SELECT sum(tf) AS tottok FROM tf),
+      scored AS (
+        SELECT t.doc_id, t.term,
+          round(ln(1.0 + (nd.n - d.df + 0.5) / (d.df + 0.5)) *
+            (t.tf * 2.2) /
+            (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl * nd.n / tt.tottok)), 6) AS bm25
+        FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), nd, tt)
+      SELECT doc_id, term, bm25 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rn
+        FROM scored)
+      WHERE rn <= 3"""))),
+
+    // Unigram log-probability quality proxy: per-token round-9 logs of
+    // corpus unigram frequency, round-6 mean per doc.
+    "q_unigram_logprob" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.unigramLogProb(t(s, dir, "documents"))
+    }, Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+      tt AS (SELECT count(*) AS tot FROM tok),
+      lp AS (
+        SELECT t.doc_id, round(log10(f.cnt::DOUBLE / tt.tot), 9) AS lp
+        FROM tok t JOIN freq f USING (term), tt)
+      SELECT doc_id, round(avg(lp), 6) AS unigram_logprob
+      FROM lp GROUP BY 1"""))),
+
+    // Gopher-style char-weighted n-gram repetition signals (n=3):
+    // oracle replays shingling (whole-text collapse included), the
+    // per-(doc, gram) occurrence counts, char weighting, and both
+    // fractions over the occurrence-mass denominator.
+    "q_ngram_char_frac" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.ngramCharFractions(t(s, dir, "documents"), n = 3)
+    }, Some("""WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+          i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS gr
+        FROM w),
+      c AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY 1, 2),
+      c2 AS (SELECT doc_id, c, c * len(gr) AS chars FROM c)
+      SELECT doc_id,
+        round(max(chars)::DOUBLE / greatest(sum(chars), 1), 6) AS top_ngram_char_frac,
+        round(coalesce(sum(CASE WHEN c > 1 THEN chars END), 0)::DOUBLE
+          / greatest(sum(chars), 1), 6) AS dup_ngram_char_frac
+      FROM c2 GROUP BY 1"""))),
+
     // Sliding-window document chunking (window 32, stride 16): the
     // pre-tokenization split every training pipeline runs. Oracle
     // replays starts/slices with DuckDB list ops; comparing the joined

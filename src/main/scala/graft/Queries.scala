@@ -869,6 +869,44 @@ object Queries {
         ORDER BY cosine_sim DESC, i.vec_id LIMIT 20"""
       }),
 
+    // Batched ANN: a query TABLE (every 100th vector) against the same
+    // LSH index — one bucket equi-join + per-query window top-k, the
+    // no-driver-collect form that scales to millions of queries. Oracle
+    // replays the identical hyperplanes on both sides of the join.
+    "q_ann_batch" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = Similarity.buildLshIndex(emb, dim = 64, nBits = 8)
+        val queries = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.annTopKBatch(index, queries, k = 5, dim = 64, nBits = 8)
+      },
+      Some {
+        val planes = (0 until 8).map { b =>
+          (0 until 64).map { j =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"h$b|$j".getBytes("UTF-8"))
+            if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
+          }.mkString("[", ", ", "]")
+        }
+        val bucket = planes.map(p =>
+          s"CASE WHEN list_dot_product(embedding::DOUBLE[], $p) >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH idx AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, $bucket AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e, bucket FROM idx WHERE vec_id % 100 = 0),
+        cand AS (
+          SELECT q.query_id, i.vec_id,
+            round(list_dot_product(i.e, q.e)
+              / (sqrt(list_dot_product(i.e, i.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine_sim
+          FROM idx i JOIN q ON i.bucket = q.bucket)
+        SELECT query_id, vec_id, cosine_sim FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+          FROM cand)
+        WHERE rn <= 5"""
+      }),
+
     "q_ivf_topk" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

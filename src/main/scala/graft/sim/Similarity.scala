@@ -108,6 +108,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched ANN over a QUERY TABLE — the production form (dedup of a
+    * new shard against an index, retrieval for millions of prompts):
+    * bucket assignment is a Column on BOTH sides, candidates come from
+    * one bucket equi-join, and the per-query ranking is a window
+    * partitioned by query — never a global sort, and unlike the
+    * single-vector [[annTopK]] convenience there is no driver-side
+    * bucket collect, so query cardinality scales freely. At warehouse
+    * scale the index side is written bucketed by `bucket` and the join
+    * co-locates; skew is bounded by nBits exactly as in the index build.
+    */
+  def annTopKBatch(index: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                   nBits: Int = 8, qid: String = "query_id",
+                   id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qid),
+      lshBucket(col(emb), dim, nBits).as("bucket"),
+      col(emb).cast("array<double>").as("_q"))
+    val cand = q.join(index, "bucket")
+      .select(col(qid), col(id),
+        round(cosine(col(emb), col("_q")), 6).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid)).orderBy(col("cosine_sim").desc, col(id))
+    cand.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .select(col(qid), col(id), col("cosine_sim"))
+  }
+
   /** IVF (inverted-file) index: vectors assigned to their nearest
     * centroid by cosine; queries probe only the `nprobe` nearest
     * centroids' cells. Centroids here are caller-provided (id, vector)

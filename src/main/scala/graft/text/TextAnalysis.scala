@@ -212,6 +212,101 @@ object TextAnalysis {
         quality.as("quality"))
     }))
 
+  /** BM25 term relevance (the Robertson–Spärck Jones probabilistic
+    * weighting, in Lucene's always-positive idf form): top-`topK` terms
+    * per document by
+    *   ln(1 + (N − df + 0.5)/(df + 0.5)) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * `dl` is the document's token count and `avgdl = corpusTokens / N`
+    * (exact longs, so the double arithmetic is bit-identical on any
+    * engine). Same portability discipline as [[tfidf]]: scores round at
+    * 6 BEFORE the per-doc ranking window — libm ulp differences in ln
+    * cannot reorder rows or flip the top-k cutoff — and ties break on
+    * term. Same plan shape too: checkpointed tf feeds df, dl, and the
+    * join left; df and dl shuffle on their keys (never broadcast — both
+    * scale with the corpus); the two 1-row scalars ride broadcast cross
+    * joins; the ranking window partitions by doc, never a global sort.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, topK: Int = 5,
+           k1: Double = 1.2, b: Double = 0.75,
+           text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val tf = graft.ops.Checkpoints.truncate(
+      docs.select(col(id), explode(toks(col(text))).as("term"))
+        .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val tot = tf.agg(sum(col("tf")).as("_tottok"))
+    val scored = tf.join(df, "term").join(dl, id)
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tot))
+      .withColumn("bm25", round(
+        log(lit(1.0) + (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * col("dl") * col("_n") / col("_tottok"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("bm25").desc, col("term"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= topK)
+      .select(col(id), col("term"), col("bm25"))
+  }
+
+  /** Unigram log-probability per document — the cheap perplexity-style
+    * quality proxy (the degenerate unigram form of LM-based corpus
+    * filtering): mean over the doc's tokens of
+    * log10(corpusCount(token)/corpusTokens). Gibberish-heavy documents
+    * (many corpus-rare tokens) score far below the corpus average.
+    * The unigram table is a token-keyed aggregate (never broadcast —
+    * vocabulary scales with the corpus; the term equi-join shuffles);
+    * the corpus total rides a 1-row broadcast cross join; the token
+    * stream is checkpointed (three consumers: frequency table, total,
+    * join left). Per-token logs round at 9 before the mean and the mean
+    * at 6 ([[graft.sim.Similarity.meanPool]]'s quantization discipline)
+    * so partitioning and libm ulps cannot move the result.
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
+                     text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val tok = graft.ops.Checkpoints.truncate(
+      docs.select(col(id), explode(toks(col(text))).as("term")))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = tok.agg(count(lit(1)).as("_tot"))
+    tok.join(freq, "term").crossJoin(broadcast(tot))
+      .withColumn("lp", round(log10(col("cnt").cast("double") / col("_tot")), 9))
+      .groupBy(col(id)).agg(round(avg(col("lp")), 6).as("unigram_logprob"))
+  }
+
+  /** Gopher-style n-gram repetition signals (Rae et al. 2021,
+    * arXiv:2112.11446, Table A1 family), char-weighted: per document,
+    * `top_ngram_char_frac` = chars covered by occurrences of the single
+    * most frequent word n-gram / chars covered by all n-gram
+    * occurrences, and `dup_ngram_char_frac` = chars covered by n-grams
+    * occurring more than once / the same denominator. Char-weighting is
+    * what the published thresholds use — a doc repeating one LONG
+    * boilerplate phrase scores higher than [[repetitionRatio]] (pure
+    * occurrence counts) reveals. Overlapping occurrences each count
+    * (the standard practical simplification), and the occurrence-mass
+    * denominator keeps both signals in [0, 1]. Distributive: one
+    * explode + per-(doc, gram) partial counts + one per-doc aggregate —
+    * never per-row quadratic array lambdas.
+    */
+  def ngramCharFractions(docs: org.apache.spark.sql.DataFrame, n: Int = 3,
+                         text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(id),
+      explode(graft.dedup.Dedup.shingles(col(text), n)).as("g"))
+    grams.groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("chars", col("c") * length(col("g")))
+      .groupBy(col(id))
+      .agg(max(col("chars")).as("topc"),
+        coalesce(sum(when(col("c") > 1, col("chars"))), lit(0L)).as("dupc"),
+        sum(col("chars")).as("tot"))
+      .select(col(id),
+        round(col("topc").cast("double") / greatest(col("tot"), lit(1L)), 6)
+          .as("top_ngram_char_frac"),
+        round(col("dupc").cast("double") / greatest(col("tot"), lit(1L)), 6)
+          .as("dup_ngram_char_frac"))
+  }
+
   /** Repetition ratio (Gopher-style): fraction of word n-gram occurrences
     * taken by the single most frequent n-gram — boilerplate/spam detector.
     * Computed distributively (explode + per-(doc, gram) partial counts,

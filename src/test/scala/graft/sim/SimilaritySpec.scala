@@ -42,6 +42,26 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach(r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("batched ANN agrees with single-query ANN for every query in the batch") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val index = Similarity.buildLshIndex(emb, dim = 64, nBits = 4)
+    val queries = emb.where(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.annTopKBatch(index, queries, k = 5, dim = 64, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sortBy(p => (-p._2, p._1)).toSeq).toMap
+    assert(batch.nonEmpty)
+    val qvecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    qvecs.foreach { case (qid, qvec) =>
+      val single = Similarity.annTopK(index, qvec, 5, dim = 64, nBits = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"batch vs single mismatch for query $qid")
+      assert(batch(qid).head._1 == qid, s"query $qid must find itself first")
+    }
+  }
+
   test("IVF index assigns every vector to one cell; probe finds self") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val centroids = emb.where(col("vec_id") < 8)

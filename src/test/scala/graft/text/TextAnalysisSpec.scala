@@ -92,6 +92,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(doc1.flatMap(_.split(" ")).toSet == "abcdefghij".map(_.toString).toSet)
   }
 
+  test("bm25 ranks rare terms above common ones at equal tf; scores hand-check") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple the the"),  // dl 3
+      (2L, "the banana"),     // dl 2
+      (3L, "the cherry")      // dl 3 tokens? no: 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // N=3, tottok=7, avgdl=7/3; df: apple 1, the 3, banana 1, cherry 1
+    def score(tf: Long, dfc: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (3L - dfc + 0.5) / (dfc + 0.5))
+      val v = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * 3L / 7L.toDouble))
+      math.round(v * 1e6) / 1e6
+    }
+    val d1 = out.filter(_._1 == 1L).sortBy(-_._3).map(x => (x._2, x._3)).toSeq
+    // rare 'apple' (tf 1) outranks common 'the' (tf 2, df 3)
+    assert(d1 == Seq("apple" -> score(1, 1, 3), "the" -> score(2, 3, 3)), s"got $d1")
+    val d2 = out.filter(_._1 == 2L).sortBy(-_._3).map(x => (x._2, x._3)).toSeq
+    assert(d2 == Seq("banana" -> score(1, 1, 2), "the" -> score(1, 3, 2)), s"got $d2")
+  }
+
+  test("unigramLogProb: rare-token docs score below common-token docs; exact value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the"),      // all common
+      (2L, "the zzyzx")     // one rare token
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // corpus: the=3, zzyzx=1, tot=4
+    def r9(x: Double) = math.round(x * 1e9) / 1e9
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val lpThe = r9(math.log10(3.0 / 4.0))
+    val lpZ = r9(math.log10(1.0 / 4.0))
+    assert(out(1L) == r6((lpThe + lpThe) / 2))
+    assert(out(2L) == r6((lpThe + lpZ) / 2))
+    assert(out(2L) < out(1L), "rare tokens must lower the score")
+  }
+
+  test("ngramCharFractions: repeated long phrase dominates; unique text has no dups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),          // bigrams: 'a b' x3, 'b a' x2
+      (2L, "p q r s"),              // all bigrams unique
+      (3L, "x")                     // < n tokens: whole-text collapse
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCharFractions(df, n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1: chars('a b')=3*3=9, chars('b a')=2*3=6, tot=15
+    assert(out(1L) == (0.6, 1.0), s"got ${out(1L)}")
+    // doc 2: three unique bigrams, top = 3/9, dup = 0
+    assert(out(2L) == (math.round(3.0 / 9.0 * 1e6) / 1e6, 0.0))
+    // doc 3: single collapsed gram 'x' occurs once
+    assert(out(3L) == (1.0, 0.0))
+  }
+
   test("fingerprint equals dedup fingerprint (shared definition)") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
     val n = docs.select(
