@@ -718,7 +718,7 @@ object ExtraQueries {
         struct(col("n_name").as("stringVal")).as("recordVal")).as[RecRecord1]
       val out = tmp("recddl", dir)
       Records.writeText(src, out)
-      Records.readText(s, out).toDF.select(
+      Records.readText(s, out).toDF().select(
         col("intVal").as("id"), col("boolVal"),
         col("byteVal").cast("int").as("byteVal"), col("longVal"),
         col("floatVal").cast("double").as("floatVal"), col("doubleVal"),
@@ -918,7 +918,7 @@ object ExtraQueries {
       val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
         .withColumn("value", round(col("value") * 100)) // exact cents-in-double
       val q = graft.streaming.EventStreams.sessionize(stream)
-        .toDF.writeStream.format("parquet")
+        .toDF().writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

@@ -934,6 +934,47 @@ object Queries {
         FROM assign a, q WHERE a.cid IN (SELECT cid FROM qc)
         ORDER BY cosine_sim DESC, a.vec_id LIMIT 20""")),
 
+    // Batched IVF: a query TABLE probes its own nprobe nearest cells via
+    // the broadcast centroid array (k-independent plan), one cell
+    // equi-join, per-query window top-k. Oracle replays assignment,
+    // per-query probe ranking, and the join.
+    "q_ivf_batch" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.where(col("vec_id") < 8)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val index = Similarity.buildIvfIndex(emb, centroids)
+        val queries = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.ivfTopKBatch(index, centroids, queries, k = 5, nprobe = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+          FROM e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        qc AS (
+          SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+        cand AS (
+          SELECT qc.query_id, a.vec_id,
+            round(list_cosine_similarity(a.v, qc.qv), 6) AS cosine_sim
+          FROM qc JOIN assign a USING (cid))
+        SELECT query_id, vec_id, cosine_sim FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+          FROM cand)
+        WHERE rn <= 5""")),
+
     // same IVF pipeline at k=256 — above MaxLiteralCentroids, so the
     // assignment runs the broadcast centroid-array fold (the 100 TB-scale
     // path, plan size independent of k) end-to-end against the oracle

@@ -258,6 +258,43 @@ object Similarity {
   /** IVF ANN top-k: score the query against every centroid, probe the
     * best `nprobe` cells, brute-force within them.
     */
+  /** Batched IVF ANN over a QUERY TABLE: each query's `nprobe` nearest
+    * cells come from Column arithmetic against the one-row broadcast
+    * centroid array — plan size independent of k, the same discipline
+    * as [[buildIvfIndex]]'s large-k path ([[ivfTopK]] sorts cells on
+    * the driver for its single vector; that cannot scale past a handful
+    * of queries) — then ONE cell equi-join against the index and a
+    * per-query window top-k. Probe ties break on the smaller cid via
+    * the struct sort order, identical to ivfTopK and the assignment
+    * argmax, so batch ≡ single-query result for every query. At
+    * warehouse scale the index is partitioned by `cell`, the query side
+    * broadcasts from size estimates, and the window never global-sorts.
+    */
+  def ivfTopKBatch(index: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                   queries: DataFrame, k: Int, nprobe: Int = 1,
+                   qid: String = "query_id", id: String = "vec_id",
+                   emb: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKBatch: empty centroid set")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val centRow = broadcast(Seq(centroids).toDF("_cents"))
+    val scored = transform(col("_cents"), c =>
+      struct((-cosine(col("_q"), c.getField("_2"))).as("negsim"),
+        c.getField("_1").as("cid")))
+    val probes = queries
+      .select(col(qid), col(emb).cast("array<double>").as("_q"))
+      .crossJoin(centRow)
+      .select(col(qid), col("_q"),
+        explode(slice(array_sort(scored), 1, nprobe).getField("cid")).as("cell"))
+    val cand = probes.join(index, "cell")
+      .select(col(qid), col(id),
+        round(cosine(col(emb), col("_q")), 6).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid)).orderBy(col("cosine_sim").desc, col(id))
+    cand.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .select(col(qid), col(id), col("cosine_sim"))
+  }
+
   def ivfTopK(index: DataFrame, centroids: Seq[(Int, Seq[Double])],
               query: Seq[Double], k: Int, nprobe: Int = 1,
               id: String = "vec_id", emb: String = "embedding"): DataFrame = {

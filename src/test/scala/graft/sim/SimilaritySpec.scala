@@ -62,6 +62,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("batched IVF agrees with single-query ivfTopK for every query in the batch") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val index = Similarity.buildIvfIndex(emb, centroids)
+    val queries = emb.where(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.ivfTopKBatch(index, centroids, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).sortBy(p => (-p._2, p._1)).toSeq).toMap
+    assert(batch.nonEmpty)
+    queries.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .foreach { case (qid, qvec) =>
+        val single = Similarity.ivfTopK(index, centroids, qvec, 5, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single, s"batch vs single mismatch for query $qid")
+      }
+  }
+
   test("IVF index assigns every vector to one cell; probe finds self") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val centroids = emb.where(col("vec_id") < 8)
