@@ -524,6 +524,26 @@ object Bench {
       Dedup.embeddingNearDups(emb1x, dim = 64, threshold = 0.99, nBits = 8)))
     measure("d2_near_dup_embed", times)(exec(
       Dedup.embeddingNearDups(emb10x, dim = 64, threshold = 0.99, nBits = 8)))
+    // same attribution counters for d2's hyperplane buckets — with this,
+    // every candidate generator's bucket profile is measured per round
+    // (cap mirrors embeddingNearDups' maxBucket default)
+    def embDiag(tag: String, vecs: DataFrame): Unit = try {
+      val sizes = graft.sim.Similarity.buildLshIndex(vecs, dim = 64, nBits = 8)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val r = sizes.agg(
+        count(lit(1)).as("buckets"),
+        coalesce(sum(when(col("n") <= 1000000, col("n"))), lit(0L)).as("sum_n"),
+        coalesce(sum(when(col("n") <= 1000000, col("n") * col("n"))), lit(0L)).as("sum_n2"),
+        coalesce(sum(when(col("n") > 1000000, lit(1L))), lit(0L)).as("dropped")).head()
+      scaleDiag(s"d2_${tag}_buckets") = r.getLong(0)
+      scaleDiag(s"d2_${tag}_sum_bucket") = r.getLong(1)
+      scaleDiag(s"d2_${tag}_sum_bucket_sq") = r.getLong(2)
+      scaleDiag(s"d2_${tag}_dropped_buckets") = r.getLong(3)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] emb diag $tag failed: ${e.getMessage}")
+    }
+    embDiag("1x", emb1x)
+    embDiag("10x", emb10x)
     measure("d3_simhash_pairs", ctlTimes)(exec(Dedup.simhashPairs(docs1x)))
     measure("d3_simhash_pairs", times)(exec(Dedup.simhashPairs(docs10x)))
     // d3b: the 128-bit/8-band mitigation on the same two scales. The d3

@@ -688,6 +688,44 @@ object Queries {
           FROM documents"""
       }),
 
+    // The fused one-tokenization signals struct itself, driver-checked:
+    // certifies the README claim that `signals` is arithmetic-identical
+    // to langId/tokenCount/qualityScore (the per-signal oracle fragments
+    // composed verbatim are its oracle).
+    "q_signals" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.signals(col("text")).as("s"))
+        .select(col("doc_id"), col("s.lang_pred").as("lang_pred"),
+          col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality")),
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        def hits(l: String) = {
+          val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
+        }
+        val scores = langs.map(l => s"${hits(l)} AS s_$l").mkString(", ")
+        val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+        val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+        val lowToks = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+        val allWords = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+          b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $best AS best FROM sc),
+          lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b),
+          ql AS (SELECT doc_id,
+            len($toks)::BIGINT AS tok_cnt,
+            round(
+              least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
+              + least((len(list_filter($lowToks, t -> list_contains([$allWords], t)))::DOUBLE
+                       / greatest(len($toks), 1)::DOUBLE) * 5.0, 1.0) * 0.4
+              + (1.0 - least((len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+                       / greatest(len(text), 1)::DOUBLE) * 5.0, 1.0)) * 0.2, 6) AS quality
+            FROM documents)
+          SELECT doc_id, lang_pred, tok_cnt, quality
+          FROM lang JOIN ql USING (doc_id)"""
+      }),
+
     "q_corpus_filter" -> Q(
       // The composite training-data KEEP filter — the end-to-end shape a
       // pretraining pipeline actually runs: language gate + length gate +
