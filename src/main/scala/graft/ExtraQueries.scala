@@ -881,6 +881,36 @@ object ExtraQueries {
         event_type, count(*)::BIGINT AS cnt
         FROM events GROUP BY 1, 2"""))),
 
+    // Stream-STATIC enrichment under the oracle: events stream joined to
+    // the broadcast nation dimension through a real AvailableNow
+    // micro-batch run. Stateless — no watermark, no sentinel needed
+    // (every row emits in its arrival batch); the batch fold counts per
+    // dimension attribute so a dropped or doubled emission breaks the
+    // compare loudly.
+    "q_stream_enrich" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_enrich_in", dir)
+      val sink = tmp("stream_enrich_out", dir)
+      val ckpt = tmp("stream_enrich_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
+      val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+      val q = graft.streaming.EventStreams.enrichStatic(
+          stream, t(s, dir, "nation"),
+          col("user_id") % 25, col("n_nationkey"))
+        .select("event_id", "event_type", "n_name")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink).groupBy("n_name").agg(count(lit(1)).as("cnt"))
+    }, Some("""SELECT n_name, count(*)::BIGINT AS cnt
+        FROM events JOIN nation ON user_id % 25 = n_nationkey
+        GROUP BY 1"""))),
+
     // STATEFUL streaming under the oracle: flatMapGroupsWithState
     // sessionization (30-min gap, event-time timeout) through a real
     // AvailableNow micro-batch run. Sentinel mechanics as q_stream_hourly:

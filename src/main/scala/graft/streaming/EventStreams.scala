@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -67,6 +67,21 @@ object EventStreams {
                   watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-static enrichment join — the lookup-dimension shape every
+    * event pipeline runs (event → geo/account/catalog attributes). The
+    * static side is a bounded DataFrame re-planned per micro-batch (dim
+    * changes between batches are picked up) and explicitly broadcast, so
+    * the stream side never shuffles for the join and NO state is kept: a
+    * stateless inner equi-join needs no watermark, and append mode emits
+    * each enriched row in the batch it arrives. The only scaling
+    * dimension at a 100 TB/day stream is the dim's broadcast size — the
+    * same rule as the batch broadcast join (DistributedCache analog,
+    * reference: `src/mapred/org/apache/hadoop/filecache/DistributedCache.java:33`).
+    */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+                   eventKey: Column, dimKey: Column): DataFrame =
+    events.join(broadcast(dim), eventKey === dimKey)
 
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the preceding `windowSec` seconds. Both sides are
