@@ -1202,6 +1202,27 @@ object ExtraQueries {
           / 4294967296.0)
         < (CASE l_returnflag WHEN 'A' THEN 0.2 WHEN 'N' THEN 0.05 ELSE 1.0 END)"""))),
 
+    // Corpus mixing by per-source weight (weightedRepeat): weights derived
+    // from the source suffix span downsampling (w<1), upsampling (w>1),
+    // and fractional gates; the oracle replays floor+md5-gate copy counts
+    // and the 0-based copy_id unrolling exactly.
+    "q_weighted_mix" -> (((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id", "source")
+      val w = (col("source").substr(lit(4), lit(10)).cast("int") % 10)
+        .cast("double") * lit(0.25) + lit(0.3)
+      graft.ops.Sampling.weightedRepeat(d, col("doc_id"), w)
+    }, Some("""WITH d AS (
+        SELECT doc_id, source,
+          (substr(source, 4)::INT % 10)::DOUBLE * 0.25 + 0.3 AS w,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+        FROM documents),
+      n AS (
+        SELECT doc_id, source,
+          floor(w)::BIGINT + (CASE WHEN h < w - floor(w) THEN 1 ELSE 0 END) AS cnt
+        FROM d)
+      SELECT doc_id, source, unnest(range(cnt)) AS copy_id
+      FROM n WHERE cnt > 0"""))),
+
     // LineDocInputFormat (tab-separated doc records): real TSV write →
     // csv(sep='\t') read round trip on the orders table — the "free"
     // Spark-primitive mapping made observable end-to-end.

@@ -61,4 +61,29 @@ object Sampling {
       when(stratum === s, lit(r)).otherwise(acc)
     } > hash01
   }
+
+  /** Deterministic weighted repetition — the corpus-MIXING primitive
+    * (per-source epoch weights / temperature sampling in pretraining
+    * data recipes): each row emits `floor(w)` copies plus one more iff
+    * `hash01(key) < frac(w)`, tagged `copy_id` (0-based) so downstream
+    * shuffling can treat copies as distinct examples. One knob serves
+    * both directions: w < 1 downsamples (the fractional gate alone),
+    * w > 1 upsamples. The gate reuses [[stratifiedSample]]'s md5
+    * [0,1) hash — reproducible on any engine and any partitioning, so
+    * the exact output replays in SQL. Pure Column 1→N generator
+    * (sequence + explode) — no shuffle, no per-split state; at 100 TB
+    * the mix decision rides the scan, and expected output size is
+    * exactly Σw.
+    */
+  def weightedRepeat(df: org.apache.spark.sql.DataFrame, key: Column,
+                     weight: Column): org.apache.spark.sql.DataFrame = {
+    val hash01 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val copies = floor(weight).cast("long") +
+      when(hash01 < weight - floor(weight), lit(1L)).otherwise(lit(0L))
+    df.withColumn("_n", copies)
+      .where(col("_n") > 0)
+      .select(col("*"), explode(sequence(lit(0L), col("_n") - 1)).as("copy_id"))
+      .drop("_n")
+  }
 }

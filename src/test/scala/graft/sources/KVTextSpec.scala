@@ -57,4 +57,29 @@ class KVTextSpec extends SparkSpec {
     assert(c1("N") > base("N") / 100 && c1("N") < base("N") / 10)
     assert(c1("R") == base("R"))
   }
+
+  test("weightedRepeat: integer weights copy exactly, zero drops, gate is partition-independent") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val df = (1L to 400L).map(i => (i, i % 4)).toDF("id", "grp")
+    // integer weights: grp 0 → w=0 (dropped), grp 2 → w=2 (exactly 2 copies)
+    val exact = Sampling.weightedRepeat(df,
+      col("id"), col("grp").cast("double"))
+    val byGrp = exact.groupBy("grp").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byGrp.contains(0L), "w=0 rows must be dropped")
+    assert(byGrp(1L) == 100L && byGrp(2L) == 200L && byGrp(3L) == 300L)
+    // copy_id runs 0..w-1 per row
+    val ids = exact.where(col("grp") === 3).groupBy("id")
+      .agg(sort_array(collect_list("copy_id")).as("c"))
+      .select("c").collect().map(_.getSeq[Long](0))
+    assert(ids.forall(_ == Seq(0L, 1L, 2L)))
+    // fractional gate: deterministic across partitionings, ~w fraction kept
+    val frac1 = Sampling.weightedRepeat(df, col("id"), lit(0.5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val frac2 = Sampling.weightedRepeat(df.repartition(13), col("id"), lit(0.5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(frac1 == frac2, "gate must not depend on partitioning")
+    assert(frac1.size > 400 / 4 && frac1.size < 400 * 3 / 4)
+  }
 }
