@@ -73,7 +73,8 @@ object Sampling {
     * the exact output replays in SQL. Pure Column 1→N generator
     * (sequence + explode) — no shuffle, no per-split state; at 100 TB
     * the mix decision rides the scan, and expected output size is
-    * exactly Σw.
+    * exactly Σw. Non-positive weights yield no copies (floor(w) + gate
+    * ≤ 0 → the row is dropped, same as w = 0).
     */
   def weightedRepeat(df: org.apache.spark.sql.DataFrame, key: Column,
                      weight: Column): org.apache.spark.sql.DataFrame = {

@@ -149,6 +149,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == (1.0, 0.0))
   }
 
+  test("bm25/unigramLogProb/ngramCharFractions: degenerate docs are deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
+    // token-less docs produce no tf/token rows and vanish from term ops
+    assert(TextAnalysis.bm25(df).collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(TextAnalysis.unigramLogProb(df).collect().map(_.getLong(0)).toSet == Set(3L))
+    // char fractions: empty docs yield the zero-char collapsed gram →
+    // guarded 0.0 fractions; a single-token doc is its own top gram
+    val ncf = TextAnalysis.ngramCharFractions(df, n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(ncf(1L) == (0.0, 0.0) && ncf(2L) == (0.0, 0.0))
+    assert(ncf(3L) == (1.0, 0.0))
+  }
+
   test("fingerprint equals dedup fingerprint (shared definition)") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
     val n = docs.select(
