@@ -1223,6 +1223,47 @@ object ExtraQueries {
       SELECT doc_id, source, unnest(range(cnt)) AS copy_id
       FROM n WHERE cnt > 0"""))),
 
+    // Balanced subsample: exactly 10 docs per source, ordered within the
+    // group by the reproducible md5 shuffle — oracle replays hash order,
+    // tie-break, and the per-group cut.
+    "q_sample_per_source" -> (((s: SparkSession, dir: String) => {
+      graft.ops.Sampling.takePerGroup(
+        t(s, dir, "documents").select("doc_id", "source"),
+        col("source"), col("doc_id"), k = 10)
+    }, Some("""SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (
+          PARTITION BY source
+          ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+            doc_id::VARCHAR) AS rn
+        FROM documents) WHERE rn <= 10"""))),
+
+    // Corpus-relative quality band: keep the middle 80% of the quality
+    // distribution (trim both tails) — exact-percentile thresholds from
+    // one aggregate, gate on the round-6 signal the q_quality oracle
+    // already hash-matches.
+    "q_quality_band" -> (((s: SparkSession, dir: String) => {
+      val q = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.ops.Sampling.percentileBand(q, "quality", 0.1, 0.9)
+    }, Some {
+      val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+      val lowToks = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+      val allWords = graft.text.TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (SELECT doc_id,
+          round(
+            least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
+            + least((len(list_filter($lowToks, t -> list_contains([$allWords], t)))::DOUBLE
+                     / greatest(len($toks), 1)::DOUBLE) * 5.0, 1.0) * 0.4
+            + (1.0 - least((len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+                     / greatest(len(text), 1)::DOUBLE) * 5.0, 1.0)) * 0.2, 6) AS quality
+          FROM documents),
+        th AS (SELECT quantile_cont(quality, 0.1) AS lo,
+                      quantile_cont(quality, 0.9) AS hi FROM q)
+        SELECT doc_id, quality FROM q, th
+        WHERE quality >= lo AND quality <= hi"""
+    })),
+
     // LineDocInputFormat (tab-separated doc records): real TSV write →
     // csv(sep='\t') read round trip on the orders table — the "free"
     // Spark-primitive mapping made observable end-to-end.

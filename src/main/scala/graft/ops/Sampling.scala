@@ -76,6 +76,45 @@ object Sampling {
     * exactly Σw. Non-positive weights yield no copies (floor(w) + gate
     * ≤ 0 → the row is dropped, same as w = 0).
     */
+  /** Exactly-k-per-group deterministic subsample — the "balanced
+    * subset" primitive (k docs per language/source/domain). Rows order
+    * within their group by the md5 hash of the key (a reproducible
+    * shuffle, engine- and partitioning-independent; ties break on the
+    * key itself) and the first k survive. One window partitioned by
+    * group — never a global sort, and Spark's WindowGroupLimit prunes
+    * each partition to k candidates BEFORE the shuffle, so a group with
+    * 10⁹ rows ships k per input partition, not 10⁹.
+    */
+  def takePerGroup(df: org.apache.spark.sql.DataFrame, group: Column,
+                   key: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val hash = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(hash, key.cast("string"))
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Corpus-relative band keep-filter: keep rows whose `valueCol` lies
+    * in the exact [pLo, pHi] percentile band of the whole corpus —
+    * "trim the signal tails" (the corpus-relative form of a fixed
+    * threshold gate; recipes often cut the worst/best deciles of a
+    * quality score rather than pick absolute cutoffs). The thresholds
+    * are ONE exact-percentile aggregate riding a 1-row broadcast cross
+    * join; the gate itself rides the scan. Exact (not approx)
+    * percentile is deliberately affordable here: on a round-6 signal
+    * the distinct-value space is ≤ ~2·10⁶ regardless of corpus rows,
+    * so the aggregate's state is bounded — and the interpolated
+    * thresholds are engine-reproducible, which approx sketches are not.
+    */
+  def percentileBand(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                     pLo: Double, pHi: Double): org.apache.spark.sql.DataFrame = {
+    val th = df.agg(
+      expr(s"percentile($valueCol, $pLo)").as("_lo"),
+      expr(s"percentile($valueCol, $pHi)").as("_hi"))
+    df.crossJoin(broadcast(th))
+      .where(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
   def weightedRepeat(df: org.apache.spark.sql.DataFrame, key: Column,
                      weight: Column): org.apache.spark.sql.DataFrame = {
     val hash01 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)

@@ -58,6 +58,33 @@ class KVTextSpec extends SparkSpec {
     assert(c1("R") == base("R"))
   }
 
+  test("takePerGroup: exactly k per group, deterministic across partitionings") {
+    import graft.ops.Sampling
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+    def sample(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      Sampling.takePerGroup(df, col("l_returnflag"), key, 7)
+        .select("l_orderkey", "l_linenumber")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val s1 = sample(li)
+    val s2 = sample(li.repartition(13))
+    assert(s1 == s2, "per-group sample must not depend on partitioning")
+    val counts = Sampling.takePerGroup(li, col("l_returnflag"), key, 7)
+      .groupBy("l_returnflag").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 7L), "every group must contribute exactly k")
+  }
+
+  test("percentileBand keeps the middle band, trims both tails") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val kept = Sampling.percentileBand(df, "v", 0.1, 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // exact percentiles of 1..100 at 0.1/0.9 interpolate to 10.9 / 90.1
+    assert(kept == (11L to 90L).toSet, s"got ${kept.toSeq.sorted}")
+  }
+
   test("weightedRepeat: integer weights copy exactly, zero drops, gate is partition-independent") {
     import spark.implicits._
     import graft.ops.Sampling
