@@ -1367,5 +1367,26 @@ object ExtraQueries {
       SELECT vec_a, vec_b, round(c, 6) AS cosine_sim
       FROM cand WHERE c >= 0.99"""
     })),
+
+    // KMV distinct-count sketch (bottom-k estimator): k smallest distinct
+    // md5 hashes → (k-1)/h_k. Deterministic (hash randomness), so the
+    // oracle replays the ESTIMATE itself, not a tolerance band — the
+    // cross-engine reproducibility is the property under test. Exact
+    // count alongside shows the sketch error on this corpus.
+    "q_kmv_distinct" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+      graft.agg.Sketches.kmvDistinct(li, col("l_partkey"), 128)
+        .crossJoin(li.agg(count_distinct(col("l_partkey")).as("exact_distinct")))
+    }, Some("""WITH h AS (
+        SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0 AS h
+        FROM lineitem),
+      k AS (SELECT h FROM h ORDER BY h LIMIT 128),
+      s AS (SELECT count(*)::BIGINT AS n, max(h) AS hk FROM k)
+      SELECT round(CASE WHEN n < 128 THEN n::DOUBLE ELSE 127.0 / hk END, 6)
+          AS est_distinct,
+        128::BIGINT AS k,
+        (SELECT count(DISTINCT l_partkey)::BIGINT FROM lineitem) AS exact_distinct
+      FROM s"""))),
   )
 }
