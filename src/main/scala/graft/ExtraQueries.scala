@@ -1388,5 +1388,34 @@ object ExtraQueries {
         128::BIGINT AS k,
         (SELECT count(DISTINCT l_partkey)::BIGINT FROM lineitem) AS exact_distinct
       FROM s"""))),
+
+    // Passage-level dedup (CCNet, paragraph-wise there / token-window-wise
+    // here): corpus-wide first occurrence of every distinct 4-token
+    // passage survives, documents reassemble from survivors. Window 4 on
+    // the small-vocabulary corpus so real cross-doc collisions occur at
+    // sf0.01; the oracle replays chunking, the md5-partitioned
+    // first-occurrence window, and the ordered reassembly.
+    "q_passage_dedup" -> (((s: SparkSession, dir: String) => {
+      Dedup.passageDedup(t(s, dir, "documents"), window = 4)
+    }, Some("""WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      nz AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+      starts AS (
+        SELECT doc_id, t, unnest(range(0, len(t), 4)) AS s FROM nz),
+      ch AS (
+        SELECT doc_id, (s // 4)::BIGINT AS chunk_id,
+          array_to_string(list_slice(t, s + 1, s + 4), ' ') AS chunk_text
+        FROM starts),
+      r AS (
+        SELECT doc_id, chunk_id, chunk_text, row_number() OVER (
+          PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rn
+        FROM ch)
+      SELECT doc_id, count(*)::BIGINT AS total_chunks,
+        sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS kept_chunks,
+        string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+          ORDER BY chunk_id) AS dedup_text
+      FROM r GROUP BY doc_id"""))),
   )
 }

@@ -586,4 +586,48 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct() // a pair can match in several bands; hamming is identical
   }
+
+  /** Passage-level exact dedup (the CCNet recipe, Wenzek et al. 2020,
+    * applied paragraph-wise there; token-window-wise here since the
+    * corpus has no paragraph marks): split every document into
+    * NON-OVERLAPPING `window`-token passages, hash each, and keep only
+    * the corpus-wide FIRST occurrence of every distinct passage (first =
+    * smallest (doc id, passage position)). Documents come back
+    * reassembled from their surviving passages, with kept/total counts;
+    * a document whose every passage already occurred elsewhere survives
+    * as a row with `kept_chunks = 0` and a NULL `dedup_text` — the
+    * caller decides whether empty shells are dropped.
+    *
+    * Distinct from document-level dedup ([[exact]]/[[minhashCandidates]]):
+    * those drop whole near-identical documents; this removes repeated
+    * boilerplate (headers, license blocks, navigation chrome) EMBEDDED in
+    * otherwise unique documents — in web corpora the two are complementary
+    * passes and CCNet runs the paragraph one first.
+    *
+    * Scale shape (100 TB): chunking is a pure Column 1→N in the scan
+    * stage ([[graft.text.TextAnalysis.chunk]]); then exactly two
+    * shuffles — one window over md5(passage) whose partition sizes equal
+    * duplicate multiplicity (never a global sort), one groupBy(doc) for
+    * reassembly. The shuffle key is the 16-byte hash, not the passage
+    * text. First-occurrence choice is a total order on (id, chunk_id),
+    * so the result is partitioning- and engine-independent.
+    */
+  def passageDedup(docs: DataFrame, window: Int,
+                   text: String = "text", id: String = "doc_id"): DataFrame = {
+    val ch = graft.text.TextAnalysis.chunk(docs, window, window, text, id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk_text")))
+      .orderBy(col(id), col("chunk_id"))
+    ch.withColumn("_rn", row_number().over(w))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("total_chunks"),
+        sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("kept_chunks"),
+        sort_array(collect_list(when(col("_rn") === 1,
+          struct(col("chunk_id"), col("chunk_text"))))).as("_kept"))
+      .select(col(id), col("total_chunks"), col("kept_chunks"),
+        when(col("kept_chunks") === 0, lit(null).cast("string"))
+          .otherwise(array_join(transform(col("_kept"), _.getField("chunk_text")),
+            " ")).as("dedup_text"))
+  }
 }

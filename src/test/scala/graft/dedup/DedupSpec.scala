@@ -280,4 +280,31 @@ class DedupSpec extends SparkSpec {
         s"family $f pair missed by 128-bit banding")
     }
   }
+
+  test("passageDedup: first occurrence survives, repeats removed, shells kept") {
+    val df = docs(
+      1L -> "x1 x2 x3 x4 y1 y2 y3 y4", // both passages first occurrences
+      2L -> "x1 x2 x3 x4 z1 z2 z3 z4", // first passage is doc 1's boilerplate
+      3L -> "x1 x2 x3 x4 y1 y2 y3 y4", // fully shadowed by doc 1 -> shell
+      4L -> "w1 w2 w3")                // shortfall chunk, unique
+    val got = Dedup.passageDedup(df, window = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "x1 x2 x3 x4 y1 y2 y3 y4")))
+    assert(got(2L) == ((2L, 1L, "z1 z2 z3 z4")))
+    assert(got(3L) == ((2L, 0L, null)))
+    assert(got(4L) == ((1L, 1L, "w1 w2 w3")))
+  }
+
+  test("passageDedup is partitioning-independent (total-order first pick)") {
+    val df = docs((1L to 40L).map(i =>
+      i -> s"p1 p2 p3 p4 u${i}a u${i}b u${i}c u${i}d"): _*)
+    def run(parts: Int) = Dedup.passageDedup(df.repartition(parts), window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+    // only doc 1 keeps the shared boilerplate passage
+    val kept = run(13).filter(_._3 != null ).filter(_._3.contains("p1 p2 p3 p4"))
+    assert(kept.map(_._1) == Seq(1L))
+  }
 }
