@@ -1417,5 +1417,33 @@ object ExtraQueries {
         string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
           ORDER BY chunk_id) AS dedup_text
       FROM r GROUP BY doc_id"""))),
+
+    // Asymmetric int8-quantized cosine top-k: the index is per-vector
+    // min/max scalar-quantized to 0..255 codes and dequantized on the
+    // fly; the query keeps full precision. The oracle recomputes the
+    // quantize→dequantize→cosine chain bit-for-bit (identical double
+    // association order), so a single flipped code breaks the hash.
+    "q_quant_topk" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.sim.Similarity.topKCosineQuantized(emb, qvec, 20)
+    }, Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      mm AS (SELECT vec_id, e,
+          list_aggregate(e, 'min') AS mn, list_aggregate(e, 'max') AS mx
+        FROM e),
+      dq AS (SELECT vec_id,
+          list_transform(e, x -> CASE WHEN mx = mn THEN mn
+            ELSE mn + round((x - mn) * 255.0 / (mx - mn))::BIGINT * (mx - mn) / 255.0
+            END) AS d
+        FROM mm),
+      q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_dot_product(d, q.qe)
+          / (sqrt(list_dot_product(d, d)) * sqrt(list_dot_product(q.qe, q.qe))), 6)
+          AS cosine_sim
+      FROM dq, q
+      ORDER BY cosine_sim DESC, vec_id LIMIT 20"""))),
   )
 }

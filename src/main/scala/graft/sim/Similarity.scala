@@ -56,6 +56,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector int8 scalar quantization: affine-map each component to a
+    * 0..255 code against the vector's own [min, max] range —
+    * `struct(mn, mx, codes)`. The 100 TB rationale is storage/scan IO: a
+    * float32 embedding column shrinks ~4× (codes are 0..255, which
+    * parquet dictionary/bit-packing stores in ~a byte regardless of the
+    * int logical type), and ANN pre-filters can scan codes instead of
+    * floats. Quantization is a pure Column transform — it rides the scan,
+    * no shuffle, no UDF — and every arithmetic step is engine-replayable
+    * (the DuckDB oracle recomputes codes bit-for-bit).
+    *
+    * A constant vector (mx == mn) maps to all-zero codes and dequantizes
+    * to the constant — no division by zero.
+    */
+  def quantizeInt8(emb: Column): Column =
+    bindOnce(transform(emb, _.cast("double")), e =>
+      bindOnce(array_min(e), mn => bindOnce(array_max(e), mx =>
+        struct(mn.as("mn"), mx.as("mx"),
+          transform(e, x =>
+            when(mx === mn, lit(0))
+              .otherwise(round((x - mn) * lit(255.0) / (mx - mn), 0)
+                .cast("int"))).as("codes")))))
+
+  /** Inverse map: code c → mn + c·(mx−mn)/255. Max reconstruction error
+    * is half a step, (mx−mn)/510 per component.
+    */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c =>
+      q.getField("mn") +
+        c.cast("double") * (q.getField("mx") - q.getField("mn")) / lit(255.0))
+
+  /** Asymmetric quantized top-k: full-precision query against the
+    * dequantized int8 index — the standard quantized-ANN arrangement
+    * (index pays the memory, queries keep precision). Same
+    * TakeOrderedAndProject shape as [[topKCosine]].
+    */
+  def topKCosineQuantized(vectors: DataFrame, query: Seq[Double], k: Int,
+                          id: String = "vec_id", emb: String = "embedding")
+      : DataFrame = {
+    val q = array(query.map(lit): _*)
+    vectors
+      .select(col(id), dequantizeInt8(quantizeInt8(col(emb))).as("_d"))
+      .select(col(id), round(cosine(col("_d"), q), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(id))
+      .limit(k)
+  }
+
+  /** Let-binding (same technique as `Dedup.bindOnce` — see the scaladoc
+    * there): a lambda variable evaluates once per row; a plain alias is
+    * re-inlined into every use site by Catalyst.
+    */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    get(transform(array(value), body), lit(0))
+
   /** Deterministic hyperplane seed string — shared with the DuckDB oracle
     * generators so every engine derives identical planes. `table` > 0
     * selects an independent hyperplane family (multi-table LSH).

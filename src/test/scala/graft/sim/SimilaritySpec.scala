@@ -211,4 +211,38 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(b1 == b2)
   }
+
+  test("int8 quantization: reconstruction within half a step, constants exact") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .union(Seq((999999L, Array.fill(64)(0.25f), 0)).toDF("vec_id", "embedding", "label"))
+    val err = emb.select(
+        col("embedding"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("d"))
+      .select(greatest(  // max per-component |x - dequant(x)| vs half-step bound
+        expr("""aggregate(zip_with(embedding, d, (x, y) -> abs(cast(x AS DOUBLE) - y)),
+                CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, v))"""),
+        lit(0.0)).as("maxerr"),
+        ((expr("array_max(transform(embedding, x -> cast(x AS DOUBLE)))")
+          - expr("array_min(transform(embedding, x -> cast(x AS DOUBLE)))"))
+          / 510.0 + 1e-12).as("bound"))
+    assert(err.where(col("maxerr") > col("bound")).count() == 0)
+    // constant vector: codes 0, dequantizes exactly
+    val const = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val d = const.select(Similarity.dequantizeInt8(
+      Similarity.quantizeInt8(col("embedding"))).as("d")).head().getSeq[Double](0)
+    assert(d.forall(_ == 0.5))
+  }
+
+  test("quantized top-k keeps high recall vs exact top-k") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val qvec = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.topKCosine(emb, qvec, 20)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.topKCosineQuantized(emb, qvec, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & quant).size >= 18, s"recall ${(exact & quant).size}/20")
+    assert(quant.contains(0L)) // self survives quantization at rank ~1
+  }
 }
