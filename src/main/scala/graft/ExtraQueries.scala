@@ -1445,5 +1445,59 @@ object ExtraQueries {
           AS cosine_sim
       FROM dq, q
       ORDER BY cosine_sim DESC, vec_id LIMIT 20"""))),
+
+    // LEFT OUTER stream-stream interval join under the oracle: every view
+    // joined to the same user's purchases within the following hour, OR a
+    // null-extended row once the watermark proves no match can arrive.
+    // The null rows only exist if watermark-driven state eviction fires
+    // correctly (they emit as view state evicts), so the batch LEFT JOIN
+    // compare exercises exactly that machinery. Sentinels differ from
+    // q_stream_hourly for the reason in the viewConversion scaladoc: each
+    // side's watermark advances only on rows surviving ITS event-type
+    // filter, so ONE TYPED +30d ROW PER SIDE (negative event_ids, never
+    // joinable with real data, excluded from the fold) is what flushes
+    // the unmatched-view tail. Time compares in integer MICROSECONDS on
+    // both engines.
+    "q_stream_join_outer" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_vjoin_in", dir)
+      val sink = tmp("stream_vjoin_out", dir)
+      val ckpt = tmp("stream_vjoin_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val sentinelTmp = tmp("stream_vjoin_sentinel", dir)
+      val far = lit(maxNs + 30L * 86400 * 1000000000L)
+      raw.limit(1).withColumn("ts", far)
+        .withColumn("event_type", lit("view"))
+        .withColumn("event_id", lit(-1L))
+        .union(raw.limit(1).withColumn("ts", far)
+          .withColumn("event_type", lit("purchase"))
+          .withColumn("event_id", lit(-2L)))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
+      val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+      val q = graft.streaming.EventStreams.viewConversion(stream)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink).where(col("view_id") >= 0)
+        .select("view_id", "user_id", "purchase_id")
+    }, Some("""WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        FROM events)
+      SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id
+      FROM (SELECT * FROM ev WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+        AND p.us >= v.us AND p.us <= v.us + 3600000000"""))),
   )
 }

@@ -108,6 +108,50 @@ object EventStreams {
       .select(col("purchase_id"), col("user_id"), col("click_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join — conversion funnel: every
+    * view, matched to the same user's purchases in the `windowSec` after
+    * it, or emitted with a NULL purchase once no future match is
+    * possible. The outer side is the semantically distinct capability
+    * vs [[purchaseAttribution]]: an unmatched view can only emit when
+    * the RIGHT side's watermark has passed `v_ts + windowSec` (Spark
+    * holds it in state until then and emits the null-extended row as
+    * state evicts), so correctness of the null rows is exactly
+    * correctness of the watermark/state-eviction machinery — which is
+    * what the oracle's batch LEFT JOIN checks end-to-end.
+    *
+    * State bound (the 100 TB/day concern) is the same as the inner
+    * form: each side keeps only rows newer than watermark − window,
+    * partitioned by user across executors.
+    */
+  def viewConversion(events: DataFrame, windowSec: Long = 3600,
+                     watermark: String = "2 hours"): DataFrame = {
+    // Watermark placement note: each side's clock advances only on rows
+    // that SURVIVE its event-type filter — and that holds even if the
+    // watermark is declared upstream, because Catalyst pushes a filter
+    // that doesn't touch the event-time column back below the
+    // EventTimeWatermark node. Consequence the test harness (and any
+    // deployment draining a topic) must respect: the unmatched-view tail
+    // only flushes when BOTH substreams see newer data — a
+    // watermark-advancing control row must pass both filters, one typed
+    // row per side. Inner joins never surface this (unmatched state
+    // silently never emits); the outer form turns it into observable
+    // missing rows.
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "leftOuter")
+      .select(col("view_id"), col("user_id"), col("purchase_id"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSec: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, startSec: Long, endSec: Long,

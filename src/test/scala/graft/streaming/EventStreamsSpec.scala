@@ -78,6 +78,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("left-outer view conversion emits matches AND watermark-flushed null tails") {
+    import spark.implicits._
+    val t0 = 1700000000L * 1000000000L // ns
+    def ev(id: Long, user: Long, typ: String, offSec: Long) =
+      (id, t0 + offSec * 1000000000L, user, typ, 0.0, "")
+    val rows = Seq(
+      ev(1, 1, "view", 0), ev(2, 1, "purchase", 600),  // within the hour
+      ev(3, 2, "view", 0),                             // no purchase at all
+      ev(4, 3, "purchase", 0),                         // purchase-only user
+      ev(5, 4, "view", 0), ev(6, 4, "purchase", 7200), // outside the window
+      // typed sentinels: the outer join's null rows flush only when BOTH
+      // sides' post-filter watermarks advance (viewConversion scaladoc)
+      ev(-1, -1, "view", 30L * 86400), ev(-2, -1, "purchase", 30L * 86400))
+    val stage = Files.createTempDirectory("vjoin-stage").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    EventStreams.runToMemory(
+      EventStreams.viewConversion(
+        EventStreams.readEvents(spark, stage, "*.parquet")),
+      "vconv", OutputMode.Append())
+    val got = spark.table("vconv").where(col("view_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, -1L), (5L, -1L)))
+  }
+
   test("streaming dedup drops the duplicated file's events") {
     // stage: events file TWICE (simulated duplicate delivery) + sentinel
     val stage = Files.createTempDirectory("events-dup")
