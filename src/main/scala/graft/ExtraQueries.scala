@@ -1264,6 +1264,22 @@ object ExtraQueries {
         WHERE quality >= lo AND quality <= hi"""
     })),
 
+    // ORC round trip: the columnar warehouse format of the reference's
+    // Hive era (RCFile's successor — the reference warehouse stored
+    // tables as RCFile/SequenceFile; ORC is that lineage's surviving
+    // format and ships in Spark). Real write → read through the ORC
+    // reader; the oracle compares against the ORIGINAL parquet table, so
+    // any type-mapping or fidelity bug in the ORC path breaks the hash.
+    "q_orc_roundtrip" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("orc_roundtrip", dir)
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_shipdate")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }, Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        l_shipdate FROM lineitem"""))),
+
     // LineDocInputFormat (tab-separated doc records): real TSV write →
     // csv(sep='\t') read round trip on the orders table — the "free"
     // Spark-primitive mapping made observable end-to-end.
