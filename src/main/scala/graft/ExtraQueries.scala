@@ -1515,5 +1515,36 @@ object ExtraQueries {
       LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
         ON v.user_id = p.user_id
         AND p.us >= v.us AND p.us <= v.us + 3600000000"""))),
+
+    // Deterministic train/val/test split: membership is a pure function
+    // of the key hash (stable under corpus growth — a doc never migrates
+    // splits when data is added, unlike positional splits), 80/10/10 by
+    // cumulative hash ranges. Oracle replays the CASE chain.
+    "q_split_assign" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }, Some("""SELECT doc_id,
+        CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END
+          AS split
+      FROM (SELECT doc_id,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+        FROM documents)"""))),
+
+    // Deterministic epoch shuffle: the training-order primitive — a
+    // reproducible global permutation as rank over md5(epoch|key).
+    // Composes GlobalRank (range-partition on the hash + per-partition
+    // offsets, the TotalOrderPartitioner machinery) so the permutation
+    // materializes distributed, never through one partition; a new epoch
+    // string is a fresh independent permutation.
+    "q_corpus_shuffle" -> (((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id")
+        .withColumn("_h", md5(concat_ws("|", lit("epoch7"), col("doc_id"))))
+      graft.ops.GlobalRank.withGlobalRank(d, Seq(col("_h"), col("doc_id")))
+        .select("rank", "doc_id")
+    }, Some("""SELECT row_number() OVER (
+          ORDER BY md5('epoch7' || '|' || doc_id::VARCHAR), doc_id)::BIGINT
+          AS rank, doc_id
+      FROM documents"""))),
   )
 }

@@ -115,6 +115,28 @@ object Sampling {
       .drop("_lo", "_hi")
   }
 
+  /** Deterministic dataset-split assignment (train/val/test): the key's
+    * md5 [0,1) hash lands in one of the cumulative `fractions` ranges —
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` maps hash <0.8 /
+    * <0.9 / rest. Pure codegen'd Column: the decision rides the scan,
+    * membership is a function of the key alone (STABLE under corpus
+    * growth — a doc never migrates between splits when new data arrives,
+    * which a row_number-based split cannot promise), and any engine
+    * replays it. Fractions must be positive and sum to ~1 (the last
+    * range absorbs rounding).
+    */
+  def splitAssign(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0)
+      && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1: $fractions")
+    val hash01 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
+      case (((label, _), hi), acc) => when(hash01 < hi, lit(label)).otherwise(acc)
+    }
+  }
+
   def weightedRepeat(df: org.apache.spark.sql.DataFrame, key: Column,
                      weight: Column): org.apache.spark.sql.DataFrame = {
     val hash01 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)

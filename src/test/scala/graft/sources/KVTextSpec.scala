@@ -109,4 +109,27 @@ class KVTextSpec extends SparkSpec {
     assert(frac1 == frac2, "gate must not depend on partitioning")
     assert(frac1.size > 400 / 4 && frac1.size < 400 * 3 / 4)
   }
+
+  test("splitAssign: total, stable under corpus growth, roughly proportional") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val cuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 2000L).toDF("id")
+    val grown = (1L to 4000L).toDF("id")
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), Sampling.splitAssign(col("id"), cuts).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(small)
+    val b = assign(grown)
+    // growth stability: no id migrates between splits when the corpus doubles
+    assert(a.forall { case (id, s) => b(id) == s })
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 4000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.05
+      && math.abs(frac("val") - 0.1) < 0.03
+      && math.abs(frac("test") - 0.1) < 0.03, s"fractions $frac")
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
 }
