@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.model.{RecRecord1, Records}
-import graft.ops.{KeyFieldSpec, Pipe, Reliability, Skew}
+import graft.ops.{Cdc, KeyFieldSpec, Pipe, Reliability, Skew}
 import graft.sources.{Bucketed, Compaction, Jdbc, KVText, MultiOutput, SequenceFiles, XmlRecords}
 
 /** Round-3 oracle queries: every operator that previously had only a
@@ -1546,5 +1546,82 @@ object ExtraQueries {
           ORDER BY md5('epoch7' || '|' || doc_id::VARCHAR), doc_id)::BIGINT
           AS rank, doc_id
       FROM documents"""))),
+
+    // CDC MERGE against a VERSIONED table root, end to end: customer
+    // becomes v=0, a change log derived from orders (updates, deletes,
+    // and inserts of brand-new keys; sequence = o_orderkey so
+    // last-writer-wins is deterministic) merges into v=1, and the query
+    // reads back through resolve — marker protocol, anti-join, window
+    // winner, and union all under one hash compare. Oracle replays the
+    // merge relationally.
+    "q_cdc_merge" -> (((s: SparkSession, dir: String) => {
+      val root = tmp("cdc_merge", dir)
+      rmrf(root)
+      Compaction.writeVersioned(t(s, dir, "customer"), root)
+      val changes = t(s, dir, "orders").select(
+        (col("o_custkey") +
+          when(col("o_orderkey") % 5 === 0, 100000L).otherwise(0L)).as("c_custkey"),
+        concat(lit("cdc-"), col("o_orderkey")).as("c_name"),
+        (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+      Cdc.mergeVersioned(root, changes, Seq("c_custkey"))
+      s.read.parquet(Compaction.resolve(s, root)).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_cents"), col("c_mktsegment"))
+    }, Some("""WITH changes AS (
+        SELECT o_custkey + CASE WHEN o_orderkey % 5 = 0 THEN 100000 ELSE 0 END
+                 AS c_custkey,
+               'cdc-' || o_orderkey::VARCHAR AS c_name,
+               (o_custkey % 25)::INTEGER AS c_nationkey,
+               o_totalprice AS c_acctbal,
+               o_orderpriority AS c_mktsegment,
+               o_orderkey AS seq,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        FROM orders),
+      latest AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, op
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+              FROM changes)
+        WHERE rn = 1),
+      merged AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        FROM customer c
+        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM latest WHERE op = 'upsert')
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal * 100, 0)::BIGINT AS bal_cents, c_mktsegment
+      FROM merged"""))),
+
+    // SCD2 history build: orders as a per-customer change log ordered by
+    // (o_orderdate, o_orderkey), tracked attribute o_orderstatus.
+    // No-change updates collapse into their episode; each episode is
+    // half-open [from, to) with an open tail flagged is_current. Oracle
+    // replays the two-window construction.
+    "q_scd2" -> (((s: SparkSession, dir: String) => {
+      Cdc.scd2History(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"), Seq("o_orderstatus"))
+    }, Some("""WITH episodes AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+                lag(o_orderstatus) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders)
+        WHERE prev IS DISTINCT FROM o_orderstatus)
+      SELECT o_custkey, o_orderstatus,
+             o_orderdate AS from_o_orderdate, o_orderkey AS from_o_orderkey,
+             lead(o_orderdate) OVER w AS to_o_orderdate,
+             lead(o_orderkey) OVER w AS to_o_orderkey,
+             (lead(o_orderdate) OVER w IS NULL
+              AND lead(o_orderkey) OVER w IS NULL) AS is_current
+      FROM episodes
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))),
   )
 }

@@ -153,6 +153,46 @@ object Compaction {
     commitMarker(df.sparkSession, root, 0)
   }
 
+  /** Publish `df` as the next version of an initialized table root:
+    * write `v=N+1`, create its commit marker, retire versions more than
+    * `grace` generations behind. The general versioned-advance primitive
+    * — [[compactVersioned]] is this with a coalesce transform, and a CDC
+    * MERGE ([[graft.ops.Cdc.mergeVersioned]]) is this with an
+    * applyChanges transform. Same crash-safety as compactVersioned: a
+    * failure before the marker leaves readers on `v=N` and the orphan
+    * dir is overwritten by the next publish.
+    *
+    * @return the published version number.
+    */
+  def publishNext(df: org.apache.spark.sql.DataFrame, root: String,
+                  grace: Int = 1): Long = {
+    require(grace >= 1, s"grace must be >= 1, got $grace")
+    val spark = df.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentVersion(spark, root)
+    val next = new Path(s"$root/v=${cur + 1}")
+    fs.delete(next, true)
+    df.write.mode("overwrite").parquet(next.toString)
+    commitMarker(spark, root, cur + 1)
+    retireOld(spark, root, cur, grace)
+    cur + 1
+  }
+
+  /** Retire committed versions more than `grace` generations behind head
+    * version `cur + 1` (marker first, then data, so a concurrent resolve
+    * can never select a version whose data is mid-delete).
+    */
+  private def retireOld(spark: SparkSession, root: String,
+                        cur: Long, grace: Int): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(spark, root)
+      .filter(_ <= cur - grace)
+      .foreach { v =>
+        fs.delete(new Path(root, MarkerPrefix + v), false)
+        fs.delete(new Path(s"$root/v=$v"), true)
+      }
+  }
+
   /** Compact the live version into `v=N+1` and publish it by creating its
     * commit marker. Versions more than `grace` generations behind the new
     * head are retired (marker first, then data, so a concurrent resolve
@@ -188,13 +228,7 @@ object Compaction {
       .write.mode("overwrite").parquet(next.toString)
     val after = parts(next).length
     commitMarker(spark, root, cur + 1)
-    // retire everything more than `grace` generations behind the new head
-    committedVersions(spark, root)
-      .filter(_ <= cur - grace)
-      .foreach { v =>
-        fs.delete(new Path(root, MarkerPrefix + v), false)
-        fs.delete(new Path(s"$root/v=$v"), true)
-      }
+    retireOld(spark, root, cur, grace)
     (before.length, after)
   }
 }
