@@ -1623,5 +1623,40 @@ object ExtraQueries {
               AND lead(o_orderkey) OVER w IS NULL) AS is_current
       FROM episodes
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))),
+
+    // Token-block batching (concat-and-chunk): documents laid end to end
+    // (+1 EOS each) in md5 order, cut into 64-token blocks; output is the
+    // exploded block manifest a fixed-context loader would read. The
+    // global offsets come from the distributed two-level prefix sum
+    // (GlobalRank.withGlobalCumSum) — the oracle replays it as one
+    // ROWS-frame window, which DuckDB can afford at test scale.
+    "q_token_blocks" -> (((s: SparkSession, dir: String) => {
+      val assigned = graft.text.TokenBlocks.assign(
+        t(s, dir, "documents"), "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")) + 1, blockTokens = 64)
+      graft.text.TokenBlocks.manifest(assigned, 64)
+        .select(col("block_id"), col("doc_id"), col("off_in_block"), col("len"))
+    }, Some("""WITH d AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT
+                 + 1 AS w,
+               md5(doc_id::VARCHAR) AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, w,
+               coalesce(sum(w) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS start
+        FROM d),
+      m AS (
+        SELECT doc_id, w, start,
+               unnest(range(start // 64, (start + w - 1) // 64 + 1))::BIGINT
+                 AS block_id
+        FROM c)
+      SELECT block_id, doc_id,
+             greatest(start - block_id * 64, 0) AS off_in_block,
+             least(start + w, (block_id + 1) * 64)
+               - greatest(start, block_id * 64) AS len
+      FROM m"""))),
   )
 }

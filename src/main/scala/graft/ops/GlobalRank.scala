@@ -87,4 +87,66 @@ object GlobalRank {
     * instead of a codegen'd when-chain.
     */
   val MaxWhenChainPartitions: Int = 256
+
+  /** [[withGlobalCumSumTracked]] without the release handle — same
+    * session-hygiene caveat as [[withGlobalRank]].
+    */
+  def withGlobalCumSum(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+                       cumCol: String = "cum_start",
+                       maxWhenChain: Int = MaxWhenChainPartitions): DataFrame =
+    withGlobalCumSumTracked(df, sortCols, weightCol, cumCol, maxWhenChain).df
+
+  /** Distributed EXCLUSIVE prefix sum of `weightCol` over the global
+    * `sortCols` order: each row gets the total weight of all rows
+    * strictly before it. The classic two-level scan — range-repartition
+    * on the sort key, per-partition totals to the driver (tiny), driver
+    * prefix-sums them into partition start offsets, and a within-partition
+    * running sum rides a window PARTITIONED BY the materialized partition
+    * id (never a global single-partition window). Feed it a NARROW
+    * projection (key + weight): the window's hash exchange then moves the
+    * skinny manifest, not the corpus.
+    *
+    * Same contracts as [[withGlobalRank]]: `sortCols` must be a unique
+    * total order (the running sum uses a ROWS frame — ties would make it
+    * nondeterministic), and the internal checkpoint pins the sorted frame
+    * until `release()`.
+    */
+  def withGlobalCumSumTracked(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+                              cumCol: String = "cum_start",
+                              maxWhenChain: Int = MaxWhenChainPartitions): Checkpoints.Truncated = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tracked = Checkpoints.truncateTracked( // pids must be stable across the two uses
+      df.repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("_pid", spark_partition_id()),
+      eager = false)
+    val sorted = tracked.df
+    val w = col(weightCol).cast("long")
+    val sums = sorted.groupBy("_pid").agg(sum(w).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // empty partitions simply don't appear: they contribute no weight and
+    // no rows, so skipping them keeps the offsets aligned
+    val offsets = sums.scanLeft(0L) { case (acc, (_, s)) => acc + s }
+    val win = Window.partitionBy("_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = coalesce(sum(w).over(win), lit(0L))
+    val pairs = sums.map(_._1).zip(offsets)
+    val result =
+      if (sums.length <= maxWhenChain) {
+        val offsetCol = pairs.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+          when(col("_pid") === pid, lit(off)).otherwise(acc)
+        }
+        sorted.withColumn(cumCol, offsetCol + local)
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val offsetsDf = broadcast(pairs.toSeq.toDF("_pid", "_offset"))
+        sorted.join(offsetsDf, "_pid")
+          .withColumn(cumCol, col("_offset") + local)
+          .drop("_offset")
+      }
+    Checkpoints.Truncated(result.drop("_pid"), tracked.release)
+  }
 }
