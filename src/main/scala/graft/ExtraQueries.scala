@@ -1658,5 +1658,17 @@ object ExtraQueries {
              least(start + w, (block_id + 1) * 64)
                - greatest(start, block_id * 64) AS len
       FROM m"""))),
+
+    // Count-min-gated heavy hitters: EXACT keys with >= 42 lineitem
+    // occurrences, but computed through the sketch gate — occurrences
+    // whose deterministic d x w estimate clears the threshold are the
+    // only ones that reach the shuffle. The oracle is the plain HAVING
+    // query: the gate's no-false-negative guarantee is exactly what the
+    // hash compare checks.
+    "q_heavy_hitters" -> (((s: SparkSession, dir: String) => {
+      graft.agg.CountMin.heavyHitters(
+        t(s, dir, "lineitem"), col("l_partkey"), threshold = 42)
+    }, Some("""SELECT l_partkey AS k, count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey HAVING count(*) >= 42"""))),
   )
 }

@@ -1,0 +1,64 @@
+package graft.agg
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CountMinSpec extends SparkSpec {
+
+  /** Zipf-ish fixture: key i appears ~N/i times. */
+  private def occurrences(n: Int) = {
+    import spark.implicits._
+    (1 to n).flatMap(i => Seq.fill(n / i)(i.toLong)).toDF("v")
+  }
+
+  private def exact(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.groupBy("v").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("sketch estimate never undercounts — the no-false-negative guarantee") {
+    val occ = occurrences(60)
+    val truth = exact(occ)
+    val sk = CountMin.sketch(occ, col("v"), depth = 4, width = 64)
+    val est = occ.select(col("v")).distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("v"), CountMin.estimate(col("v"), 4, 64).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"estimate ${est(k)} < true $c for key $k")
+    }
+  }
+
+  test("heavyHitters is exact: identical to GROUP BY HAVING at any width") {
+    val occ = occurrences(80)
+    val truth = exact(occ).filter(_._2 >= 10)
+    // roomy width: gate is tight
+    val roomy = CountMin.heavyHitters(occ, col("v"), 10, depth = 4, width = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roomy == truth)
+    // starved width (8 cells, 80 keys): collisions flood the gate with
+    // false positives, but the exact count still discards every one
+    val starved = CountMin.heavyHitters(occ, col("v"), 10, depth = 2, width = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starved == truth)
+  }
+
+  test("the gate actually prunes: survivors well below distinct keys") {
+    val occ = occurrences(200) // key 1: 200 occurrences ... key 200: 1
+    val sk = CountMin.sketch(occ, col("v"), depth = 4, width = 1024)
+    val gated = occ.select(col("v"))
+      .crossJoin(broadcast(sk))
+      .filter(CountMin.estimate(col("v"), 4, 1024) >= 50)
+      .select("v").distinct().count()
+    val truthCount = exact(occ).count(_._2 >= 50)
+    assert(gated >= truthCount, "gate must keep every true hitter")
+    assert(gated < 20, s"gate should prune ~196 of 200 keys, kept $gated")
+  }
+
+  test("deterministic and partitioning-independent") {
+    val occ = occurrences(50)
+    def run(parts: Int) =
+      CountMin.heavyHitters(occ.repartition(parts), col("v"), 5,
+        depth = 3, width = 128).collect().map(_.toSeq).toSet
+    assert(run(1) == run(17) && run(1).nonEmpty)
+  }
+}
