@@ -1,0 +1,89 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Checkpoints
+
+/** PageRank over an edge list — the canonical iterative MapReduce-era
+  * job (the reference's link-analysis workloads chained map/reduce
+  * rounds per iteration; SURVEY §2.9's JobControl chains existed for
+  * exactly this shape), re-expressed as a checkpointed DataFrame loop.
+  *
+  * Semantics (classic damped PageRank with dangling redistribution):
+  * `r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + dangling_mass/N)`
+  * where dangling mass is the total rank of nodes with no out-edges.
+  * Every per-node sum is rounded at 9 decimals PER ITERATION — the same
+  * quantized-trajectory discipline as the k-means oracle: any engine
+  * replaying the iterations (DuckDB unrolls them as CTE chains) gets
+  * bit-identical ranks regardless of its summation order.
+  *
+  * Scale shape (billions of edges): the per-iteration work is one
+  * shuffle join of the checkpointed weighted edge list with the rank
+  * table on src, one partial-aggregated groupBy on dst, and a left join
+  * back to nodes — all key-partitioned, nothing driver-side; N and the
+  * dangling mass ride as 1-row broadcast scalars (never collected).
+  * Each iteration's checkpoint releases the superseded generation, the
+  * same hygiene as the label-propagation loop
+  * ([[graft.dedup.Dedup.dedupClusters]]).
+  */
+object PageRank {
+
+  /** Ranks after `iters` iterations: (`node`, `rank`), rank rounded at
+    * 9 decimals. Final-generation checkpoint relies on session hygiene
+    * (the [[graft.ops.GlobalRank.withGlobalRank]] caveat); long-lived
+    * sessions should use [[pageRankTracked]].
+    */
+  def pageRank(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRankTracked(edgesRaw, srcCol, dstCol, iters, damping).df
+
+  /** [[pageRank]] plus a release() for the final iteration's checkpoint
+    * and the edge list — call once the ranks have materialized.
+    */
+  def pageRankTracked(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+                      iters: Int = 3, damping: Double = 0.85): Checkpoints.Truncated = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = edgesRaw
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    // the weighted edge list re-enters every iteration — materialize once
+    val weT = Checkpoints.truncateTracked(
+      edges.join(outdeg, "src").select("src", "dst", "deg"), eager = true)
+    val we = weT.df
+    val nScalar = broadcast(nodes.agg(count(lit(1)).cast("double").as("_n")))
+    // (1 - damping) computed in IEEE double on BOTH engines (the oracle
+    // writes `1 - 0.85`, not a decimal literal) so the teleport term is
+    // bit-identical
+    val teleport = lit(1.0 - damping)
+    var r = nodes.crossJoin(nScalar)
+      .select(col("node"), round(lit(1.0) / col("_n"), 9).as("r"))
+    var releasePrev: () => Unit = () => ()
+    for (_ <- 1 to iters) {
+      val contrib = we.join(r, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(round(sum(col("r") / col("deg")), 9).as("contrib"))
+        .select(col("dst").as("node"), col("contrib"))
+      val dangling = broadcast(
+        r.join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(round(sum(col("r")), 9), lit(0.0)).as("_mass")))
+      val nextT = Checkpoints.truncateTracked(
+        nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(nScalar).crossJoin(dangling)
+          .select(col("node"),
+            round(teleport / col("_n") + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) + col("_mass") / col("_n")),
+              9).as("rank")),
+        eager = true)
+      releasePrev() // new generation materialized; drop the old one
+      releasePrev = nextT.release
+      r = nextT.df.withColumnRenamed("rank", "r")
+    }
+    val finalRelease = releasePrev
+    Checkpoints.Truncated(r.withColumnRenamed("r", "rank"),
+      () => { weT.release(); finalRelease() })
+  }
+}
