@@ -588,6 +588,76 @@ object Bench {
     cellDiag("10x_k16", emb10x, 16)
     cellDiag("10x_k160", emb10x, 160)
 
+    // d6: token-block batching trend — the distributed prefix sum's
+    // claim is work ∝ rows with driver state ∝ PARTITIONS (the collected
+    // per-partition offsets), never ∝ rows. offset_rows records that
+    // bound: it stays at the shuffle-partition count while docs/tokens/
+    // blocks grow 10x.
+    measure("d6_token_blocks", ctlTimes)(exec(graft.text.TokenBlocks.manifest(
+      graft.text.TokenBlocks.assign(docs1x, "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")) + 1, 512), 512)))
+    measure("d6_token_blocks", times)(exec(graft.text.TokenBlocks.manifest(
+      graft.text.TokenBlocks.assign(docs10x, "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")) + 1, 512), 512)))
+    def tbDiag(tag: String, docs: DataFrame): Unit = try {
+      val a = graft.text.TokenBlocks.assign(docs, "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")) + 1, 512)
+      val r = a.agg(count(lit(1)).as("docs"),
+        coalesce(sum(col("w")), lit(0L)).as("tokens"),
+        coalesce(max(col("last_block")), lit(0L)).as("blocks")).head()
+      scaleDiag(s"d6_${tag}_docs") = r.getLong(0)
+      scaleDiag(s"d6_${tag}_tokens") = r.getLong(1)
+      scaleDiag(s"d6_${tag}_blocks") = r.getLong(2) + 1
+      scaleDiag(s"d6_${tag}_offset_rows") =
+        spark.sessionState.conf.numShufflePartitions.toLong
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] token-block diag $tag failed: ${e.getMessage}")
+    }
+    tbDiag("1x", docs1x)
+    tbDiag("10x", docs10x)
+
+    // d7: count-min heavy-hitter trend on decorrelated lineitem keys
+    // (per-copy partkey offset: distinct keys and true hitters grow 10x,
+    // per-key counts stay 1x). The gate's claim is that the exact-count
+    // shuffle sees ~hitters, not ~distinct keys — but with an ABSOLUTE
+    // threshold the fixed width saturates as occurrences grow (cells
+    // average N/width; once that clears T the gate stops pruning — still
+    // exact, no benefit). So d7 measures the fixed-width pair to EXPOSE
+    // the knee in its counters, and d7w re-runs 10x with width ∝ N — the
+    // sizing discipline the scaladoc prescribes (same pattern as d5/d5k's
+    // fixed-k vs k∝corpus) — sharing d7's 1x denominator.
+    val li1x = Tables.load(spark, sfDir, "lineitem").select(col("l_partkey"))
+    val li10xKeys = li1x
+      .crossJoin(spark.range(10).select(col("id").as("_k")))
+      .withColumn("l_partkey", col("l_partkey") + col("_k") * lit(1000000000L))
+      .drop("_k")
+    measure("d7_heavy_hitters", ctlTimes)(exec(
+      graft.agg.CountMin.heavyHitters(li1x, col("l_partkey"), 42)))
+    measure("d7_heavy_hitters", times)(exec(
+      graft.agg.CountMin.heavyHitters(li10xKeys, col("l_partkey"), 42)))
+    measure("d7w_heavy_hitters_wprop", times)(exec(
+      graft.agg.CountMin.heavyHitters(li10xKeys, col("l_partkey"), 42,
+        width = 81920)))
+    ctlTimes.get("d7_heavy_hitters").foreach(v =>
+      ctlTimes("d7w_heavy_hitters_wprop") = v)
+    def hhDiag(tag: String, occ: DataFrame, width: Int): Unit = try {
+      val sk = graft.agg.CountMin.sketchArrays(occ, col("l_partkey"), 4, width)
+      val survivors = occ
+        .filter(graft.agg.CountMin.estimate(col("l_partkey"), sk, width) >= 42)
+        .select("l_partkey").distinct().count()
+      val counts = occ.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val r = counts.agg(count(lit(1)).as("distinct"),
+        coalesce(sum(when(col("n") >= 42, lit(1L))), lit(0L)).as("hitters")).head()
+      scaleDiag(s"d7_${tag}_distinct_keys") = r.getLong(0)
+      scaleDiag(s"d7_${tag}_true_hitters") = r.getLong(1)
+      scaleDiag(s"d7_${tag}_gate_survivors") = survivors
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] heavy-hitter diag $tag failed: ${e.getMessage}")
+    }
+    hhDiag("1x", li1x, 8192)
+    hhDiag("10x", li10xKeys, 8192)
+    hhDiag("10x_wprop", li10xKeys, 81920)
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

@@ -1670,5 +1670,53 @@ object ExtraQueries {
         t(s, dir, "lineitem"), col("l_partkey"), threshold = 42)
     }, Some("""SELECT l_partkey AS k, count(*) AS cnt
       FROM lineitem GROUP BY l_partkey HAVING count(*) >= 42"""))),
+
+    // PageRank over the bipartite supplier->part graph (3 damped
+    // iterations, dangling mass redistributed — part nodes have no
+    // out-edges, so the dangling path is exercised on every iteration).
+    // Per-iteration 9-decimal quantization makes the trajectory
+    // engine-independent; the oracle unrolls the iterations as CTE
+    // chains, the same discipline as the k-means oracle.
+    "q_pagerank" -> (((s: SparkSession, dir: String) => {
+      val edges = t(s, dir, "lineitem").select(
+        concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      graft.graph.PageRank.pageRank(edges, "src", "dst", iters = 3)
+    }, Some("""WITH edges AS (
+        SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+                        'p' || l_partkey::VARCHAR AS dst
+        FROM lineitem),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      outdeg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT node, round(1.0 / n.n, 9) AS r FROM nodes, n),
+      c1 AS (SELECT e.dst AS node, round(sum(r.r / o.deg), 9) AS contrib
+             FROM edges e JOIN r0 r ON e.src = r.node
+                          JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst),
+      d1 AS (SELECT coalesce(round(sum(r.r), 9), 0) AS mass FROM r0 r
+             WHERE r.node NOT IN (SELECT src FROM outdeg)),
+      r1 AS (SELECT nd.node, round((1 - 0.85) / n.n + 0.85 *
+               (coalesce(c.contrib, 0) + d.mass / n.n), 9) AS r
+             FROM nodes nd LEFT JOIN c1 c ON nd.node = c.node, n, d1 d),
+      c2 AS (SELECT e.dst AS node, round(sum(r.r / o.deg), 9) AS contrib
+             FROM edges e JOIN r1 r ON e.src = r.node
+                          JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst),
+      d2 AS (SELECT coalesce(round(sum(r.r), 9), 0) AS mass FROM r1 r
+             WHERE r.node NOT IN (SELECT src FROM outdeg)),
+      r2 AS (SELECT nd.node, round((1 - 0.85) / n.n + 0.85 *
+               (coalesce(c.contrib, 0) + d.mass / n.n), 9) AS r
+             FROM nodes nd LEFT JOIN c2 c ON nd.node = c.node, n, d2 d),
+      c3 AS (SELECT e.dst AS node, round(sum(r.r / o.deg), 9) AS contrib
+             FROM edges e JOIN r2 r ON e.src = r.node
+                          JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst),
+      d3 AS (SELECT coalesce(round(sum(r.r), 9), 0) AS mass FROM r2 r
+             WHERE r.node NOT IN (SELECT src FROM outdeg)),
+      r3 AS (SELECT nd.node, round((1 - 0.85) / n.n + 0.85 *
+               (coalesce(c.contrib, 0) + d.mass / n.n), 9) AS r
+             FROM nodes nd LEFT JOIN c3 c ON nd.node = c.node, n, d3 d)
+      SELECT node, r AS rank FROM r3"""))),
   )
 }

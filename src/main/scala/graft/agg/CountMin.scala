@@ -19,15 +19,24 @@ import org.apache.spark.sql.functions._
   * cardinality.
   *
   * Scale shape (100 TB wordcount): the sketch build is one map-side-
-  * combinable aggregation whose output is d×w cells regardless of input
-  * size; the sketch rides back as a 1-row broadcast scalar (never
-  * collected to the driver); the gate is a pure Column expression in the
-  * scan stage; the exact count shuffles ONLY gated survivors — true
-  * heavy hitters plus a false-positive tail bounded by the classic
-  * eps = e/width overestimate bound. A plain `GROUP BY token HAVING
-  * count >= T` shuffles every distinct token; this shuffles ~|hitters|.
-  * Everything is deterministic (md5 row hashes), so any engine replays
-  * the same sketch.
+  * combinable aggregation whose output is at most d×w cells regardless
+  * of input size; that CONSTANT-size summary is collected and
+  * re-embedded as array LITERALS (one constant object per depth — the
+  * same treatment as the IVF centroid arrays and the GlobalRank offset
+  * table; a per-row broadcast join would copy the d×w payload into
+  * every joined row). The gate is then a codegen'd O(depth) Column in
+  * the scan stage, and the exact count shuffles ONLY gated survivors.
+  * A plain `GROUP BY token HAVING count >= T` shuffles every distinct
+  * token; this shuffles ~|hitters| plus the eps = e/width
+  * false-positive tail.
+  *
+  * Sizing discipline: cells average `total_occurrences / width`, so an
+  * ABSOLUTE threshold needs `width ∝ N/threshold` or the gate saturates
+  * (every cell clears T and nothing is pruned — still exact, just no
+  * benefit); a FRACTIONAL threshold `T = φN` needs only `width > 1/φ`,
+  * which is scale-free. The bench's d7/d7w trend measures exactly this
+  * knee. Everything is deterministic (md5 row hashes), so any engine
+  * replays the same sketch.
   */
 object CountMin {
 
@@ -38,34 +47,42 @@ object CountMin {
     pmod(conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))), 1, 15),
       16, 10).cast("long"), lit(width.toLong))
 
-  /** The merged sketch as ONE ROW holding a depth→dense-counts map —
-    * shaped for `crossJoin(broadcast(...))` so estimates stay codegen'd
-    * Column lookups with a plan size independent of `width`.
+  /** The merged sketch in its distributed, mergeable form: sparse
+    * `(d, c, cnt)` cells, at most depth×width rows however large the
+    * input (two sketches over disjoint inputs merge by summing cnt per
+    * cell — the map-side-combine property).
     */
   def sketch(occurrences: DataFrame, key: Column,
              depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
-    val cells = occurrences
+    occurrences
       .select(explode(array((0 until depth).map(i =>
         struct(lit(i).as("d"), cell(i, key, width).as("c"))): _*)).as("dc"))
       .groupBy(col("dc.d").as("d"), col("dc.c").as("c"))
       .agg(count(lit(1)).as("cnt"))
-    cells
-      .groupBy("d")
-      .agg(map_from_entries(collect_list(struct(col("c"), col("cnt")))).as("m"))
-      .select(col("d"),
-        transform(sequence(lit(0L), lit(width - 1L)),
-          j => coalesce(element_at(col("m"), j), lit(0L))).as("arr"))
-      .groupBy()
-      .agg(map_from_entries(collect_list(struct(col("d"), col("arr")))).as("_cm"))
   }
 
-  /** Sketch estimate for `key` against a joined `_cm` column: min over
-    * depths of the key's cell counts. Always >= the true count.
+  /** The sketch densified on the driver: `result(i)(c)` = count of cell
+    * `c` at depth `i`. The collect moves at most depth×width rows — a
+    * size fixed by the sketch SHAPE, not the data (the constant-summary
+    * contract that makes a sketch a sketch).
     */
-  def estimate(key: Column, depth: Int, width: Int): Column =
-    least((0 until depth).map(i =>
-      element_at(element_at(col("_cm"), i), (cell(i, key, width) + 1).cast("int"))): _*)
+  def sketchArrays(occurrences: DataFrame, key: Column,
+                   depth: Int, width: Int): Array[Array[Long]] = {
+    val dense = Array.fill(depth)(new Array[Long](width))
+    sketch(occurrences, key, depth, width).collect().foreach { r =>
+      dense(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    dense
+  }
+
+  /** Sketch estimate for `key`: min over depths of the key's cell
+    * counts, against driver-densified arrays embedded as literals.
+    * Always >= the true count; O(depth) per row, stays in codegen.
+    */
+  def estimate(key: Column, sk: Array[Array[Long]], width: Int): Column =
+    least(sk.indices.map(i =>
+      element_at(typedlit(sk(i).toSeq), (cell(i, key, width) + 1).cast("int"))): _*)
 
   /** EXACT keys with occurrence count >= `threshold`, computed through
     * the sketch gate: occurrences whose estimate clears the threshold
@@ -77,11 +94,10 @@ object CountMin {
   def heavyHitters(occurrences: DataFrame, key: Column, threshold: Long,
                    depth: Int = 4, width: Int = 8192): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
-    val sk = sketch(occurrences, key, depth, width)
+    val sk = sketchArrays(occurrences, key, depth, width)
     occurrences
       .select(key.as("k"))
-      .crossJoin(broadcast(sk))
-      .filter(estimate(col("k"), depth, width) >= threshold)
+      .filter(estimate(col("k"), sk, width) >= threshold)
       .groupBy("k")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)

@@ -18,14 +18,23 @@ class CountMinSpec extends SparkSpec {
   test("sketch estimate never undercounts — the no-false-negative guarantee") {
     val occ = occurrences(60)
     val truth = exact(occ)
-    val sk = CountMin.sketch(occ, col("v"), depth = 4, width = 64)
+    val sk = CountMin.sketchArrays(occ, col("v"), depth = 4, width = 64)
     val est = occ.select(col("v")).distinct()
-      .crossJoin(broadcast(sk))
-      .select(col("v"), CountMin.estimate(col("v"), 4, 64).as("est"))
+      .select(col("v"), CountMin.estimate(col("v"), sk, 64).as("est"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     truth.foreach { case (k, c) =>
       assert(est(k) >= c, s"estimate ${est(k)} < true $c for key $k")
     }
+    // the sparse form is the mergeable one: cells of a split input sum
+    // to the cells of the whole
+    val whole = CountMin.sketch(occ, col("v"), 3, 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (a, b) = (occ.filter(col("v") % 2 === 0), occ.filter(col("v") % 2 =!= 0))
+    val merged = (CountMin.sketch(a, col("v"), 3, 32).collect() ++
+        CountMin.sketch(b, col("v"), 3, 32).collect())
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    assert(merged == whole)
   }
 
   test("heavyHitters is exact: identical to GROUP BY HAVING at any width") {
@@ -44,10 +53,9 @@ class CountMinSpec extends SparkSpec {
 
   test("the gate actually prunes: survivors well below distinct keys") {
     val occ = occurrences(200) // key 1: 200 occurrences ... key 200: 1
-    val sk = CountMin.sketch(occ, col("v"), depth = 4, width = 1024)
+    val sk = CountMin.sketchArrays(occ, col("v"), depth = 4, width = 1024)
     val gated = occ.select(col("v"))
-      .crossJoin(broadcast(sk))
-      .filter(CountMin.estimate(col("v"), 4, 1024) >= 50)
+      .filter(CountMin.estimate(col("v"), sk, 1024) >= 50)
       .select("v").distinct().count()
     val truthCount = exact(occ).count(_._2 >= 50)
     assert(gated >= truthCount, "gate must keep every true hitter")
