@@ -593,8 +593,12 @@ object Bench {
     // per-partition offsets), never ∝ rows. offset_rows records that
     // bound: it stays at the shuffle-partition count while docs/tokens/
     // blocks grow 10x.
+    // 1x side uses ampDocs(1), not raw docs1x: the amplifier's per-token
+    // suffix rewrite is a large share of this cheap operator's wall
+    // (unlike d1/d3 where the dedup pipeline dwarfs it), so both sides
+    // pay the identical transform and the ratio isolates the operator
     measure("d6_token_blocks", ctlTimes)(exec(graft.text.TokenBlocks.manifest(
-      graft.text.TokenBlocks.assign(docs1x, "doc_id",
+      graft.text.TokenBlocks.assign(ampDocs(1), "doc_id",
         graft.text.TextAnalysis.tokenCount(col("text")) + 1, 512), 512)))
     measure("d6_token_blocks", times)(exec(graft.text.TokenBlocks.manifest(
       graft.text.TokenBlocks.assign(docs10x, "doc_id",
@@ -631,16 +635,23 @@ object Bench {
       .crossJoin(spark.range(10).select(col("id").as("_k")))
       .withColumn("l_partkey", col("l_partkey") + col("_k") * lit(1000000000L))
       .drop("_k")
+    // width sized so the 1x point is UNSATURATED at the sf the bench
+    // runs on (sf0.1: 600k occurrences / 65,536 cells ≈ 9 mean, well
+    // under T=42) — the fixed-width 10x point then saturates (mean ≈ 92)
+    // while d7w's width ∝ N restores mean ≈ 9
+    val hhW = 65536
     measure("d7_heavy_hitters", ctlTimes)(exec(
-      graft.agg.CountMin.heavyHitters(li1x, col("l_partkey"), 42)))
+      graft.agg.CountMin.heavyHitters(li1x, col("l_partkey"), 42, width = hhW)))
     measure("d7_heavy_hitters", times)(exec(
-      graft.agg.CountMin.heavyHitters(li10xKeys, col("l_partkey"), 42)))
+      graft.agg.CountMin.heavyHitters(li10xKeys, col("l_partkey"), 42, width = hhW)))
     measure("d7w_heavy_hitters_wprop", times)(exec(
       graft.agg.CountMin.heavyHitters(li10xKeys, col("l_partkey"), 42,
-        width = 81920)))
+        width = hhW * 10)))
     ctlTimes.get("d7_heavy_hitters").foreach(v =>
       ctlTimes("d7w_heavy_hitters_wprop") = v)
     def hhDiag(tag: String, occ: DataFrame, width: Int): Unit = try {
+      val bm = graft.agg.CountMin.hotCellBitmaps(occ, col("l_partkey"), 42, 4, width)
+      scaleDiag(s"d7_${tag}_hot_cells") = bm.map(_.map(java.lang.Long.bitCount(_).toLong).sum).min
       val sk = graft.agg.CountMin.sketchArrays(occ, col("l_partkey"), 4, width)
       val survivors = occ
         .filter(graft.agg.CountMin.estimate(col("l_partkey"), sk, width) >= 42)
@@ -654,9 +665,9 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] heavy-hitter diag $tag failed: ${e.getMessage}")
     }
-    hhDiag("1x", li1x, 8192)
-    hhDiag("10x", li10xKeys, 8192)
-    hhDiag("10x_wprop", li10xKeys, 81920)
+    hhDiag("1x", li1x, hhW)
+    hhDiag("10x", li10xKeys, hhW)
+    hhDiag("10x_wprop", li10xKeys, hhW * 10)
 
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x

@@ -1665,9 +1665,12 @@ object ExtraQueries {
     // only ones that reach the shuffle. The oracle is the plain HAVING
     // query: the gate's no-false-negative guarantee is exactly what the
     // hash compare checks.
+    // width 65536 keeps the gate unsaturated through sf0.1 (600k
+    // occurrences -> mean cell ~9, threshold 42): the result is exact at
+    // ANY width, but a saturated gate prunes nothing (CountMin scaladoc)
     "q_heavy_hitters" -> (((s: SparkSession, dir: String) => {
       graft.agg.CountMin.heavyHitters(
-        t(s, dir, "lineitem"), col("l_partkey"), threshold = 42)
+        t(s, dir, "lineitem"), col("l_partkey"), threshold = 42, width = 65536)
     }, Some("""SELECT l_partkey AS k, count(*) AS cnt
       FROM lineitem GROUP BY l_partkey HAVING count(*) >= 42"""))),
 
@@ -1718,5 +1721,22 @@ object ExtraQueries {
                (coalesce(c.contrib, 0) + d.mass / n.n), 9) AS r
              FROM nodes nd LEFT JOIN c3 c ON nd.node = c.node, n, d3 d)
       SELECT node, r AS rank FROM r3"""))),
+
+    // Z-order (Morton) clustering key: interleaved (l_partkey,
+    // l_suppkey) bits — the multi-dimensional data-skipping layout
+    // (ZOrderSpec measures the actual file-pruning win; this row pins
+    // the bit arithmetic cross-engine). Oracle replays the interleave
+    // with integer division/modulo.
+    "q_zorder" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey"), 8).as("z"))
+    }, Some {
+      val terms = (0 until 8).map { i =>
+        s"((l_partkey // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+          s" + ((l_suppkey // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"SELECT l_orderkey, l_linenumber, $terms AS z FROM lineitem"
+    })),
   )
 }

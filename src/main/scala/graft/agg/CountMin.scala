@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB wordcount): the sketch build is one map-side-
   * combinable aggregation whose output is at most d×w cells regardless
-  * of input size; that CONSTANT-size summary is collected and
-  * re-embedded as array LITERALS (one constant object per depth — the
-  * same treatment as the IVF centroid arrays and the GlobalRank offset
-  * table; a per-row broadcast join would copy the d×w payload into
-  * every joined row). The gate is then a codegen'd O(depth) Column in
-  * the scan stage, and the exact count shuffles ONLY gated survivors.
-  * A plain `GROUP BY token HAVING count >= T` shuffles every distinct
+  * of input size — and ONE md5 per row feeds every depth (disjoint hex
+  * slices). For the gate, the summary shrinks further to per-depth
+  * HOT-CELL BITMAPS (width/64 longs: membership is all `estimate >= T`
+  * needs), collected and re-embedded as array LITERALS — the same
+  * treatment as the IVF centroid arrays and the GlobalRank offset
+  * table; a per-row broadcast join would copy the payload into every
+  * joined row. The gate is then a codegen'd O(depth) Column in the
+  * scan stage, and the exact count shuffles ONLY gated survivors. A
+  * plain `GROUP BY token HAVING count >= T` shuffles every distinct
   * token; this shuffles ~|hitters| plus the eps = e/width
   * false-positive tail.
   *
@@ -40,12 +42,22 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  /** Depth-`i` cell for a key: first 15 md5 hex digits of `i|key`,
-    * mod `width`. 60 bits → exact in a long; deterministic cross-engine.
+  /** Maximum sketch depth: the 32 md5 hex digits split into 4 disjoint
+    * 8-digit (32-bit) sub-hashes, one per depth.
     */
-  def cell(i: Int, key: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat_ws("|", lit(i), key.cast("string"))), 1, 15),
-      16, 10).cast("long"), lit(width.toLong))
+  val MaxDepth = 4
+
+  /** Depth-`i` cell for a key: hex digits `[8i, 8i+8)` of ONE md5 of the
+    * key, mod `width`. A single hash per row serves every depth (Spark's
+    * subexpression elimination computes the md5 once); disjoint bit
+    * ranges of md5 are as good as independent hashes for the count-min
+    * bound, and the whole thing replays deterministically cross-engine.
+    */
+  def cell(i: Int, key: Column, width: Int): Column = {
+    require(0 <= i && i < MaxDepth, s"depth index $i outside [0, $MaxDepth)")
+    pmod(conv(substring(md5(key.cast("string")), i * 8 + 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+  }
 
   /** The merged sketch in its distributed, mergeable form: sparse
     * `(d, c, cnt)` cells, at most depth×width rows however large the
@@ -54,7 +66,8 @@ object CountMin {
     */
   def sketch(occurrences: DataFrame, key: Column,
              depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
+    require(depth >= 1 && depth <= MaxDepth && width >= 2,
+      s"bad sketch shape: $depth x $width (depth <= $MaxDepth)")
     occurrences
       .select(explode(array((0 until depth).map(i =>
         struct(lit(i).as("d"), cell(i, key, width).as("c"))): _*)).as("dc"))
@@ -84,9 +97,44 @@ object CountMin {
     least(sk.indices.map(i =>
       element_at(typedlit(sk(i).toSeq), (cell(i, key, width) + 1).cast("int"))): _*)
 
+  /** Per-depth HOT-CELL BITMAP: bit `c` set iff cell `c`'s count clears
+    * the threshold. `estimate >= T` ⟺ every depth's cell clears T, so
+    * the gate only needs membership, not counts — width/64 longs per
+    * depth (80 KB at width 655,360) instead of width counts, which is
+    * what lets `width ∝ N` stay a literal-embeddable gate at any
+    * realistic scale. Only qualifying cells are collected (the sparse
+    * sketch filtered to `cnt >= threshold`).
+    */
+  def hotCellBitmaps(occurrences: DataFrame, key: Column, threshold: Long,
+                     depth: Int, width: Int): Array[Array[Long]] = {
+    val words = Array.fill(depth)(new Array[Long]((width + 63) / 64))
+    sketch(occurrences, key, depth, width)
+      .filter(col("cnt") >= threshold).select("d", "c")
+      .collect().foreach { r =>
+        val c = r.getLong(1)
+        words(r.getInt(0))((c >>> 6).toInt) |= (1L << (c & 63))
+      }
+    words
+  }
+
+  /** Membership of `key`'s depth-`i` cell in a hot-cell bitmap, as a
+    * codegen'd O(1) Column: word lookup + bit shift.
+    */
+  private def inBitmap(i: Int, key: Column, width: Int,
+                       words: Array[Long]): Column = {
+    val c = cell(i, key, width)
+    val word = element_at(typedlit(words.toSeq),
+      (shiftright(c, 6) + 1).cast("int"))
+    // column-valued shift amount: the Column-API shiftright only takes a
+    // literal, the SQL function form takes an expression
+    call_function("shiftright", word, (c % 64).cast("int"))
+      .bitwiseAND(lit(1L)) === lit(1L)
+  }
+
   /** EXACT keys with occurrence count >= `threshold`, computed through
-    * the sketch gate: occurrences whose estimate clears the threshold
-    * are exactly counted; the rest never leave the scan stage.
+    * the sketch gate: occurrences whose cells are hot at EVERY depth
+    * (⟺ estimate >= threshold) are exactly counted; the rest never
+    * leave the scan stage.
     *
     * @return (key as `k`, `cnt`) — identical to
     *         `GROUP BY key HAVING count(*) >= threshold`.
@@ -94,10 +142,11 @@ object CountMin {
   def heavyHitters(occurrences: DataFrame, key: Column, threshold: Long,
                    depth: Int = 4, width: Int = 8192): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
-    val sk = sketchArrays(occurrences, key, depth, width)
+    val bitmaps = hotCellBitmaps(occurrences, key, threshold, depth, width)
     occurrences
       .select(key.as("k"))
-      .filter(estimate(col("k"), sk, width) >= threshold)
+      .filter((0 until depth).map(i =>
+        inBitmap(i, col("k"), width, bitmaps(i))).reduce(_ && _))
       .groupBy("k")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
