@@ -669,6 +669,36 @@ object Bench {
     hhDiag("10x", li10xKeys, hhW)
     hhDiag("10x_wprop", li10xKeys, hhW * 10)
 
+    // d8: PageRank trend — 10 DISJOINT graph copies (per-copy node-id
+    // suffix): nodes/edges grow 10x, graph structure per copy unchanged,
+    // so per-iteration join work should scale ∝ edges with iteration
+    // count fixed. Checkpoint writes are part of the measured cost (they
+    // are the operator's real per-iteration price).
+    val edges1x = Tables.load(spark, sfDir, "lineitem").select(
+      concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+      concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+    val edges10x = Tables.load(spark, sfDir, "lineitem")
+      .crossJoin(spark.range(10).select(col("id").as("_k")))
+      .select(
+        concat(lit("s"), col("l_suppkey").cast("string"),
+          lit("~"), col("_k")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string"),
+          lit("~"), col("_k")).as("dst"))
+    measure("d8_pagerank", ctlTimes)(exec(
+      graft.graph.PageRank.pageRank(edges1x, "src", "dst", iters = 3)))
+    measure("d8_pagerank", times)(exec(
+      graft.graph.PageRank.pageRank(edges10x, "src", "dst", iters = 3)))
+    def prDiag(tag: String, edges: DataFrame): Unit = try {
+      val e = edges.distinct()
+      scaleDiag(s"d8_${tag}_edges") = e.count()
+      scaleDiag(s"d8_${tag}_nodes") = e.select(col("src").as("n"))
+        .unionByName(e.select(col("dst").as("n"))).distinct().count()
+    } catch { case ex: Throwable =>
+      System.err.println(s"[bench] pagerank diag $tag failed: ${ex.getMessage}")
+    }
+    prDiag("1x", edges1x)
+    prDiag("10x", edges10x)
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

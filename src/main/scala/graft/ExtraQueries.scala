@@ -1738,5 +1738,99 @@ object ExtraQueries {
       }.mkString(" + ")
       s"SELECT l_orderkey, l_linenumber, $terms AS z FROM lineitem"
     })),
+
+    // STREAMING CDC apply: the change log arrives as micro-batches
+    // (maxFilesPerTrigger=1 over staged files) and every batch MERGEs
+    // into the versioned table root via foreachBatch — the continuous
+    // ingestion shape of a real warehouse delta feed (stream → versioned
+    // MERGE → readers flip atomically per batch). Batches are
+    // partitioned BY KEY (c_custkey % 3) so apply order is commutative
+    // and the file source's discovery order cannot matter; the oracle is
+    // the same global last-writer-wins replay as q_cdc_merge.
+    "q_stream_cdc" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_cdc_in", dir)
+      val root = tmp("stream_cdc_root", dir)
+      val ckpt = tmp("stream_cdc_ckpt", dir)
+      Seq(stage, root, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      Compaction.writeVersioned(t(s, dir, "customer"), root)
+      val changes = t(s, dir, "orders").select(
+        (col("o_custkey") +
+          when(col("o_orderkey") % 5 === 0, 100000L).otherwise(0L)).as("c_custkey"),
+        concat(lit("cdc-"), col("o_orderkey")).as("c_name"),
+        (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+      def stageFile(df: DataFrame, name: String): Unit = {
+        val tdir = tmp(s"stream_cdc_$name", dir)
+        df.coalesce(1).write.mode("overwrite").parquet(tdir)
+        val part = new java.io.File(tdir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$stage/$name.parquet"))
+      }
+      (0 until 3).foreach(k =>
+        stageFile(changes.where(col("c_custkey") % 3 === k), s"b$k"))
+      val stream = s.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            Cdc.mergeVersioned(root, batch, Seq("c_custkey")); ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(Compaction.resolve(s, root)).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_cents"), col("c_mktsegment"))
+    }, Some("""WITH changes AS (
+        SELECT o_custkey + CASE WHEN o_orderkey % 5 = 0 THEN 100000 ELSE 0 END
+                 AS c_custkey,
+               'cdc-' || o_orderkey::VARCHAR AS c_name,
+               (o_custkey % 25)::INTEGER AS c_nationkey,
+               o_totalprice AS c_acctbal,
+               o_orderpriority AS c_mktsegment,
+               o_orderkey AS seq,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        FROM orders),
+      latest AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, op
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+              FROM changes)
+        WHERE rn = 1),
+      merged AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        FROM customer c
+        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM latest WHERE op = 'upsert')
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal * 100, 0)::BIGINT AS bal_cents, c_mktsegment
+      FROM merged"""))),
+
+    // One-pass column profiling (ANALYZE TABLE stats): every column's
+    // counts/distinct/min/max in a single aggregation (one expand for
+    // the multi-distinct), unpivoted to a row per column. The oracle
+    // computes each column's stats independently and unions them.
+    "q_profile" -> (((s: SparkSession, dir: String) => {
+      graft.ops.Profile.profile(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    }, Some {
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment").map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS non_nulls,
+           count(*) - count($c) AS nulls,
+           count(DISTINCT $c) AS "distinct",
+           min($c)::VARCHAR AS "min", max($c)::VARCHAR AS "max"
+           FROM customer"""
+      }.mkString(" UNION ALL ")
+    })),
   )
 }
