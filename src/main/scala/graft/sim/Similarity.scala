@@ -95,9 +95,14 @@ object Similarity {
                           id: String = "vec_id", emb: String = "embedding")
       : DataFrame = {
     val q = array(query.map(lit): _*)
+    // The quantized struct MUST be let-bound: dequantizeInt8 references
+    // its argument four times (codes, mn twice, mx), and Catalyst's
+    // CollapseProject would otherwise inline the full quantize chain
+    // (three interpreted array traversals) into every reference — a
+    // measured ~4x slowdown on the embedding hot loop.
     vectors
-      .select(col(id), dequantizeInt8(quantizeInt8(col(emb))).as("_d"))
-      .select(col(id), round(cosine(col("_d"), q), 6).as("cosine_sim"))
+      .select(col(id), bindOnce(quantizeInt8(col(emb)), qz =>
+        round(cosine(dequantizeInt8(qz), q), 6)).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(id))
       .limit(k)
   }
