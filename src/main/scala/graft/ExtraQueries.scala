@@ -253,6 +253,48 @@ object ExtraQueries {
         '${graft.text.TextAnalysis.PiiDigitRun}', '<PHONE>', 'g') AS scrubbed
       FROM documents"""))),
 
+    // Inverted index over documents (maxDfFrac 0.8 — the synthetic
+    // corpus has a 31-term vocabulary with ~0.78 median df, so 0.8
+    // leaves roughly half the vocabulary standing while still driving
+    // several stop terms through the drop path BEFORE assembly). The
+    // oracle replays tokenize → tf → df gate → ordered string_agg; the
+    // ':'-joined string postings are the engine-comparable rendering.
+    "q_inverted_index" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.invertedIndex(t(s, dir, "documents"),
+        maxDfFrac = 0.8)
+    }, Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      nd AS (SELECT count(*) AS n FROM documents),
+      dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf, nd
+              GROUP BY term, nd.n HAVING count(*) <= nd.n * 0.8)
+      SELECT t.term, d.df,
+        string_agg(t.doc_id::VARCHAR || ':' || t.tf::VARCHAR, ' '
+          ORDER BY t.doc_id) AS postings
+      FROM tf t JOIN dfq d USING (term)
+      GROUP BY t.term, d.df"""))),
+
+    // Segmented inverted index (4 segments by doc_id mod — the Lucene
+    // shard architecture: per-segment postings bound reducer memory).
+    "q_inverted_segment" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.invertedIndexSegmented(
+        t(s, dir, "documents"), nSegments = 4, maxDfFrac = 0.8)
+    }, Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      nd AS (SELECT count(*) AS n FROM documents),
+      dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf, nd
+              GROUP BY term, nd.n HAVING count(*) <= nd.n * 0.8)
+      SELECT (t.doc_id % 4)::BIGINT AS segment, t.term, d.df,
+        string_agg(t.doc_id::VARCHAR || ':' || t.tf::VARCHAR, ' '
+          ORDER BY t.doc_id) AS postings
+      FROM tf t JOIN dfq d USING (term)
+      GROUP BY 1, t.term, d.df"""))),
+
     // TF-IDF top-3 terms per doc. The oracle replays tokenize → tf → df
     // → smoothed idf → round-6 → per-doc rank verbatim; rounding BEFORE
     // the window is what makes the rank comparable across engines.

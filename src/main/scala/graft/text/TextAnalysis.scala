@@ -147,6 +147,84 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tfidf"))
   }
 
+  /** Inverted index (term → postings list) — the original MapReduce
+    * motivating workload (the reference ships it as the canonical
+    * example job; SURVEY.md §2.2's wordcount family is its degenerate
+    * form). Output: one row per surviving term with its document
+    * frequency and the postings rendered as `"doc:tf doc:tf …"` sorted
+    * by doc id (string form keeps the result engine-comparable; the
+    * struct array is a `transform` away for a typed consumer).
+    *
+    * Plan shape at corpus scale: one tokenize+count shuffle for tf, a
+    * term-keyed df aggregate, then postings assembly. The scale hazard
+    * is postings skew: a stop-word appearing in every document makes ONE
+    * reducer materialize an n-entry list. The `maxDfFrac` gate (the IR
+    * stop-list convention) is therefore applied to the df AGGREGATE and
+    * joined back BEFORE `collect_list` runs — dropped terms never reach
+    * assembly, so no reducer ever holds a stop-word's postings. The
+    * assembly groupBy reuses the join's term partitioning (one exchange,
+    * not two). The tf table feeds both the df aggregate and the join
+    * left, so it is checkpointed (the tfidf discipline). For corpora
+    * where even gated postings exceed executor memory, use
+    * [[invertedIndexSegmented]].
+    */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame,
+                    maxDfFrac: Double = 0.5,
+                    text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+    val tf = graft.ops.Checkpoints.truncate(
+      docs.select(col(id), explode(toks(col(text))).as("term"))
+        .groupBy(col("term"), col(id)).agg(count(lit(1)).as("tf")))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .where(col("df") <= col("_n") * lit(maxDfFrac))
+      .select(col("term"), col("df"))
+    tf.join(df, "term")
+      .groupBy(col("term"), col("df"))
+      .agg(sort_array(collect_list(struct(col(id), col("tf")))).as("_p"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("_p"),
+          p => concat_ws(":", p.getField(id), p.getField("tf"))), " ")
+          .as("postings"))
+  }
+
+  /** Segmented inverted index — the Lucene/search-engine architecture:
+    * documents hash into `nSegments` disjoint segments (`doc_id mod
+    * nSegments` — a pure function of the key, stable under corpus
+    * growth) and postings are assembled per (segment, term). No postings
+    * list can exceed its segment's document count regardless of term
+    * frequency, which is the memory bound the global form cannot give;
+    * queries fan out across segments and merge (exactly how a sharded
+    * search index serves). The global `maxDfFrac` stop gate still
+    * applies first — stop terms are dropped before any segment sees
+    * them. Costs one more exchange than the global form (assembly keys
+    * on (segment, term), not term), paid only by gate survivors.
+    */
+  def invertedIndexSegmented(docs: org.apache.spark.sql.DataFrame,
+                             nSegments: Int, maxDfFrac: Double = 0.5,
+                             text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(nSegments >= 1, "nSegments must be >= 1")
+    val tf = graft.ops.Checkpoints.truncate(
+      docs.select(col(id), explode(toks(col(text))).as("term"))
+        .groupBy(col("term"), col(id)).agg(count(lit(1)).as("tf")))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .where(col("df") <= col("_n") * lit(maxDfFrac))
+      .select(col("term"), col("df"))
+    tf.join(df, "term")
+      .withColumn("segment", pmod(col(id), lit(nSegments)).cast("long"))
+      .groupBy(col("segment"), col("term"), col("df"))
+      .agg(sort_array(collect_list(struct(col(id), col("tf")))).as("_p"))
+      .select(col("segment"), col("term"), col("df"),
+        array_join(transform(col("_p"),
+          p => concat_ws(":", p.getField(id), p.getField("tf"))), " ")
+          .as("postings"))
+  }
+
   /** Document chunking for training pipelines: token windows of size
     * `window` starting every `stride` tokens — the standard
     * sliding-window split applied before tokenization/embedding. Chunk

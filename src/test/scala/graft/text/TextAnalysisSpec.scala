@@ -163,6 +163,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ncf(3L) == (1.0, 0.0))
   }
 
+  test("invertedIndex: hand-traced postings, df gate drops stop terms pre-assembly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry"),
+      (4L, "banana date")).toDF("doc_id", "text")
+    // 'banana' df=3 of 4 → dropped at maxDfFrac=0.7; others survive
+    val idx = TextAnalysis.invertedIndex(docs, maxDfFrac = 0.7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(!idx.contains("banana"))
+    assert(idx("apple") == (2L, "1:2 3:1"))   // sorted by doc, tf counted
+    assert(idx("cherry") == (2L, "2:1 3:2"))
+    assert(idx("date") == (1L, "4:1"))
+  }
+
+  test("invertedIndexSegmented: segment = id mod n, union equals global index") {
+    import spark.implicits._
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, s"w${i % 5} w${i % 3} common")).toDF("doc_id", "text")
+    val seg = TextAnalysis.invertedIndexSegmented(docs, nSegments = 4,
+      maxDfFrac = 0.5).collect()
+    // every doc in a postings row lives in that row's segment
+    seg.foreach { r =>
+      val s = r.getLong(0)
+      r.getString(3).split(" ").foreach { p =>
+        assert(p.split(":")(0).toLong % 4 == s, s"doc $p outside segment $s")
+      }
+    }
+    // merging segments reproduces the global index exactly
+    val merged = seg.groupBy(_.getString(1)).map { case (term, rows) =>
+      term -> (rows.head.getLong(2),
+        rows.flatMap(_.getString(3).split(" "))
+          .sortBy(_.split(":")(0).toLong).mkString(" "))
+    }
+    val global = TextAnalysis.invertedIndex(docs, maxDfFrac = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(merged.toMap == global)
+    assert(!global.contains("common")) // df=20 of 20 → gated in both forms
+  }
+
   test("fingerprint equals dedup fingerprint (shared definition)") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
     val n = docs.select(
