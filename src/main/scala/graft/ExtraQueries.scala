@@ -253,6 +253,55 @@ object ExtraQueries {
         '${graft.text.TextAnalysis.PiiDigitRun}', '<PHONE>', 'g') AS scrubbed
       FROM documents"""))),
 
+    // Token co-occurrence within ±2 positions, canonically ordered
+    // pairs. The oracle replays the nested position expansion verbatim
+    // (1-based list indexing in both engines).
+    "q_cooccur" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.cooccurrence(t(s, dir, "documents"), window = 2)
+    }, Some("""WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      p AS (
+        SELECT unnest(flatten(list_transform(range(1, len(t)),
+          i -> list_transform(range(i + 1, least(i + 2, len(t)) + 1),
+            j -> struct_pack(a := least(t[i], t[j]),
+                             b := greatest(t[i], t[j])))))) AS pr
+        FROM tok WHERE len(t) > 1)
+      SELECT pr.a AS term_a, pr.b AS term_b, count(*)::BIGINT AS cnt
+      FROM p GROUP BY 1, 2"""))),
+
+    // PMI over the window-2 pairs (minCount 5). The oracle recomputes
+    // the score in the SAME association order — (cnt/totPairs) /
+    // ((ca/totTok)*(cb/totTok)) — so the doubles are bit-identical
+    // before the 6-digit round; totPairs is the unfiltered pair mass.
+    "q_pmi" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.pmiPairs(t(s, dir, "documents"),
+        window = 2, minCount = 5)
+    }, Some("""WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      uni AS (SELECT unnest(t) AS term FROM tok),
+      freq AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+      tt AS (SELECT count(*) AS tot FROM uni),
+      p AS (
+        SELECT unnest(flatten(list_transform(range(1, len(t)),
+          i -> list_transform(range(i + 1, least(i + 2, len(t)) + 1),
+            j -> struct_pack(a := least(t[i], t[j]),
+                             b := greatest(t[i], t[j])))))) AS pr
+        FROM tok WHERE len(t) > 1),
+      co AS (SELECT pr.a AS term_a, pr.b AS term_b, count(*)::BIGINT AS cnt
+             FROM p GROUP BY 1, 2),
+      tp AS (SELECT sum(cnt) AS tp FROM co)
+      SELECT co.term_a, co.term_b, co.cnt,
+        round(ln((co.cnt::DOUBLE / tp.tp) /
+          ((fa.c::DOUBLE / tt.tot) * (fb.c::DOUBLE / tt.tot))), 6) AS pmi
+      FROM co, tp, tt
+      JOIN freq fa ON fa.term = co.term_a
+      JOIN freq fb ON fb.term = co.term_b
+      WHERE co.cnt >= 5"""))),
+
     // Inverted index over documents (maxDfFrac 0.8 — the synthetic
     // corpus has a 31-term vocabulary with ~0.78 median df, so 0.8
     // leaves roughly half the vocabulary standing while still driving

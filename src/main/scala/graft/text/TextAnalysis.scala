@@ -225,6 +225,68 @@ object TextAnalysis {
           .as("postings"))
   }
 
+  /** Token co-occurrence counts within a ±`window` token distance — the
+    * collocation-extraction / word2vec-preprocessing workload. Pairs are
+    * canonically ordered (alphabetical, so (a,b) and (b,a) accumulate
+    * together) and generated as a pure Column 1→N expansion (nested
+    * `sequence`/`transform` over positions, then one explode) — per-row
+    * cost is tokens×window with NO self-join, so generation rides the
+    * scan stage and the single shuffle is the pair-count aggregate with
+    * map-side partials. At corpus scale the pair vocabulary (≤ unigram
+    * vocab²; in practice Zipf-bounded) is the shuffled key space — the
+    * `minCount` knob in [[pmiPairs]] prunes the hapax tail.
+    */
+  def cooccurrence(docs: org.apache.spark.sql.DataFrame, window: Int = 2,
+                   text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val t = docs.select(toks(col(text)).as("_t")).where(size(col("_t")) > 1)
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("_t")) - 1),
+      i => transform(
+        sequence(i + 1, least(i + lit(window), size(col("_t")))),
+        j => struct(
+          least(element_at(col("_t"), i), element_at(col("_t"), j)).as("a"),
+          greatest(element_at(col("_t"), i), element_at(col("_t"), j)).as("b")))))
+    t.select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pointwise mutual information over [[cooccurrence]] pairs:
+    * `ln( (cnt/totPairs) / ((cntA/totTok)·(cntB/totTok)) )`, rounded at
+    * 6 digits — written in exactly that association order so a replaying
+    * engine computes bit-identical doubles before the round. Marginals
+    * are corpus unigram frequencies; both scalar totals ride 1-row
+    * broadcast cross joins. The marginal joins key on term and SHUFFLE
+    * (the tfidf df discipline — a 100 TB corpus vocabulary is itself too
+    * big to broadcast); `minCount` prunes the hapax pair tail at the
+    * count aggregate, before either join pays for it.
+    */
+  def pmiPairs(docs: org.apache.spark.sql.DataFrame, window: Int = 2,
+               minCount: Long = 2, text: String = "text",
+               id: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val tok = graft.ops.Checkpoints.truncate(
+      docs.select(explode(toks(col(text))).as("term")))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val totTok = tok.agg(count(lit(1)).as("_tot"))
+    // totPairs is the UNFILTERED pair mass (p(a,b) keeps its meaning
+    // regardless of minCount); the co table feeds both the total and the
+    // output, so it is checkpointed (the tfidf tf discipline).
+    val co = graft.ops.Checkpoints.truncate(cooccurrence(docs, window, text, id))
+    val totPairs = co.agg(sum(col("cnt")).as("_tp"))
+    co.where(col("cnt") >= lit(minCount))
+      .join(freq.select(col("term").as("term_a"), col("c").as("_ca")), "term_a")
+      .join(freq.select(col("term").as("term_b"), col("c").as("_cb")), "term_b")
+      .crossJoin(broadcast(totPairs))
+      .crossJoin(broadcast(totTok))
+      .select(col("term_a"), col("term_b"), col("cnt"),
+        round(log(
+          (col("cnt").cast("double") / col("_tp")) /
+            ((col("_ca").cast("double") / col("_tot")) *
+             (col("_cb").cast("double") / col("_tot")))), 6).as("pmi"))
+  }
+
   /** Document chunking for training pipelines: token windows of size
     * `window` starting every `stride` tokens — the standard
     * sliding-window split applied before tokenization/embedding. Chunk

@@ -204,6 +204,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!global.contains("common")) // df=20 of 20 → gated in both forms
   }
 
+  test("cooccurrence: hand-traced window-2 pairs, canonical order, symmetry") {
+    import spark.implicits._
+    // "a b c b": pairs (a,b) (a,c) (b,c) (b,b) (c,b→b,c); "b c": (b,c)
+    val docs = Seq((1L, "a b c b"), (2L, "b c"), (3L, "x")).toDF("doc_id", "text")
+    val co = TextAnalysis.cooccurrence(docs, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(co == Map(("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "b") -> 1L, ("b", "c") -> 3L))
+    // canonical ordering means no (b,a)-style mirror rows exist
+    assert(co.keys.forall { case (a, b) => a <= b })
+  }
+
+  test("pmiPairs: exact score replay, minCount prunes, totals unfiltered") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c")).toDF("doc_id", "text")
+    // window-1 pairs: doc1 (a,b)x3, doc2 (a,b), doc3 (c,c) → totPairs 5
+    // unigrams: a:3 b:3 c:2, totTok 8
+    val out = TextAnalysis.pmiPairs(docs, window = 1, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(("a", "b"))) // (c,c) cnt=1 pruned by minCount
+    val expected = math.round(math.log((4.0 / 5.0) /
+      ((3.0 / 8.0) * (3.0 / 8.0))) * 1e6) / 1e6
+    assert(out(("a", "b")) == (4L, expected))
+  }
+
   test("fingerprint equals dedup fingerprint (shared definition)") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
     val n = docs.select(
