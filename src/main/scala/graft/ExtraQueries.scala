@@ -1715,6 +1715,49 @@ object ExtraQueries {
       FROM episodes
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))),
 
+    // SCD2 point-in-time lookup: each order probes the customer's status
+    // history 30 days after its own date — scd2History composed with
+    // asofJoin (the temporal-warehouse PIT pattern). Order days collapse
+    // to day-level status first (max_by on orderkey = last writer of the
+    // day) so episode starts are unique per (custkey, day) and the
+    // single-column as-of order is total. The oracle replays collapse →
+    // episodes → latest-episode-at-probe via arg_max over a bounded
+    // per-customer join.
+    "q_scd2_pit" -> (((s: SparkSession, dir: String) => {
+      val orders = t(s, dir, "orders")
+      val day = datediff(col("o_orderdate"), lit("1970-01-01"))
+      val daily = orders
+        .groupBy(col("o_custkey"), day.as("day"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("status"))
+      val epi = Cdc.scd2History(daily, Seq("o_custkey"), Seq("day"),
+        Seq("status"))
+        .select(col("o_custkey"), col("from_day").as("eday"), col("status"))
+      val probes = orders.select(col("o_orderkey"), col("o_custkey"),
+        (day + 30).as("pday"))
+      graft.join.Joins.asofJoin(probes, epi, "o_custkey", "pday", "eday")
+        .select(col("o_orderkey"), col("o_custkey"), col("pday"),
+          col("asof.status").as("status"))
+    }, Some("""WITH base AS (
+        SELECT o_orderkey, o_custkey,
+          date_diff('day', DATE '1970-01-01', o_orderdate)::INT AS day,
+          o_orderstatus
+        FROM orders),
+      daily AS (
+        SELECT o_custkey, day, arg_max(o_orderstatus, o_orderkey) AS status
+        FROM base GROUP BY 1, 2),
+      epi AS (
+        SELECT o_custkey, day AS eday, status
+        FROM (SELECT o_custkey, day, status, lag(status) OVER (
+                PARTITION BY o_custkey ORDER BY day) AS prev
+              FROM daily)
+        WHERE prev IS DISTINCT FROM status),
+      probe AS (SELECT o_orderkey, o_custkey, day + 30 AS pday FROM base)
+      SELECT p.o_orderkey, p.o_custkey, p.pday,
+        arg_max(e.status, e.eday) AS status
+      FROM probe p JOIN epi e
+        ON e.o_custkey = p.o_custkey AND e.eday <= p.pday
+      GROUP BY 1, 2, 3"""))),
+
     // Token-block batching (concat-and-chunk): documents laid end to end
     // (+1 EOS each) in md5 order, cut into 64-token blocks; output is the
     // exploded block manifest a fixed-context loader would read. The
