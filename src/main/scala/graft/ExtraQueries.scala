@@ -718,6 +718,21 @@ object ExtraQueries {
     }, Some("""SELECT l_returnflag AS key, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
         count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1"""))),
 
+    // Salted equi-join ≡ plain inner join (skewed-probe mitigation: big
+    // side salts, small side replicates across all salts). The oracle is
+    // the unsalted join — salting must be invisible in the result.
+    "q_salted_join" -> (((s: SparkSession, dir: String) => {
+      Skew.saltedJoin(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"),
+        t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+          col("s_name")),
+        "l_suppkey", saltBuckets = 8)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+          "s_name")
+    }, Some("""SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey"""))),
+
     // KeyFieldBasedPartitioner contract: after repartition on the -k1,1
     // key every key lives in exactly one partition.
     "q_keyfield_partition" -> (((s: SparkSession, dir: String) => {

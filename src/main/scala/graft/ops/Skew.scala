@@ -38,6 +38,31 @@ object Skew {
       .withColumnRenamed("_key", "key")
   }
 
+  /** Salted equi-join for skewed join keys — the companion to
+    * [[saltedAggregate]] for the case AQE's skew splitting cannot reach
+    * (e.g. a skewed key feeding a shuffle-hash join whose partitions AQE
+    * declines to split, or a deliberately pinned non-AQE plan). The big
+    * side salts each row into one of `saltBuckets` sub-keys
+    * (deterministic whole-row hash — any distribution is correct, a
+    * repeatable one keeps runs comparable); the small side replicates
+    * every row across ALL salts, so (key, salt) equi-matches reproduce
+    * exactly the unsalted inner join. A hot key's probe rows thereby
+    * spread over `saltBuckets` tasks at the cost of a `saltBuckets`×
+    * replication of the SMALL side only — the standard trade when the
+    * small side is too big to broadcast outright but a hot build key
+    * would otherwise pin one reducer.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val b = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
+        lit(saltBuckets.toLong)))
+    val sm = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    b.join(sm, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+
   /** Sampled range split points — the `InputSampler` analog, exposed via
     * `approxQuantile` (Spark's RangePartitioner uses the same reservoir
     * sampling internally under `orderBy`).

@@ -30,6 +30,27 @@ class SkewSpec extends SparkSpec {
     assert(firstBucket > total / 16 && firstBucket < total / 4)
   }
 
+  test("salted join equals plain inner join, multiplicity preserved") {
+    import spark.implicits._
+    // planted hot key 7 (many probe rows) + duplicate small-side rows
+    // (multiplicity must survive salting: 2 dim rows for key 7 → each
+    // probe row matches twice, salted or not)
+    val big = (Seq.fill(500)(7L) ++ (1L to 100L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val small = Seq((7L, "hot-a"), (7L, "hot-b"), (1L, "one"), (2L, "two"))
+      .toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    for (salt <- Seq(1, 8)) {
+      val salted = Skew.saltedJoin(big, small, "k", salt)
+        .select("k", "v", "name")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      assert(salted == plain, s"salt=$salt")
+    }
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // the session's skewJoin config (on by default in GraftSession) is the
     // OTHER half of the skew story next to saltedAggregate: joins need no
