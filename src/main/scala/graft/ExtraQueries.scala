@@ -1730,6 +1730,41 @@ object ExtraQueries {
       FROM episodes
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))),
 
+    // The END-TO-END corpus build, as ONE oracle-checked query: keep
+    // filter (4-gate, q_corpus_filter's exact semantics via the shared
+    // fragment) → exact dedup (first occurrence per md5(text), min_by —
+    // no join-back) → sliding-window chunking (32/16) → per-chunk token
+    // counts. Output (doc_id, chunk_id, n_tokens) flips on any drift in
+    // any stage or in their composition contract. At corpus scale every
+    // stage keeps its already-certified shape: gates ride the scan, the
+    // dedup groupBy is the only whole-doc shuffle, chunking is a 1→N
+    // scan-stage explode over canonical survivors only.
+    "q_corpus_pipeline" -> (((s: SparkSession, dir: String) => {
+      val kept = Queries.queries("q_corpus_filter")(s, dir).select("doc_id")
+      val docs = t(s, dir, "documents").join(kept, "doc_id")
+        .select(col("doc_id"), col("text"))
+      val canon = docs
+        .groupBy(md5(col("text")).as("_h"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("_d"))
+        .select(col("_d.doc_id").as("doc_id"), col("_d.text").as("text"))
+      graft.text.TextAnalysis.chunk(canon, window = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          graft.text.TextAnalysis.tokenCount(col("chunk_text"))
+            .cast("long").as("n_tokens"))
+    }, Some(s"""WITH keepq AS (${Queries.corpusKeepSql}),
+      kt AS (SELECT d.doc_id, d.text FROM documents d
+             JOIN keepq k ON d.doc_id = k.doc_id),
+      dd AS (SELECT md5(text) AS h, arg_min(doc_id, doc_id) AS doc_id,
+                    arg_min(text, doc_id) AS text
+             FROM kt GROUP BY 1),
+      tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                x -> len(x) > 0) AS tt FROM dd),
+      nz AS (SELECT doc_id, tt FROM tok WHERE len(tt) > 0),
+      st AS (SELECT doc_id, tt, unnest(range(0, len(tt), 16)) AS s0 FROM nz)
+      SELECT doc_id, (s0 // 16)::BIGINT AS chunk_id,
+        len(list_slice(tt, s0 + 1, s0 + 32))::BIGINT AS n_tokens
+      FROM st"""))),
+
     // SCD2 point-in-time lookup: each order probes the customer's status
     // history 30 days after its own date — scd2History composed with
     // asofJoin (the temporal-warehouse PIT pattern). Order days collapse

@@ -36,6 +36,88 @@ object Queries {
   /** Exact money arithmetic: dollars-double → integer cents. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  // q_corpus_filter's keep-gate, shared with the end-to-end corpus
+  // pipeline query: the Spark function and the DuckDB oracle SQL for the
+  // filtered signal table (doc_id, lang_pred, tok_cnt, quality,
+  // rep_ratio after all four gates).
+  private def corpusFilterFn: (SparkSession, String) => DataFrame =
+    
+      // The composite training-data KEEP filter — the end-to-end shape a
+      // pretraining pipeline actually runs: language gate + length gate +
+      // quality gate + repetition gate in ONE pass. All map-side signals
+      // (langId/tokenCount/quality) ride the scan; only the 3-gram
+      // repetition ratio needs its explode+agg shuffle, then one
+      // co-partitioned join back on doc_id. Thresholds filter on the
+      // ROUNDED signal columns the per-signal oracles already hash-match,
+      // so both engines compare identical doubles — the keep-set cannot
+      // flip on FP representation.
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // cheap scan-side gates FIRST; the 3-gram explode (the only
+        // shuffle-weight stage) runs over survivors only — identical
+        // result (inner join ∧ filters commute), but at corpus scale the
+        // explode's shuffle volume drops by the gates' rejection rate.
+        // (At sf0.1 this reads ~0.5s slower than exploding everything —
+        // the survivor checkpoint costs more than 5k docs of explode;
+        // the crossover is early, and at 100 TB the explode dominates.)
+        // checkpoint the survivor set: both the repetition branch and the
+        // final join consume it, and without the lineage cut the signal
+        // computation + gates would run once per branch
+        val sigs = graft.ops.Checkpoints.truncate(d
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.signals(col("text")).as("s"))
+          .select(col("doc_id"), col("text"),
+            col("s.lang_pred").as("lang_pred"),
+            col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality"))
+          .where(col("lang_pred") === "en" && col("tok_cnt") >= 30
+            && col("quality") >= 0.3))
+        val rep = TextAnalysis.repetitionRatio(
+          sigs.select(col("doc_id"), col("text")))
+        sigs.drop("text").join(rep, "doc_id")
+          .where(col("rep_ratio") <= 0.2)
+      }
+
+  private[graft] def corpusKeepSql: String = {
+        // composed from the q_lang_id / q_quality / q_repetition oracle
+        // fragments (same generated stopword lists, same arithmetic)
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        def hits(l: String) = {
+          val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
+        }
+        val scores = langs.map(l => s"${hits(l)} AS s_$l").mkString(", ")
+        val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+        val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+        val lowToks = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+        val allWords = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+          b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $best AS best FROM sc),
+          lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b),
+          ql AS (SELECT doc_id,
+            len($toks)::BIGINT AS tok_cnt,
+            round(
+              least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
+              + least((len(list_filter($lowToks, t -> list_contains([$allWords], t)))::DOUBLE
+                       / greatest(len($toks), 1)::DOUBLE) * 5.0, 1.0) * 0.4
+              + (1.0 - least((len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+                       / greatest(len(text), 1)::DOUBLE) * 5.0, 1.0)) * 0.2, 6) AS quality
+            FROM documents),
+          w AS (SELECT doc_id, $toks AS tk FROM documents),
+          gr AS (SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS g FROM w),
+          cg AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM gr GROUP BY 1, 2),
+          rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS rep_ratio
+            FROM cg GROUP BY 1)
+          SELECT lang.doc_id, lang_pred, tok_cnt, quality, rep_ratio
+          FROM lang JOIN ql ON lang.doc_id = ql.doc_id
+          JOIN rep ON lang.doc_id = rep.doc_id
+          WHERE lang_pred = 'en' AND tok_cnt >= 30
+            AND quality >= 0.3 AND rep_ratio <= 0.2"""
+  }
+
+
   /** DuckDB select-list for MinHash signatures over a shingle-hash column
     * `x` — same affine permutation constants as [[Dedup.minhashSignatures]].
     */
@@ -726,80 +808,7 @@ object Queries {
           FROM lang JOIN ql USING (doc_id)"""
       }),
 
-    "q_corpus_filter" -> Q(
-      // The composite training-data KEEP filter — the end-to-end shape a
-      // pretraining pipeline actually runs: language gate + length gate +
-      // quality gate + repetition gate in ONE pass. All map-side signals
-      // (langId/tokenCount/quality) ride the scan; only the 3-gram
-      // repetition ratio needs its explode+agg shuffle, then one
-      // co-partitioned join back on doc_id. Thresholds filter on the
-      // ROUNDED signal columns the per-signal oracles already hash-match,
-      // so both engines compare identical doubles — the keep-set cannot
-      // flip on FP representation.
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        // cheap scan-side gates FIRST; the 3-gram explode (the only
-        // shuffle-weight stage) runs over survivors only — identical
-        // result (inner join ∧ filters commute), but at corpus scale the
-        // explode's shuffle volume drops by the gates' rejection rate.
-        // (At sf0.1 this reads ~0.5s slower than exploding everything —
-        // the survivor checkpoint costs more than 5k docs of explode;
-        // the crossover is early, and at 100 TB the explode dominates.)
-        // checkpoint the survivor set: both the repetition branch and the
-        // final join consume it, and without the lineage cut the signal
-        // computation + gates would run once per branch
-        val sigs = graft.ops.Checkpoints.truncate(d
-          .select(col("doc_id"), col("text"),
-            TextAnalysis.signals(col("text")).as("s"))
-          .select(col("doc_id"), col("text"),
-            col("s.lang_pred").as("lang_pred"),
-            col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality"))
-          .where(col("lang_pred") === "en" && col("tok_cnt") >= 30
-            && col("quality") >= 0.3))
-        val rep = TextAnalysis.repetitionRatio(
-          sigs.select(col("doc_id"), col("text")))
-        sigs.drop("text").join(rep, "doc_id")
-          .where(col("rep_ratio") <= 0.2)
-      },
-      Some {
-        // composed from the q_lang_id / q_quality / q_repetition oracle
-        // fragments (same generated stopword lists, same arithmetic)
-        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        def hits(l: String) = {
-          val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
-        }
-        val scores = langs.map(l => s"${hits(l)} AS s_$l").mkString(", ")
-        val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
-        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
-        val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
-        val lowToks = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
-        val allWords = TextAnalysis.stopwords.values.flatten.toSeq.distinct
-          .map(w => s"'$w'").mkString(", ")
-        s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
-          b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $best AS best FROM sc),
-          lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b),
-          ql AS (SELECT doc_id,
-            len($toks)::BIGINT AS tok_cnt,
-            round(
-              least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
-              + least((len(list_filter($lowToks, t -> list_contains([$allWords], t)))::DOUBLE
-                       / greatest(len($toks), 1)::DOUBLE) * 5.0, 1.0) * 0.4
-              + (1.0 - least((len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
-                       / greatest(len(text), 1)::DOUBLE) * 5.0, 1.0)) * 0.2, 6) AS quality
-            FROM documents),
-          w AS (SELECT doc_id, $toks AS tk FROM documents),
-          gr AS (SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
-            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS g FROM w),
-          cg AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM gr GROUP BY 1, 2),
-          rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS rep_ratio
-            FROM cg GROUP BY 1)
-          SELECT lang.doc_id, lang_pred, tok_cnt, quality, rep_ratio
-          FROM lang JOIN ql ON lang.doc_id = ql.doc_id
-          JOIN rep ON lang.doc_id = rep.doc_id
-          WHERE lang_pred = 'en' AND tok_cnt >= 30
-            AND quality >= 0.3 AND rep_ratio <= 0.2"""
-      }),
+    "q_corpus_filter" -> Q(corpusFilterFn, Some(corpusKeepSql)),
 
     "q_token_fingerprint" -> Q(
       (s, dir) => t(s, dir, "documents")
