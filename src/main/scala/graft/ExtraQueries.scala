@@ -1511,6 +1511,34 @@ object ExtraQueries {
         (SELECT count(DISTINCT l_partkey)::BIGINT FROM lineitem) AS exact_distinct
       FROM s"""))),
 
+    // Per-group KMV: distinct users per event_type as a k=64 sketch,
+    // exact count(DISTINCT) joined alongside so the estimate's quality
+    // is visible in the row itself. Deterministic md5 hashing → the
+    // oracle replays the bottom-k and the estimator bit-for-bit.
+    "q_kmv_by_group" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      graft.agg.Sketches.kmvDistinctByGroup(
+        ev, col("event_type"), col("user_id"), 64)
+        .join(ev.groupBy(col("event_type").as("grp"))
+          .agg(count_distinct(col("user_id")).as("exact_distinct")), "grp")
+    }, Some("""WITH h AS (
+        SELECT DISTINCT event_type AS grp,
+          ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0 AS h
+        FROM events),
+      r AS (SELECT grp, h, row_number() OVER (
+              PARTITION BY grp ORDER BY h) AS rn FROM h),
+      sk AS (SELECT grp, count(*)::BIGINT AS n, max(h) AS hk
+             FROM r WHERE rn <= 64 GROUP BY 1),
+      ex AS (SELECT event_type AS grp,
+               count(DISTINCT user_id)::BIGINT AS exact_distinct
+             FROM events GROUP BY 1)
+      SELECT sk.grp,
+        round(CASE WHEN n < 64 THEN n::DOUBLE ELSE 63.0 / hk END, 6)
+          AS est_distinct,
+        64::BIGINT AS k, ex.exact_distinct
+      FROM sk JOIN ex ON sk.grp = ex.grp"""))),
+
     // Passage-level dedup (CCNet, paragraph-wise there / token-window-wise
     // here): corpus-wide first occurrence of every distinct 4-token
     // passage survives, documents reassemble from survivors. Window 4 on

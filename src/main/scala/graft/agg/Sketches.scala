@@ -62,4 +62,32 @@ object Sketches {
         round(when(col("_n") < k, col("_n").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("_hk")), 6).as("est_distinct"),
         lit(k.toLong).as("k"))
+
+  /** Per-group KMV estimates — the "sketch column in a rollup" pattern
+    * (one bounded distinct-count per group, mergeable across loads).
+    * Output: `(grp, est_distinct, k)`.
+    *
+    * Scale shape: one map-side-partial distinct on (group, hash), then a
+    * per-group bottom-k via a rank window — the window sorts each
+    * group's hashes with a SPILLABLE external sort and streams the rank
+    * filter (O(1) state per row, nothing materializes per group), so a
+    * group with billions of distinct keys costs its sort, never its
+    * memory. The closing per-group aggregate reuses the window's group
+    * partitioning (hash(grp) satisfies the clustering) — two exchanges
+    * total, k rows per group survive.
+    */
+  def kmvDistinctByGroup(df: DataFrame, group: Column, key: Column,
+                         k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val h = df.select(group.as("grp"), hash01(key).as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    h.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("_n"), max(col("h")).as("_hk"))
+      .select(col("grp"),
+        round(when(col("_n") < k, col("_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("_hk")), 6).as("est_distinct"),
+        lit(k.toLong).as("k"))
+  }
 }

@@ -37,6 +37,22 @@ class SketchesSpec extends SparkSpec {
     assert(whole == merged)
   }
 
+  test("per-group estimates equal each group's independent global sketch") {
+    import spark.implicits._
+    val df = ((1 to 4000).map(i => ("big", s"k_$i"))
+      ++ (1 to 30).map(i => ("small", s"s_$i"))
+      ++ (1 to 4000).map(i => ("big", s"k_$i"))).toDF("g", "v") // dups too
+    val by = Sketches.kmvDistinctByGroup(df, col("g"), col("v"), 64)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    for (g <- Seq("big", "small")) {
+      val solo = Sketches.kmvDistinct(df.where(col("g") === g), col("v"), 64)
+        .head()
+      assert(by(g) == (solo.getDouble(0), solo.getLong(1)), s"group $g")
+    }
+    // the small group is under k -> exact
+    assert(by("small")._1 == 30.0)
+  }
+
   test("estimate is partitioning-independent (deterministic hash, not RNG)") {
     import spark.implicits._
     val df = (1 to 5000).map(i => s"key_$i").toDF("v")
