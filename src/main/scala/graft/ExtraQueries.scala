@@ -2028,6 +2028,23 @@ object ExtraQueries {
              round(c_acctbal * 100, 0)::BIGINT AS bal_cents, c_mktsegment
       FROM merged"""))),
 
+    // Exact 10-bucket equi-depth histogram over l_extendedprice — the
+    // ANALYZE statistics histogram, distributed via GlobalRank (never a
+    // single-task ntile). The oracle replays rank → floor-bucket → agg;
+    // both engines divide the same integers as doubles, so bucket
+    // assignment is bit-identical.
+    "q_equidepth" -> (((s: SparkSession, dir: String) => {
+      graft.ops.Profile.equiDepthHistogram(
+        t(s, dir, "lineitem"), "l_extendedprice", 10)
+    }, Some("""WITH r AS (
+        SELECT l_extendedprice AS v, row_number() OVER (
+          ORDER BY l_extendedprice) AS rank
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      n AS (SELECT count(*) AS n FROM r)
+      SELECT floor((rank - 1) * 10 / n.n)::BIGINT AS bucket,
+        min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS cnt
+      FROM r, n GROUP BY 1"""))),
+
     // One-pass column profiling (ANALYZE TABLE stats): every column's
     // counts/distinct/min/max in a single aggregation (one expand for
     // the multi-distinct), unpivoted to a row per column. The oracle

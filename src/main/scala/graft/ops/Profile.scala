@@ -38,4 +38,35 @@ object Profile {
         col(s"__max_$c").as("max"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** EXACT equi-depth histogram (`buckets` near-equal-count buckets with
+    * per-bucket lo/hi/count) — the optimizer-statistics histogram the
+    * metastore's ANALYZE computes, here EXACT and distributed.
+    * `bucket = floor((rank-1)·buckets / n)` over the global value rank,
+    * so bucket populations differ by at most one row.
+    *
+    * NOT `ntile()` over an unpartitioned window (the single-task global
+    * sort that is this library's forbidden pattern): the rank comes from
+    * [[GlobalRank]] — range-repartitioned sort with per-partition
+    * offsets, n stays a 1-row broadcast scalar, and the closing groupBy
+    * is a k-row aggregate. Ties are safe: equal values may order
+    * arbitrarily within a rank run, but bucket counts are fixed rank
+    * ranges and each bucket's lo/hi are values AT deterministic rank
+    * positions of the sorted multiset — the output is deterministic and
+    * engine-replayable even when a value run straddles a boundary.
+    */
+  def equiDepthHistogram(df: DataFrame, column: String,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val ranked = GlobalRank.withGlobalRank(
+      df.select(col(column).as("v")).where(col("v").isNotNull),
+      Seq(col("v")), "rank")
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        floor((col("rank") - 1) * lit(buckets) / col("_n")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("cnt"))
+  }
 }

@@ -17,6 +17,28 @@ class ProfileSpec extends SparkSpec {
     assert(got("y") == ((3L, 2L, 2L, "a", "b")))
   }
 
+  test("equi-depth histogram: near-equal counts, contiguous coverage, tie safety") {
+    import spark.implicits._
+    // 97 rows (not divisible by 4) + a heavy tie run straddling a boundary
+    val vals = (1 to 80).map(_.toDouble) ++ Seq.fill(17)(40.5)
+    val hist = Profile.equiDepthHistogram(vals.toDF("x"), "x", 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(hist.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // depths differ by at most one: 97/4 = 24 or 25
+    assert(hist.map(_._4).forall(c => c == 24 || c == 25))
+    assert(hist.map(_._4).sum == 97)
+    // buckets tile the sorted domain: each lo <= hi, next lo >= prev hi
+    hist.foreach { case (_, lo, hi, _) => assert(lo <= hi) }
+    hist.sliding(2).foreach { case Array(a, b) => assert(b._2 >= a._3) }
+    // determinism under different partitioning (tie order may differ)
+    val h2 = Profile.equiDepthHistogram(
+      vals.toDF("x").repartition(13), "x", 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h2.toSeq == hist.toSeq)
+  }
+
   test("single aggregation pass: one shuffle regardless of column count") {
     val cust = graft.Tables.load(spark, sfDir, "customer")
     val plan = Profile.profile(cust,
