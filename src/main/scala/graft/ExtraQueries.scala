@@ -2061,5 +2061,207 @@ object ExtraQueries {
            FROM customer"""
       }.mkString(" UNION ALL ")
     })),
+
+    // Wide pivot report (the Hive/warehouse crosstab): per-user counts
+    // by event type. The pivot VALUES ARE EXPLICIT — Spark's pivot
+    // without a value list runs a full extra distinct pass over the
+    // fact table to discover columns, a 100 TB anti-pattern; with the
+    // list it is one partial-agg shuffle like any groupBy. na.fill(0)
+    // pins absent cells to 0 to match the CASE-sum oracle.
+    "q_pivot" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+    }, Some("""SELECT user_id,
+        sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT AS error
+      FROM events GROUP BY 1"""))),
+
+    // collect_set (the Hive array-aggregation surface): per-customer
+    // DISTINCT order priorities, sorted then rendered as one string —
+    // the deterministic, engine-comparable form (an unsorted array's
+    // order is accumulation order, which no distributed engine pins).
+    "q_collect_set" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"), count(lit(1)).as("cnt"))
+    }, Some("""SELECT o_custkey,
+        array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+          AS priorities,
+        count(*)::BIGINT AS cnt
+      FROM orders GROUP BY 1"""))),
+
+    // JSON field extraction — the Hive-warehouse get_json_object /
+    // json_tuple operator (reference-era log pipelines parsed JSON
+    // event payloads shaped exactly like events.props). get_json_object
+    // is a codegen'd expression riding the scan: no UDF, no second
+    // pass, props pruned after extraction.
+    "q_json_extract" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "events").select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+    }, Some("""SELECT event_type, count(*)::BIGINT AS cnt,
+        sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+        min(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_min,
+        max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+      FROM events GROUP BY 1"""))),
+
+    // JSONL round-trip — the training-data interchange format: documents
+    // → one-JSON-object-per-line files → read back under an EXPLICIT
+    // schema → compare against the ORIGINAL parquet rows (any
+    // escape/encode fidelity bug breaks the hash). Schema-on-read is
+    // explicit because inference is a 100 TB anti-pattern: it is a full
+    // extra pass over the corpus before the real one.
+    "q_jsonl_roundtrip" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("jsonl_docs", dir)
+      rmrf(out)
+      val docs = t(s, dir, "documents")
+      docs.write.json(out)
+      s.read.schema(docs.schema).json(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }, Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))),
+
+    // Time-RANGE windowed aggregate (rolling 1-hour per-user spend):
+    // the moving-metric warehouse op. RANGE (not ROWS) makes the frame
+    // value-based, so tie ordering cannot matter and both engines agree
+    // exactly; partitioned by user_id — thousands of small sorted runs,
+    // never a global sort — and summed in exact cents.
+    "q_moving_window" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts_ns DIV 1000000000").as("sec"),
+        cents(col("value")).as("v_cents"))
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-3600, org.apache.spark.sql.expressions.Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+        sum(col("v_cents")).over(w).as("rolling_cents"),
+        count(lit(1)).over(w).cast("long").as("rolling_cnt"))
+    }, Some("""SELECT event_id, user_id,
+        (sum(v_cents) OVER w)::BIGINT AS rolling_cents,
+        (count(*) OVER w)::BIGINT AS rolling_cnt
+      FROM (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec,
+              (round(value*100, 0))::BIGINT AS v_cents FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""))),
+
+    // Multimodal feature extraction through the REAL binary-column path:
+    // payloads are the documents' UTF-8 bytes (all-ASCII corpus, so byte
+    // arithmetic is char arithmetic), written to parquet and read back —
+    // a binary-column round-trip — before the partition-batched stub
+    // decode. The oracle replays the stub's byte math over the same
+    // text: big-endian int from bytes [0,4) and [4,8), width/height =
+    // low 12 bits + 1, duration = be0 mod 600000 for non-image, and
+    // md5-of-payload as the checksum. Closes the one first-class
+    // component that had only spec coverage (MultimodalSpec) and no
+    // CORRECTNESS row.
+    "q_media_features" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("media_tbl", dir)
+      rmrf(out)
+      t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        element_at(lit(Array("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("payload"))
+        .write.parquet(out)
+      graft.multimodal.Multimodal.extractFeatures(s.read.parquet(out))
+        .toDF()
+        .select(col("media_id"), col("modality"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms"), col("checksum"))
+    }, Some("""WITH m AS (
+        SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+          text,
+          ascii(substr(text, 1, 1)) * 16777216
+            + ascii(substr(text, 2, 1)) * 65536
+            + ascii(substr(text, 3, 1)) * 256
+            + ascii(substr(text, 4, 1)) AS be0,
+          ascii(substr(text, 5, 1)) * 16777216
+            + ascii(substr(text, 6, 1)) * 65536
+            + ascii(substr(text, 7, 1)) * 256
+            + ascii(substr(text, 8, 1)) AS be4
+        FROM documents)
+      SELECT media_id, modality, length(text)::BIGINT AS byte_len,
+        (be0 % 4096 + 1)::BIGINT AS width,
+        (be4 % 4096 + 1)::BIGINT AS height,
+        (CASE WHEN modality = 'audio' THEN 2 ELSE 3 END)::BIGINT AS channels,
+        (CASE WHEN modality = 'image' THEN 0 ELSE be0 % 600000 END)::BIGINT
+          AS duration_ms,
+        md5(text) AS checksum
+      FROM m"""))),
+
+    // Video frame sampling (stub-decode path of sampleFrames): every
+    // 1000 ms instant of the stub duration becomes a frame row keeping
+    // media_id lineage, capped at the 1000-sample budget. The oracle
+    // replays duration → frame count (max(1, dur/1000), capped) with
+    // unnest(generate_series) and the 64-byte frame payload prefix as
+    // text (ASCII corpus). The GIF path is spec-covered
+    // (MultimodalSpec) — real PNG frames have no SQL-expressible oracle.
+    "q_frame_sample" -> (((s: SparkSession, dir: String) => {
+      val media = t(s, dir, "documents")
+        .where(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"), lit("video").as("modality"),
+          col("text").cast("binary").as("payload"))
+      graft.multimodal.Multimodal.sampleFrames(media, everyMs = 1000L)
+        .select(col("media_id"), col("frame_ms"),
+          col("frame_payload").cast("string").as("frame_text"))
+    }, Some("""WITH v AS (
+        SELECT doc_id AS media_id, text,
+          ascii(substr(text, 1, 1)) * 16777216
+            + ascii(substr(text, 2, 1)) * 65536
+            + ascii(substr(text, 3, 1)) * 256
+            + ascii(substr(text, 4, 1)) AS be0
+        FROM documents WHERE doc_id % 3 = 2),
+      f AS (
+        SELECT media_id, text, unnest(generate_series(0,
+          least(greatest(1, (be0 % 600000) // 1000), 1000) - 1)) AS fi
+        FROM v)
+      SELECT media_id, (fi * 1000)::BIGINT AS frame_ms,
+        substr(text, 1, 64) AS frame_text
+      FROM f"""))),
+
+    // Payload-rewriting resize (resizeStub): scale = min(1, maxDim /
+    // max(width, height)), new payload length = max(8, trunc(len *
+    // scale^2)) — demonstrates binary-column rewrites keep the column
+    // shape. The oracle replays the identical double arithmetic
+    // (both engines IEEE-754, same association order) then truncates.
+    "q_media_resize" -> (((s: SparkSession, dir: String) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        element_at(lit(Array("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("payload"))
+      graft.multimodal.Multimodal.resizeStub(media, maxDim = 512)
+        .select(col("media_id"), col("modality"),
+          length(col("payload")).cast("long").as("resized_len"))
+    }, Some("""WITH m AS (
+        SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+          length(text) AS len,
+          (ascii(substr(text, 1, 1)) * 16777216
+            + ascii(substr(text, 2, 1)) * 65536
+            + ascii(substr(text, 3, 1)) * 256
+            + ascii(substr(text, 4, 1))) % 4096 + 1 AS w,
+          (ascii(substr(text, 5, 1)) * 16777216
+            + ascii(substr(text, 6, 1)) * 65536
+            + ascii(substr(text, 7, 1)) * 256
+            + ascii(substr(text, 8, 1))) % 4096 + 1 AS h
+        FROM documents)
+      SELECT media_id, modality,
+        greatest(8, trunc(len * least(1.0, 512.0 / greatest(w, h))
+                              * least(1.0, 512.0 / greatest(w, h))))::BIGINT
+          AS resized_len
+      FROM m"""))),
   )
 }

@@ -350,6 +350,81 @@ object Queries {
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    "q_tpch_q6" -> Q(
+      // forecast-revenue-change shape (TPC-H Q6): pure scan-side
+      // filter + agg — every predicate pushes to the parquet scan, zero
+      // joins, the partial agg folds each partition to ONE row before a
+      // single-row exchange. The 100 TB ideal: work ∝ bytes scanned.
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_cents"), count(lit(1)).as("cnt")),
+      Some("""SELECT
+        sum((round(l_extendedprice*l_discount*100, 0))::BIGINT)::BIGINT AS revenue_cents,
+        count(*)::BIGINT AS cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24""")),
+
+    "q_tpch_q10" -> Q(
+      // returned-item-reporting shape (TPC-H Q10): quarter-windowed
+      // order scan + R-flag fact filter (both push down), nation dim
+      // broadcast, top-20 by lost revenue via TakeOrderedAndProject —
+      // never a global sort.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        val ord = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1995-07-01") &&
+            col("o_orderdate") < lit("1995-10-01"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey")).limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+        sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT AS revenue_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1995-10-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_cents DESC, c_custkey LIMIT 20""")),
+
+    "q_tpch_q18" -> Q(
+      // large-volume-customer shape (TPC-H Q18): the HAVING-subquery
+      // pattern — per-order quantity rollup gates the same fact's join.
+      // The rollup's >150 survivors are a tiny fraction of orders, so
+      // the dim joins see filtered input; quantity sums ride as longs
+      // (whole-number doubles in the data, exact in both engines).
+      (s, dir) => {
+        val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+          .where(col("total_qty") > 150)
+        big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+            cents(col("o_totalprice")).as("total_cents"), col("total_qty"))
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        (round(o_totalprice*100, 0))::BIGINT AS total_cents, total_qty
+        FROM (SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS total_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity::BIGINT) > 150)
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey""")),
+
     "q_join_broadcast" -> Q(
       (s, dir) => t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
