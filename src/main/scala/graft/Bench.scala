@@ -120,32 +120,43 @@ object Bench {
     f.delete()
   }
 
+  /** Guard for plan CONSTRUCTION (load/analysis): one broken table or
+    * query must cost its own bench line, never the whole artifact —
+    * r8's events schema drift zeroed every number by throwing in
+    * warm-up, which is exactly the failure mode this closes.
+    */
+  private def guarded[A](what: String)(mk: => A): Option[A] =
+    try Some(mk) catch { case e: Throwable =>
+      System.err.println(s"[bench] $what failed to build: ${e.getMessage}")
+      None
+    }
+
   /** Gridmix-shaped headline benches (BASELINE.md table). */
   def headline(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
-    val li = Tables.load(s, dir, "lineitem")
-    val ev = Tables.load(s, dir, "events")
-    val docs = Tables.load(s, dir, "documents")
-    Seq(
+    lazy val li = Tables.load(s, dir, "lineitem")
+    lazy val ev = Tables.load(s, dir, "events")
+    lazy val docs = Tables.load(s, dir, "documents")
+    Seq[(String, () => DataFrame)](
       // B1 monsterQuery: 3-stage keep-ratio pipeline
-      "b1_monster" -> Queries.queries("q_monster")(s, dir),
+      "b1_monster" -> (() => Queries.queries("q_monster")(s, dir)),
       // B2 full sort by composite key (the reference's large passthrough sort)
-      "b2_full_sort" -> li.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+      "b2_full_sort" -> (() => li.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))),
       // B3 reference select: ~0.2% filter, single output partition
-      "b3_ref_select" -> li
+      "b3_ref_select" -> (() => li
         .where(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 2)
           .isin("00")) // 1/256 ≈ 0.4%
-        .coalesce(1),
+        .coalesce(1)),
       // B4 text sort: sort of text-rendered events
-      "b4_text_sort" -> ev
+      "b4_text_sort" -> (() => ev
         .select(concat_ws("\t", col("event_id"), col("event_type"),
           col("user_id"), col("value")).as("line"))
-        .orderBy("line"),
+        .orderBy("line")),
       // B5 combiner wordcount (map-side partial agg = the combiner)
-      "b5_wordcount" -> docs
+      "b5_wordcount" -> (() => docs
         .select(explode(split(col("text"), "\\s+")).as("w"))
         .where(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("cnt")),
-    )
+        .groupBy("w").agg(count(lit(1)).as("cnt"))),
+    ).flatMap { case (n, mk) => guarded(n)(mk()).map(n -> _) }
   }
 
   /** Hand-written "native Spark SQL" controls for the headline benches —
@@ -153,9 +164,12 @@ object Bench {
     * plain SQL text, no library code.
     */
   def controls(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
-    Tables.registerAll(s, dir)
-    Seq(
-      "b1_monster" -> s.sql("""
+    Tables.names.foreach { n =>
+      guarded(s"view $n")(
+        Tables.load(s, dir, n).createOrReplaceTempView(n))
+    }
+    Seq[(String, () => DataFrame)](
+      "b1_monster" -> (() => s.sql("""
         WITH s1 AS (
           SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qty,
                  sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS rev_cents
@@ -165,21 +179,21 @@ object Bench {
         s2 AS (
           SELECT p_brand, sum(rev_cents) AS revenue_cents, count(1) AS nparts
           FROM s1 JOIN part ON l_partkey = p_partkey GROUP BY 1)
-        SELECT * FROM s2 ORDER BY revenue_cents DESC, p_brand LIMIT 10"""),
-      "b2_full_sort" -> s.sql(
-        "SELECT * FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber"),
-      "b3_ref_select" -> s.sql("""
+        SELECT * FROM s2 ORDER BY revenue_cents DESC, p_brand LIMIT 10""")),
+      "b2_full_sort" -> (() => s.sql(
+        "SELECT * FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber")),
+      "b3_ref_select" -> (() => s.sql("""
         SELECT * FROM lineitem
         WHERE substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 2) = '00'""")
-        .coalesce(1),
-      "b4_text_sort" -> s.sql("""
+        .coalesce(1)),
+      "b4_text_sort" -> (() => s.sql("""
         SELECT concat_ws('\t', event_id, event_type, user_id, value) AS line
-        FROM events ORDER BY line"""),
-      "b5_wordcount" -> s.sql("""
+        FROM events ORDER BY line""")),
+      "b5_wordcount" -> (() => s.sql("""
         SELECT w, count(1) AS cnt FROM (
           SELECT explode(split(text, '\\s+')) AS w FROM documents)
-        WHERE length(w) > 0 GROUP BY 1"""),
-    )
+        WHERE length(w) > 0 GROUP BY 1""")),
+    ).flatMap { case (n, mk) => guarded(s"${n}_control")(mk()).map(n -> _) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -198,14 +212,15 @@ object Bench {
     // warm-up: JIT + codegen + broadcast machinery + FS metadata + page
     // cache for the big tables, not counted (otherwise whichever variant
     // runs first pays session init and the cold file read)
-    exec(Tables.load(spark, sfDir, "supplier")
+    guarded("warmup join")(exec(Tables.load(spark, sfDir, "supplier")
       .join(org.apache.spark.sql.functions.broadcast(
         Tables.load(spark, sfDir, "nation")),
         org.apache.spark.sql.functions.col("s_nationkey") ===
           org.apache.spark.sql.functions.col("n_nationkey"))
-      .groupBy("n_name").count())
+      .groupBy("n_name").count()))
     Seq("lineitem", "orders", "customer", "part", "events", "documents",
-      "embeddings").foreach(t => exec(Tables.load(spark, sfDir, t)))
+      "embeddings").foreach(t =>
+        guarded(s"warmup $t")(exec(Tables.load(spark, sfDir, t))))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
@@ -230,19 +245,21 @@ object Bench {
     // native control for EVERY bench) — order alternates per rep so
     // neither side systematically inherits the cleaner slot, and the
     // plan-identity bit certifies any gap as environment, not plans
-    val nat = Tables.load(spark, sfDir, "supplier")
-    val b6ours = nat.orderBy("s_name")
-    val b6ctl = spark.sql("SELECT * FROM supplier ORDER BY s_name")
-    checkPlanMatch("b6_mrbench_1x", b6ours, b6ctl)
-    hygiene(spark)
-    exec(b6ctl); exec(b6ours) // burn pair — same rationale as measurePair
-    var b6o = 0.0; var b6c = 0.0
-    (0 until 5).foreach { i =>
-      if (i % 2 == 0) { b6c += time(exec(b6ctl)); b6o += time(exec(b6ours)) }
-      else { b6o += time(exec(b6ours)); b6c += time(exec(b6ctl)) }
+    guarded("b6_mrbench") {
+      val nat = Tables.load(spark, sfDir, "supplier")
+      val b6ours = nat.orderBy("s_name")
+      val b6ctl = spark.sql("SELECT * FROM supplier ORDER BY s_name")
+      checkPlanMatch("b6_mrbench_1x", b6ours, b6ctl)
+      hygiene(spark)
+      exec(b6ctl); exec(b6ours) // burn pair — same rationale as measurePair
+      var b6o = 0.0; var b6c = 0.0
+      (0 until 5).foreach { i =>
+        if (i % 2 == 0) { b6c += time(exec(b6ctl)); b6o += time(exec(b6ours)) }
+        else { b6o += time(exec(b6ours)); b6c += time(exec(b6ctl)) }
+      }
+      results("b6_mrbench_avg") = b6o / 5
+      controlTimes("b6_mrbench_avg") = b6c / 5
     }
-    results("b6_mrbench_avg") = b6o / 5
-    controlTimes("b6_mrbench_avg") = b6c / 5
 
     // full correctness-suite queries (operator coverage under timing) —
     // min-of-2 like the headliners: a single run times GC/page-cache
@@ -709,15 +726,19 @@ object Bench {
     // sink+checkpoint or the second run would be a no-op replay.
     val d4root = java.nio.file.Files.createTempDirectory("graft_d4").toString
     try {
-      val rawEv = spark.read.parquet(s"$sfDir/events.parquet")
-      val mm = rawEv.agg(min("ts"), max("ts")).head()
+      // normalize first (raw ts dtype varies by testdata vintage), shift in
+      // long-nanos space, stage with a TimestampType ts readEvents re-reads
+      val normEv = Tables.normalizeEvents(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      val mm = normEv.agg(min("ts_ns"), max("ts_ns")).head()
       val spanNs = mm.getLong(1) - mm.getLong(0) + 2L * 3600 * 1000000000L
-      val ev10xRaw = rawEv
+      val ev10xRaw = normEv
         .crossJoin(spark.range(10).select(col("id").as("_k")))
         .withColumn("event_id", col("event_id") + col("_k") * lit(1000000000L))
-        .withColumn("ts", col("ts") + col("_k") * lit(spanNs))
-        .drop("_k")
-      rawEv.write.mode("overwrite").parquet(s"$d4root/in1x")
+        .withColumn("ts_ns", col("ts_ns") + col("_k") * lit(spanNs))
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        .drop("_k", "ts_ns")
+      normEv.drop("ts_ns").write.mode("overwrite").parquet(s"$d4root/in1x")
       ev10xRaw.write.mode("overwrite").parquet(s"$d4root/in10x")
       var d4run = 0
       def streamOnce(tag: String): Unit = {

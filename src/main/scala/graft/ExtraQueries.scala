@@ -960,10 +960,10 @@ object ExtraQueries {
       // a changed column list here, not as a confusing stream-side
       // schema-mismatch at bench time
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val maxNs = Tables.eventsTsRangeNs(raw)._2
       val sentinelTmp = tmp("stream_sentinel", dir)
       raw.limit(1)
-        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("ts", Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L))
         .withColumn("event_type", lit("sentinel"))
         .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
       val part = new java.io.File(sentinelTmp).listFiles()
@@ -1040,11 +1040,11 @@ object ExtraQueries {
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val maxNs = Tables.eventsTsRangeNs(raw)._2
       val maxRealSec = maxNs / 1000000000L
       val sentinelTmp = tmp("stream_sess_sentinel", dir)
       raw.limit(1)
-        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("ts", Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L))
         .withColumn("event_type", lit("sentinel"))
         .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
       val part = new java.io.File(sentinelTmp).listFiles()
@@ -1103,10 +1103,10 @@ object ExtraQueries {
           java.nio.file.Paths.get(s"$stage/$n.parquet"))
       }
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val maxNs = Tables.eventsTsRangeNs(raw)._2
       val sentinelTmp = tmp("stream_dedup_sentinel", dir)
       raw.limit(1)
-        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("ts", Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L))
         .withColumn("event_type", lit("sentinel"))
         // synthetic event_id: the dedup key is event_id and all staged
         // files share one AvailableNow micro-batch, so a sentinel keeping
@@ -1156,10 +1156,10 @@ object ExtraQueries {
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val maxNs = Tables.eventsTsRangeNs(raw)._2
       val sentinelTmp = tmp("stream_attr_sentinel", dir)
       raw.limit(1)
-        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("ts", Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L))
         .withColumn("event_type", lit("sentinel"))
         .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
       val part = new java.io.File(sentinelTmp).listFiles()
@@ -1201,9 +1201,7 @@ object ExtraQueries {
       Seq(stage, sink, ckpt).foreach(rmrf)
       new java.io.File(stage).mkdirs()
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val Array(minNs, maxNs) = raw.agg(min("ts"), max("ts")).head() match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
+      val (minNs, maxNs) = Tables.eventsTsRangeNs(raw)
       val midNs = minNs + (maxNs - minNs) / 2 // deterministic time split
       def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
         val t = tmp(s"stream_restart_$name", dir)
@@ -1221,13 +1219,13 @@ object ExtraQueries {
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      stageFile(raw.where(col("ts") <= midNs), "aa_events_run1")
+      stageFile(raw.where(col("ts") <= Tables.tsLitAsRaw(raw, midNs)), "aa_events_run1")
       runOnce() // emits pre-watermark windows, parks the rest in state
       // "restart": the newer half arrives while the query is down; the
       // resumed query must merge it into the checkpointed window state
-      stageFile(raw.where(col("ts") > midNs), "bb_events_run2")
+      stageFile(raw.where(col("ts") > Tables.tsLitAsRaw(raw, midNs)), "bb_events_run2")
       stageFile(raw.limit(1)
-        .withColumn("ts", lit(maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("ts", Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L))
         .withColumn("event_type", lit("sentinel"))
         .withColumn("event_id", lit(-1L)), "zz_sentinel")
       runOnce()
@@ -1619,9 +1617,9 @@ object ExtraQueries {
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val maxNs = raw.agg(max("ts")).head().getLong(0)
+      val maxNs = Tables.eventsTsRangeNs(raw)._2
       val sentinelTmp = tmp("stream_vjoin_sentinel", dir)
-      val far = lit(maxNs + 30L * 86400 * 1000000000L)
+      val far = Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L)
       raw.limit(1).withColumn("ts", far)
         .withColumn("event_type", lit("view"))
         .withColumn("event_id", lit(-1L))

@@ -17,14 +17,53 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // long (spark.sql.legacy.parquet.nanosAsLong — set by our sessions).
-    // Expose both: exact `ts_ns` (long nanos) and `ts` (timestamp, µs).
-    if (name == "events")
-      df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns DIV 1000")))
-    else df
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** Normalize `events` to expose BOTH an exact long-nanos `ts_ns` and a
+    * µs-precision TimestampType `ts`, whatever the physical parquet type.
+    * Driver testdata has shipped events.ts as TIMESTAMP(NANOS) — which Spark
+    * reads as a long under spark.sql.legacy.parquet.nanosAsLong — and as
+    * timestamp[us] (TIMESTAMP_NTZ). Sessions run in UTC, so the NTZ→TZ cast
+    * is instant-preserving.
+    */
+  def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+
+  /** (min, max) of a RAW events frame's `ts` in nanos, whatever the
+    * physical dtype. Used by sentinel-staging code that does time
+    * arithmetic in long-nanos space.
+    */
+  def eventsTsRangeNs(raw: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val r = normalizeEvents(raw).agg(min("ts_ns"), max("ts_ns")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** A literal for the given nanos instant in `raw`'s own `ts` dtype, so
+    * sentinel rows written next to the raw file keep its schema and
+    * where-clauses compare in the raw column's type. Nanos truncate to µs
+    * for timestamp dtypes (the data itself is µs-grained).
+    */
+  def tsLitAsRaw(raw: DataFrame, ns: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => lit(ns)
+      case dt => timestamp_micros(lit(ns / 1000L)).cast(dt)
+    }
   }
 
   /** Load every table and register temp views so both the DataFrame API and

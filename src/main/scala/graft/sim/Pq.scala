@@ -68,7 +68,8 @@ object Pq {
     val seeds = vectors.orderBy(col(id)).limit(ksub)
       .select(col(emb).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toVector)
-    require(seeds.nonEmpty, "seedCodebooks: empty vector set")
+    require(seeds.size == ksub,
+      s"seedCodebooks: need ksub=$ksub seed vectors, table has ${seeds.size}")
     val dim = seeds.head.size
     require(dim % m == 0, s"seedCodebooks: dim $dim not divisible by m=$m")
     val w = dim / m
@@ -109,7 +110,10 @@ object Pq {
       // equal distances break to the smaller code, matching the broadcast
       // fold and the oracle's (dist, code) ordering
       val codeCols = books.zipWithIndex.map { case (book, mi) =>
-        bindOnce(slice(e, mi * w + 1, w), xsub =>
+        // Spark's least() needs >=2 args; a one-entry codebook encodes to
+        // its only (dense) code, which is constantly 0
+        if (book.size == 1) lit(book.head._1)
+        else bindOnce(slice(e, mi * w + 1, w), xsub =>
           least(book.map { case (code, cvec) =>
             struct(round(l2sq(xsub, array(cvec.map(lit): _*)), 9).as("d"),
               lit(code).as("code"))
@@ -120,18 +124,21 @@ object Pq {
       val spark = vectors.sparkSession
       import spark.implicits._
       // ONE broadcast row: books as array<array<struct<_1:code,_2:subvec>>>;
-      // plan and codegen size independent of m·ksub
-      val bookRow = broadcast(Seq(books).toDF("_books"))
+      // plan and codegen size independent of m·ksub. Input narrowed to
+      // (id, emb) before the crossJoin so a user column can't collide
+      // with the reserved __pq_books name.
+      val bookRow = broadcast(Seq(books).toDF("__pq_books"))
       val codes = transform(sequence(lit(0), lit(m - 1)), mi =>
         bindOnce(slice(e, mi * lit(w) + 1, lit(w)), xsub =>
-          aggregate(element_at(col("_books"), mi + 1),
+          aggregate(element_at(col("__pq_books"), mi + 1),
             struct(lit(Double.MaxValue).as("d"), lit(Int.MaxValue).as("code")),
             (acc, c) => {
               val cand = struct(round(l2sq(xsub, c.getField("_2")), 9).as("d"),
                 c.getField("_1").as("code"))
               when(cand < acc, cand).otherwise(acc)
             }).getField("code")))
-      vectors.crossJoin(bookRow).select(col(id), codes.as("codes"))
+      vectors.select(col(id), col(emb)).crossJoin(bookRow)
+        .select(col(id), codes.as("codes"))
     }
   }
 
@@ -179,12 +186,13 @@ object Pq {
         val spark = codes.sparkSession
         import spark.implicits._
         // one broadcast row holding the table; note this branch returns a
-        // Column over the JOINED frame below
-        val tabRow = broadcast(Seq(table).toDF("_tab"))
-        return codes.crossJoin(tabRow)
+        // Column over the JOINED frame below. Input narrowed to
+        // (id, codes) so a user column can't collide with __pq_tab.
+        val tabRow = broadcast(Seq(table).toDF("__pq_tab"))
+        return codes.select(col(id), col("codes")).crossJoin(tabRow)
           .select(col(id), round(
             aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mi) =>
-              acc + element_at(element_at(col("_tab"), mi + 1),
+              acc + element_at(element_at(col("__pq_tab"), mi + 1),
                 col("codes").getItem(mi) + 1)), 6).as("adc_dot"))
           .orderBy(col("adc_dot").desc, col(id)).limit(k)
       }

@@ -25,7 +25,8 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, dir: String,
                  glob: String = "events.parque[t]"): DataFrame = {
-    // raw file schema (ts as long nanos via nanosAsLong), from a batch read
+    // raw file schema (physical ts type varies by testdata vintage), from a
+    // batch read
     val raw = spark.read.parquet(s"$dir/$glob").schema
     // glob form: FileStreamSource requires a directory basePath; a glob
     // resolves basePath to the parent dir while matching only the table.
@@ -33,9 +34,8 @@ object EventStreams {
     // watermark passes it and the watermark only advances on new data —
     // a finite replay's trailing windows stay in state; tests stage a
     // far-future sentinel event for exactly this reason.
-    spark.readStream.schema(raw).parquet(s"$dir/$glob")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(raw).parquet(s"$dir/$glob"))
   }
 
   /** Tumbling-window counts + sums per event type with a watermark.

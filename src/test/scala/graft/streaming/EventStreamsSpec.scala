@@ -17,11 +17,17 @@ class EventStreamsSpec extends SparkSpec {
     val stage = Files.createTempDirectory("events-stage")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       stage.resolve("aa_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val maxNs = graft.Tables.load(spark, sfDir, "events")
-      .agg(max("ts_ns")).head().getLong(0)
-    import spark.implicits._
-    val sentinel = Seq((-1L, maxNs + 30L * 86400 * 1000000000L, -1L, "sentinel", 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // sentinel in the RAW file's own ts dtype (long nanos or timestamp[us]
+    // depending on testdata vintage) so both parquets share one schema
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxNs = graft.Tables.eventsTsRangeNs(raw)._2
+    val sentinel = raw.limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", graft.Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit(""))
     val tmpOut = Files.createTempDirectory("sentinel").toString
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut)
     val part = Files.list(Paths.get(tmpOut)).filter(_.toString.endsWith(".parquet"))
