@@ -1128,6 +1128,88 @@ object Queries {
         FROM assign a, q WHERE a.cid IN (SELECT cid FROM qc)
         ORDER BY cosine_sim DESC, a.vec_id LIMIT 20""")),
 
+    // PQ encode under the oracle: seeded per-subspace codebooks (ksub
+    // smallest-id vectors — the kmeansFit seeding), m=8 × ksub=16 = 128
+    // total codewords > MaxLiteralCodewords, so this exercises the
+    // broadcast-fold encode — the 100 TB path whose plan size is
+    // codebook-independent. The oracle replays the three-dot L2 identity,
+    // 9-decimal rounding, and the smaller-code tie-break per subspace.
+    // Codes render as a CSV string so the compare is exact on both engines.
+    "q_pq_codes" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val books = graft.sim.Pq.seedCodebooks(emb, m = 8, ksub = 16)
+        graft.sim.Pq.encode(emb, books)
+          .select(col("vec_id"),
+            expr("array_join(transform(codes, c -> cast(c AS STRING)), ',')")
+              .as("codes_str"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS sv
+                  FROM e ORDER BY vec_id LIMIT 16),
+        mis AS (SELECT unnest(range(8)) AS mi),
+        books AS (SELECT mis.mi, s.code, s.sv[mis.mi*8+1 : mis.mi*8+8] AS cv
+                  FROM seeds s CROSS JOIN mis),
+        sub AS (
+          SELECT e.vec_id, b.mi, b.code,
+            round(
+              list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], e.v[b.mi*8+1 : b.mi*8+8])
+              - 2 * list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], b.cv)
+              + list_dot_product(b.cv, b.cv), 9) AS d
+          FROM e CROSS JOIN books b),
+        best AS (
+          SELECT vec_id, mi, code FROM (
+            SELECT vec_id, mi, code,
+              row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1)
+        SELECT vec_id, array_to_string(list(code ORDER BY mi), ',') AS codes_str
+        FROM best GROUP BY vec_id""")),
+
+    // PQ ADC top-k under the oracle: the query stays full-precision, the
+    // m·ksub partial-dot lookup table is driver arithmetic, and scoring a
+    // row is m element_at lookups + an ordered sum (no per-row dot
+    // product). Same broadcast-table path as q_pq_codes (128 > literal
+    // threshold). The oracle recomputes the identical table with
+    // list_dot_product and sums partials in mi order so FP association
+    // matches the plan's left fold exactly.
+    "q_pq_topk" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val books = graft.sim.Pq.seedCodebooks(emb, m = 8, ksub = 16)
+        val qvec = emb.where(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val codes = graft.sim.Pq.encode(emb, books)
+        graft.sim.Pq.topKAdc(codes, books, qvec, k = 20)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS sv
+                  FROM e ORDER BY vec_id LIMIT 16),
+        mis AS (SELECT unnest(range(8)) AS mi),
+        books AS (SELECT mis.mi, s.code, s.sv[mis.mi*8+1 : mis.mi*8+8] AS cv
+                  FROM seeds s CROSS JOIN mis),
+        sub AS (
+          SELECT e.vec_id, b.mi, b.code,
+            round(
+              list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], e.v[b.mi*8+1 : b.mi*8+8])
+              - 2 * list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], b.cv)
+              + list_dot_product(b.cv, b.cv), 9) AS d
+          FROM e CROSS JOIN books b),
+        best AS (
+          SELECT vec_id, mi, code FROM (
+            SELECT vec_id, mi, code,
+              row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        tabs AS (SELECT b.mi, b.code,
+                   list_dot_product(q.qv[b.mi*8+1 : b.mi*8+8], b.cv) AS pd
+                 FROM books b, q),
+        scored AS (
+          SELECT best.vec_id, round(sum(tabs.pd ORDER BY tabs.mi), 6) AS adc_dot
+          FROM best JOIN tabs ON best.mi = tabs.mi AND best.code = tabs.code
+          GROUP BY best.vec_id)
+        SELECT vec_id, adc_dot FROM scored
+        ORDER BY adc_dot DESC, vec_id LIMIT 20""")),
+
     "q_range_join" -> Q(
       (s, dir) => {
         // purchases within +-1h of each error event, counted per error —
