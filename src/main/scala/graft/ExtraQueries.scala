@@ -861,6 +861,29 @@ object ExtraQueries {
         sum((round(o_totalprice*100, 0))::BIGINT)::BIGINT AS rev_cents
         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"""))),
 
+    // ---- MapFile keyed lookup: bucketed layout + broadcast semi ------
+    // The reference's MapFile/BloomMapFile random access re-expressed as
+    // MapLookup.lookupSemi over a bucketed-sorted table: the fact side
+    // never shuffles (broadcast hash-set probe), bucket layout gives the
+    // index-seek IO shape (MapLookupSpec asserts the pruning).
+    "q_map_lookup" -> (((s: SparkSession, dir: String) => {
+      Bucketed.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "g_maplookup_orders", "o_orderkey", 8)
+      val keys = t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 49).select(col("l_orderkey"))
+      val looked = graft.sources.MapLookup.lookupSemi(
+        Bucketed.table(s, "g_maplookup_orders"), "o_orderkey",
+        keys, "l_orderkey")
+      val shuffles = Bucketed.shuffleCount(looked)
+      require(shuffles == 0, s"lookup shuffled the fact side ($shuffles exchanges)")
+      looked.select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+    }, Some("""SELECT o_orderkey, o_custkey,
+        (round(o_totalprice*100, 0))::BIGINT AS price_cents
+      FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)"""))),
+
     // ---- dedup tail ---------------------------------------------------
 
     // Jaccard-VERIFIED corpus dedup: LSH candidates gated by exact n-gram
