@@ -716,6 +716,48 @@ object Bench {
     prDiag("1x", edges1x)
     prDiag("10x", edges10x)
 
+    // d9: inverted-index trend — the one shuffle-heavy text operator
+    // without a d-point until now. Decorrelated 10x (ampDocs suffixes
+    // every token with its copy id): vocabulary grows 10x, per-term df
+    // stays 1x, so the tokenize+tf shuffle and the assembly groupBy
+    // should both scale ∝ rows. The postings-length counters attribute a
+    // trend move the same way d1a's bucket histogram does: sum_postings
+    // is the assembly shuffle's row volume, max_postings its largest
+    // single reducer list, dropped_terms the stop-gate's work avoided. A
+    // counters-only CORRELATED 10x point (plain row copies, same vocab →
+    // df grows 10x) shows the maxDfFrac gate holding: terms that cross
+    // the 50% df threshold move from survivors to dropped, so
+    // max_postings stays bounded by corpus growth rather than vocabulary.
+    measure("d9_inverted_index", ctlTimes)(exec(
+      graft.text.TextAnalysis.invertedIndex(docs1x)))
+    measure("d9_inverted_index", times)(exec(
+      graft.text.TextAnalysis.invertedIndex(docs10x)))
+    def invDiag(tag: String, docs: DataFrame): Unit = try {
+      val idx = graft.text.TextAnalysis.invertedIndex(docs)
+        .select(col("term"), col("df"))
+      val r = idx.agg(
+        count(lit(1)).as("terms"),
+        coalesce(sum(col("df")), lit(0L)).as("sum_postings"),
+        coalesce(max(col("df")), lit(0L)).as("max_postings")).head()
+      scaleDiag(s"d9_${tag}_terms") = r.getLong(0)
+      scaleDiag(s"d9_${tag}_sum_postings") = r.getLong(1)
+      scaleDiag(s"d9_${tag}_max_postings") = r.getLong(2)
+      // stop-gate work avoided: distinct terms minus survivors
+      val vocab = docs.select(explode(
+        graft.text.TextAnalysis.tokenize(col("text"))).as("t"))
+        .distinct().count()
+      scaleDiag(s"d9_${tag}_dropped_terms") = vocab - r.getLong(0)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] inverted-index diag $tag failed: ${e.getMessage}")
+    }
+    invDiag("1x", docs1x)
+    invDiag("10x", docs10x)
+    // correlated copies: same text repeated, doc ids distinct — df ×10
+    invDiag("10x_corr", docs1x
+      .crossJoin(spark.range(10).select(col("id").as("_k")))
+      .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
+      .drop("_k"))
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

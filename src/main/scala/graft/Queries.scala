@@ -425,6 +425,59 @@ object Queries {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey""")),
 
+    "q_tpch_q4" -> Q(
+      // order-priority-checking shape (TPC-H Q4): EXISTS subquery → LEFT
+      // SEMI join (never a row-multiplying inner join + distinct), then a
+      // tiny priority rollup. Our lineitem has no commit/receipt dates, so
+      // the EXISTS predicate is returnflag='R' — the plan shape (pushed
+      // quarter scan on orders, semi join against a filtered fact, 5-group
+      // agg) is the thing under test.
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1995-07-01") &&
+            col("o_orderdate") < lit("1995-10-01"))
+        val late = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+          .select("l_orderkey")
+        ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1995-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_tpch_q14" -> Q(
+      // promotion-effect shape (TPC-H Q14): one-month fact scan joined to
+      // the part dim, conditional aggregation. The percentage is carried
+      // as EXACT numerator/denominator cents sums — the division is
+      // display-side arithmetic, so the compare is FP-association-free
+      // (the repo-wide cents discipline).
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1995-09-01") &&
+            col("l_shipdate") < lit("1995-10-01"))
+        li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type").startsWith("PROMO"),
+              cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .otherwise(lit(0L))).as("promo_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("total_cents"))
+      },
+      Some("""SELECT
+        sum(CASE WHEN p_type LIKE 'PROMO%'
+            THEN (round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT
+            ELSE 0 END)::BIGINT AS promo_cents,
+        sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT AS total_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01'""")),
+
     "q_join_broadcast" -> Q(
       (s, dir) => t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))

@@ -62,4 +62,37 @@ object Records {
     import spark.implicits._
     spark.read.schema(rec1Encoder.schema).json(path).as[RecRecord1]
   }
+
+  /** XML serialization — the record compiler's third wire format
+    * (`record/compiler/JRecord` emits an XML writer alongside binary/CSV;
+    * serialized form in `record/XmlRecordOutput.java`). Spark 4 ships a
+    * native XML source, so the round trip is declarative like the other
+    * two: one row element per record, nested record/vector/map as nested
+    * elements.
+    */
+  def writeXml(ds: Dataset[RecRecord1], path: String): Unit =
+    ds.write.mode("overwrite").format("xml")
+      .option("rowTag", "record").save(path)
+
+  /** XML reader. Absent elements parse as null (XML cannot distinguish an
+    * empty collection/string from a missing one), but record DDL has no
+    * null concept — every field is always present — so absent maps back
+    * to empty, which is exactly the reference reader's behavior.
+    */
+  def readXml(spark: SparkSession, path: String): Dataset[RecRecord1] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.read.schema(rec1Encoder.schema).format("xml")
+      .option("rowTag", "record").load(path)
+      .withColumn("stringVal", coalesce(col("stringVal"), lit("")))
+      .withColumn("bufferVal",
+        coalesce(col("bufferVal"), lit(Array.empty[Byte])))
+      .withColumn("vectorVal",
+        coalesce(col("vectorVal"), array().cast("array<string>")))
+      .withColumn("mapVal",
+        coalesce(col("mapVal"), map().cast("map<string,string>")))
+      .withColumn("recordVal", struct(
+        coalesce(col("recordVal.stringVal"), lit("")).as("stringVal")))
+      .as[RecRecord1]
+  }
 }

@@ -16,6 +16,12 @@ object TextAnalysis {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > lit(0))
 
+  /** The library's whitespace tokenizer as a public Column — for callers
+    * (bench diagnostics, external vocab counts) that must tokenize
+    * EXACTLY like the index/count operators do.
+    */
+  def tokenize(text: Column): Column = toks(text)
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deterministic, extendable; real corpora would load larger
     * lists via broadcast.

@@ -42,4 +42,14 @@ class RecordsSpec extends SparkSpec {
     assert(back.map(normalize).toSeq == orig.map(normalize))
     assert(buffers(back.toSeq) == buffers(orig))
   }
+
+  test("xml round trip preserves nested record/vector/map") {
+    val dir = java.nio.file.Files.createTempDirectory("rec").toString + "/xml"
+    val ds = Records.dataset(spark, sample)
+    Records.writeXml(ds, dir)
+    val back = Records.readXml(spark, dir).collect().sortBy(_.intVal)
+    val orig = sample.sortBy(_.intVal)
+    assert(back.map(normalize).toSeq == orig.map(normalize))
+    assert(buffers(back.toSeq) == buffers(orig))
+  }
 }
