@@ -1263,6 +1263,65 @@ object Queries {
         SELECT vec_id, adc_dot FROM scored
         ORDER BY adc_dot DESC, vec_id LIMIT 20""")),
 
+    // IVF × PQ composed under the oracle — the FAISS IVFPQ/ADC
+    // arrangement: nprobe cell probe bounds the rows touched, ADC lookup
+    // scoring bounds the bytes per row. The oracle replays BOTH halves:
+    // the q_ivf_topk assignment/probe CTEs select the candidates, the
+    // q_pq_topk encode/table CTEs rank exactly those candidates.
+    "q_ivfpq_topk" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.where(col("vec_id") < 8)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val books = graft.sim.Pq.seedCodebooks(emb, m = 8, ksub = 16)
+        val qvec = emb.where(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val index = Similarity.buildIvfIndex(emb, centroids)
+        graft.sim.Pq.ivfAdcTopK(index, centroids, books, qvec,
+          k = 20, nprobe = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        scoredc AS (
+          SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+          FROM e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scoredc) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        qc AS (SELECT c.cid FROM c, q
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid LIMIT 2),
+        cand AS (SELECT a.vec_id, a.v FROM assign a
+                 WHERE a.cid IN (SELECT cid FROM qc)),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS sv
+                  FROM e ORDER BY vec_id LIMIT 16),
+        mis AS (SELECT unnest(range(8)) AS mi),
+        books AS (SELECT mis.mi, s.code, s.sv[mis.mi*8+1 : mis.mi*8+8] AS cv
+                  FROM seeds s CROSS JOIN mis),
+        sub AS (
+          SELECT cand.vec_id, b.mi, b.code,
+            round(
+              list_dot_product(cand.v[b.mi*8+1 : b.mi*8+8], cand.v[b.mi*8+1 : b.mi*8+8])
+              - 2 * list_dot_product(cand.v[b.mi*8+1 : b.mi*8+8], b.cv)
+              + list_dot_product(b.cv, b.cv), 9) AS d
+          FROM cand CROSS JOIN books b),
+        best AS (
+          SELECT vec_id, mi, code FROM (
+            SELECT vec_id, mi, code,
+              row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1),
+        tabs AS (SELECT b.mi, b.code,
+                   list_dot_product(q.qv[b.mi*8+1 : b.mi*8+8], b.cv) AS pd
+                 FROM books b, q),
+        scored AS (
+          SELECT best.vec_id, round(sum(tabs.pd ORDER BY tabs.mi), 6) AS adc_dot
+          FROM best JOIN tabs ON best.mi = tabs.mi AND best.code = tabs.code
+          GROUP BY best.vec_id)
+        SELECT vec_id, adc_dot FROM scored
+        ORDER BY adc_dot DESC, vec_id LIMIT 20""")),
+
     "q_range_join" -> Q(
       (s, dir) => {
         // purchases within +-1h of each error event, counted per error —

@@ -199,4 +199,31 @@ object Pq {
     codes.select(col(id), round(score, 6).as("adc_dot"))
       .orderBy(col("adc_dot").desc, col(id)).limit(k)
   }
+
+  /** IVF × PQ composed — the arrangement FAISS calls IVFPQ with ADC: probe
+    * the query's `nprobe` nearest cells (driver arithmetic over the k·dim
+    * centroid metadata, as [[Similarity.ivfTopK]]), then ADC-rank ONLY the
+    * probed cells' members. At deployment the stored index is
+    * (cell, id, codes) written `partitionBy(cell)` — a query reads nprobe
+    * partitions of 16-byte codes instead of scanning the corpus, which is
+    * the two-sided win: IVF bounds rows touched, PQ bounds bytes per row.
+    * Here the encode runs inline on the probed candidates (same plan shape
+    * the stored form would load), so the whole path stays oracle-checkable
+    * end-to-end.
+    */
+  def ivfAdcTopK(index: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                 books: Seq[Seq[(Int, Seq[Double])]], query: Seq[Double],
+                 k: Int, nprobe: Int = 1, id: String = "vec_id",
+                 emb: String = "embedding",
+                 maxLiteralCodewords: Int = MaxLiteralCodewords): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cells = centroids.map { case (cid, cvec) => (cos(query, cvec), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+    val cand = index.where(col("cell").isin(cells: _*))
+    topKAdc(encode(cand, books, id, emb, maxLiteralCodewords),
+      books, query, k, id, maxLiteralCodewords)
+  }
 }

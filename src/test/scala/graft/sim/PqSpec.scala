@@ -108,4 +108,26 @@ class PqSpec extends SparkSpec {
       assert(math.abs(adc(v.toLong) - exact(v.toLong)) < 1e-6)
     }
   }
+
+  test("ivfAdcTopK: probe-all equals plain ADC; probed results come from probed cells") {
+    val books = Pq.seedCodebooks(emb, m = 4, ksub = 8)
+    val centroids = emb.where(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val index = Similarity.buildIvfIndex(emb, centroids)
+    // nprobe = all cells → identical to ADC over the whole table
+    val all = Pq.ivfAdcTopK(index, centroids, books, q, k = 20,
+      nprobe = centroids.size).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Pq.topKAdc(Pq.encode(emb, books), books, q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == plain)
+    // nprobe = 1 → every result's assigned cell is the probed one
+    val probed = Pq.ivfAdcTopK(index, centroids, books, q, k = 20, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val cellOf = index.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(probed.map(cellOf).size == 1, "nprobe=1 results must share one cell")
+  }
 }
