@@ -1322,6 +1322,71 @@ object Queries {
         SELECT vec_id, adc_dot FROM scored
         ORDER BY adc_dot DESC, vec_id LIMIT 20""")),
 
+    // Batched IVFPQ: a query TABLE through the PQ index — per-query cell
+    // probe via the broadcast centroid array, one cell equi-join, ADC
+    // from the broadcast codebooks, per-query window top-k. No driver
+    // collect of queries anywhere; the oracle replays probe + encode +
+    // per-pair subspace dots with the identical fold order.
+    "q_ivfpq_batch" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.where(col("vec_id") < 8)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val books = graft.sim.Pq.seedCodebooks(emb, m = 8, ksub = 16)
+        val index = Similarity.buildIvfIndex(emb, centroids)
+        val queries = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        graft.sim.Pq.ivfAdcTopKBatch(index, centroids, books, queries,
+          k = 5, nprobe = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        scoredc AS (
+          SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+          FROM e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scoredc) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        qc AS (
+          SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS sv
+                  FROM e ORDER BY vec_id LIMIT 16),
+        mis AS (SELECT unnest(range(8)) AS mi),
+        books AS (SELECT mis.mi, s.code, s.sv[mis.mi*8+1 : mis.mi*8+8] AS cv
+                  FROM seeds s CROSS JOIN mis),
+        sub AS (
+          SELECT e.vec_id, b.mi, b.code,
+            round(
+              list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], e.v[b.mi*8+1 : b.mi*8+8])
+              - 2 * list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], b.cv)
+              + list_dot_product(b.cv, b.cv), 9) AS d
+          FROM e CROSS JOIN books b),
+        best AS (
+          SELECT vec_id, mi, code FROM (
+            SELECT vec_id, mi, code,
+              row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1),
+        pairs AS (
+          SELECT qc.query_id, a.vec_id,
+            round(sum(list_dot_product(qc.qv[b.mi*8+1 : b.mi*8+8], b.cv)
+                      ORDER BY b.mi), 6) AS adc_dot
+          FROM qc JOIN assign a USING (cid)
+          JOIN best ON best.vec_id = a.vec_id
+          JOIN books b ON b.mi = best.mi AND b.code = best.code
+          GROUP BY qc.query_id, a.vec_id)
+        SELECT query_id, vec_id, adc_dot FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dot DESC, vec_id) AS rn
+          FROM pairs)
+        WHERE rn <= 5""")),
+
     "q_range_join" -> Q(
       (s, dir) => {
         // purchases within +-1h of each error event, counted per error —

@@ -95,7 +95,8 @@ object Pq {
     */
   def encode(vectors: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
              id: String = "vec_id", emb: String = "embedding",
-             maxLiteralCodewords: Int = MaxLiteralCodewords): DataFrame = {
+             maxLiteralCodewords: Int = MaxLiteralCodewords,
+             keep: Seq[String] = Nil): DataFrame = {
     require(books.nonEmpty && books.forall(_.nonEmpty), "encode: empty codebooks")
     val m = books.size
     val w = books.head.head._2.size
@@ -119,7 +120,7 @@ object Pq {
               lit(code).as("code"))
           }: _*).getField("code"))
       }
-      vectors.select(col(id), array(codeCols: _*).as("codes"))
+      vectors.select(col(id) +: keep.map(col) :+ array(codeCols: _*).as("codes"): _*)
     } else {
       val spark = vectors.sparkSession
       import spark.implicits._
@@ -137,8 +138,8 @@ object Pq {
                 c.getField("_1").as("code"))
               when(cand < acc, cand).otherwise(acc)
             }).getField("code")))
-      vectors.select(col(id), col(emb)).crossJoin(bookRow)
-        .select(col(id), codes.as("codes"))
+      vectors.select(col(id) +: keep.map(col) :+ col(emb): _*).crossJoin(bookRow)
+        .select(col(id) +: keep.map(col) :+ codes.as("codes"): _*)
     }
   }
 
@@ -225,5 +226,54 @@ object Pq {
     val cand = index.where(col("cell").isin(cells: _*))
     topKAdc(encode(cand, books, id, emb, maxLiteralCodewords),
       books, query, k, id, maxLiteralCodewords)
+  }
+
+  /** Batched IVFPQ: queries as a TABLE — the no-driver-collect form that
+    * scales to millions of queries (the `ivfTopKBatch` discipline applied
+    * to the PQ index). Each query ranks the broadcast centroid array for
+    * its `nprobe` cells, candidates arrive by the ONE cell equi-join
+    * against the (cell, id, codes) index, and ADC scores read the
+    * broadcast codebooks directly: Σ_mi dot(q_mi, books[mi][code_mi]) —
+    * the per-query lookup table of the driver-known form becomes a
+    * per-pair m·(dim/m) fold, still no shuffle beyond the cell join, and
+    * the per-query top-k is a WindowGroupLimit, never a global sort.
+    * FP discipline matches the oracle: inner dot is a left fold per
+    * subspace, outer sum left-folds in mi order, rounded at 6.
+    */
+  def ivfAdcTopKBatch(index: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                      books: Seq[Seq[(Int, Seq[Double])]], queries: DataFrame,
+                      k: Int, nprobe: Int = 1, qid: String = "query_id",
+                      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "ivfAdcTopKBatch: empty centroid set")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val w = books.head.head._2.size
+    val codes = encode(index, books, id, emb, keep = Seq("cell"))
+    val centRow = broadcast(Seq(centroids).toDF("__pq_cents"))
+    val scoredC = transform(col("__pq_cents"), c =>
+      struct((-Similarity.cosine(col("_q"), c.getField("_2"))).as("negsim"),
+        c.getField("_1").as("cid")))
+    val probes = queries
+      .select(col(qid), col(emb).cast("array<double>").as("_q"))
+      .crossJoin(centRow)
+      .select(col(qid), col("_q"),
+        explode(slice(array_sort(scoredC), 1, nprobe).getField("cid")).as("cell"))
+    // codebooks as mi → code → subvector (codes are dense, sorted here)
+    val vecs: Seq[Seq[Seq[Double]]] = books.map(_.sortBy(_._1).map(_._2))
+    val bookRow = broadcast(Seq(vecs).toDF("__pq_books"))
+    val pairDot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mi) => {
+      val cvec = element_at(element_at(col("__pq_books"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+      val qsub = slice(col("_q"), mi * lit(w) + lit(1), lit(w))
+      acc + aggregate(zip_with(qsub, cvec, (a, b) => a * b),
+        lit(0.0), (s, x) => s + x)
+    })
+    val cand = probes.join(codes, "cell").crossJoin(bookRow)
+      .select(col(qid), col(id), round(pairDot, 6).as("adc_dot"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid)).orderBy(col("adc_dot").desc, col(id))
+    cand.withColumn("_rn", row_number().over(win)).where(col("_rn") <= k)
+      .select(col(qid), col(id), col("adc_dot"))
   }
 }

@@ -130,4 +130,25 @@ class PqSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(probed.map(cellOf).size == 1, "nprobe=1 results must share one cell")
   }
+
+  test("ivfAdcTopKBatch equals the single-query form for every query") {
+    val books = Pq.seedCodebooks(emb, m = 4, ksub = 8)
+    val centroids = emb.where(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val index = Similarity.buildIvfIndex(emb, centroids)
+    val queries = emb.where(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Pq.ivfAdcTopKBatch(index, centroids, books, queries,
+      k = 5, nprobe = 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    queries.select("query_id").collect().map(_.getLong(0)).foreach { q =>
+      val qv = emb.where(col("vec_id") === q)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val single = Pq.ivfAdcTopK(index, centroids, books, qv, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == single, s"query $q: batch != single")
+    }
+  }
 }
