@@ -1322,6 +1322,53 @@ object Queries {
         SELECT vec_id, adc_dot FROM scored
         ORDER BY adc_dot DESC, vec_id LIMIT 20""")),
 
+    // PQ decode path under the oracle: reconstruct approximate vectors
+    // from codes and report per-vector squared reconstruction error —
+    // the quantity a reranking stage bounds. Error is summed per
+    // SUBSPACE in mi order (both engines fold identically), so the
+    // compare is FP-association-exact; codebook-member vectors read 0.
+    "q_pq_reconstruct" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val books = graft.sim.Pq.seedCodebooks(emb, m = 8, ksub = 16)
+        val codes = graft.sim.Pq.encode(emb, books, keep = Seq("embedding"))
+        val rec = graft.sim.Pq.reconstruct(codes, books, keep = Seq("embedding"))
+        rec.select(col("vec_id"), round(
+          aggregate(sequence(lit(0), lit(7)), lit(0.0), (acc, mi) =>
+            acc + graft.sim.Pq.l2sq(
+              slice(col("embedding").cast("array<double>"),
+                mi * lit(8) + lit(1), lit(8)),
+              slice(col("approx"), mi * lit(8) + lit(1), lit(8)))),
+          6).as("rec_err"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS sv
+                  FROM e ORDER BY vec_id LIMIT 16),
+        mis AS (SELECT unnest(range(8)) AS mi),
+        books AS (SELECT mis.mi, s.code, s.sv[mis.mi*8+1 : mis.mi*8+8] AS cv
+                  FROM seeds s CROSS JOIN mis),
+        sub AS (
+          SELECT e.vec_id, b.mi, b.code,
+            round(
+              list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], e.v[b.mi*8+1 : b.mi*8+8])
+              - 2 * list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], b.cv)
+              + list_dot_product(b.cv, b.cv), 9) AS d
+          FROM e CROSS JOIN books b),
+        best AS (
+          SELECT vec_id, mi, code FROM (
+            SELECT vec_id, mi, code,
+              row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1)
+        SELECT e.vec_id,
+          round(sum(
+            list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], e.v[b.mi*8+1 : b.mi*8+8])
+            - 2 * list_dot_product(e.v[b.mi*8+1 : b.mi*8+8], b.cv)
+            + list_dot_product(b.cv, b.cv)
+            ORDER BY b.mi), 6) AS rec_err
+        FROM e JOIN best ON best.vec_id = e.vec_id
+        JOIN books b ON b.mi = best.mi AND b.code = best.code
+        GROUP BY e.vec_id""")),
+
     // Batched IVFPQ: a query TABLE through the PQ index — per-query cell
     // probe via the broadcast centroid array, one cell equi-join, ADC
     // from the broadcast codebooks, per-query window top-k. No driver

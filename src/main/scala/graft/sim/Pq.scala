@@ -148,12 +148,12 @@ object Pq {
     * path a reranking stage would use before exact rescoring.
     */
   def reconstruct(codes: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
-                  id: String = "vec_id"): DataFrame = {
+                  id: String = "vec_id", keep: Seq[String] = Nil): DataFrame = {
     val parts = books.zipWithIndex.map { case (book, mi) =>
       val entries = book.sortBy(_._1).map { case (_, cvec) => array(cvec.map(lit): _*) }
       element_at(array(entries: _*), col("codes").getItem(mi) + 1)
     }
-    codes.select(col(id), concat(parts: _*).as("approx"))
+    codes.select(col(id) +: keep.map(col) :+ concat(parts: _*).as("approx"): _*)
   }
 
   /** ADC top-k: rank all encoded vectors against one full-precision query
