@@ -758,6 +758,62 @@ object Bench {
       .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
       .drop("_k"))
 
+    // d10: batched-IVFPQ trend — fixed query set, corpus ×10 (the sign-
+    // flipped decorrelated emb10x). With centroids/codebooks/nprobe held
+    // constant, cells grow ∝ corpus, so the ADC stage's input (candidate
+    // pairs = Σ_q Σ_probed |cell|) should grow ≈10× while the probe and
+    // codebook sides stay O(1) broadcast metadata. The counters measure
+    // exactly that input: probed-cell occupancy and the candidate-pair
+    // count, attributing any wall-clock move to cell growth vs overhead.
+    try {
+      val cent10 = emb1x.where(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val pqBooks = graft.sim.Pq.seedCodebooks(emb1x, m = 8, ksub = 16)
+      val pqQueries = emb1x.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def ivfpqRun(corpus: DataFrame): DataFrame =
+        graft.sim.Pq.ivfAdcTopKBatch(
+          graft.sim.Similarity.buildIvfIndex(corpus, cent10),
+          cent10, pqBooks, pqQueries, k = 5, nprobe = 2)
+      measure("d10_ivfpq_batch", ctlTimes)(exec(ivfpqRun(emb1x)))
+      measure("d10_ivfpq_batch", times)(exec(ivfpqRun(emb10x)))
+      def ivfpqDiag(tag: String, corpus: DataFrame): Unit = try {
+        val cells = graft.sim.Similarity.buildIvfIndex(corpus, cent10)
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+        val r = cells.agg(count(lit(1)).as("cells"),
+          coalesce(sum(col("n")), lit(0L)).as("sum_cell"),
+          coalesce(max(col("n")), lit(0L)).as("max_cell")).head()
+        scaleDiag(s"d10_${tag}_cells") = r.getLong(0)
+        scaleDiag(s"d10_${tag}_sum_cell") = r.getLong(1)
+        scaleDiag(s"d10_${tag}_max_cell") = r.getLong(2)
+        // the ADC stage's exact input size: probed (query, candidate)
+        // pairs — per query, Σ|cell| over its nprobe probed cells
+        // (queries and cell histogram are both driver-class metadata here)
+        def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+          val d = a.zip(b).map { case (x, y) => x * y }.sum
+          d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+        }
+        val sizes = cells.collect()
+          .map(rr => rr.getAs[Number](0).intValue -> rr.getLong(1)).toMap
+        val pairs = pqQueries
+          .select(col("embedding").cast("array<double>")).collect()
+          .map(_.getSeq[Double](0)).map { qv =>
+            cent10.map { case (cid, cv) => (cosSeq(qv, cv), cid) }
+              .sortBy { case (sim, cid) => (-sim, cid) }.take(2)
+              .map { case (_, cid) => sizes.getOrElse(cid, 0L) }.sum
+          }.sum
+        scaleDiag(s"d10_${tag}_candidate_pairs") = pairs
+        scaleDiag(s"d10_${tag}_queries") = pqQueries.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivfpq diag $tag failed: ${e.getMessage}")
+      }
+      ivfpqDiag("1x", emb1x)
+      ivfpqDiag("10x", emb10x)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] d10 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

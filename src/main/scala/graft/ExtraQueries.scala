@@ -623,6 +623,28 @@ object ExtraQueries {
           col("o_orderstatus"), col("o_orderpriority"))
     }, Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders"))),
 
+    // Dynamic partition overwrite under the oracle (the warehouse daily
+    // re-load: INSERT OVERWRITE ... PARTITION). Full load, then ONE
+    // partition re-loaded with mutated rows — dynamic mode must rewrite
+    // exactly the touched partition and leave every other byte alone;
+    // lost siblings, a static whole-table wipe, or a double-write all
+    // break the hash against the relational replay.
+    "q_dyn_overwrite" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("dyn_overwrite", dir)
+      rmrf(out)
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        ev.where(col("event_type") === "click")
+          .withColumn("user_id", -col("user_id"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      s.read.parquet(out).select("event_id", "user_id", "event_type")
+    }, Some("""SELECT event_id,
+        CASE WHEN event_type = 'click' THEN -user_id ELSE user_id END AS user_id,
+        event_type FROM events"""))),
+
     // StreamXmlRecordReader: pattern-delimited records from written files.
     "q_xml_records" -> (((s: SparkSession, dir: String) => {
       val out = tmp("xml", dir)
