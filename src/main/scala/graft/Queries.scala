@@ -478,6 +478,91 @@ object Queries {
         WHERE l_shipdate >= TIMESTAMP '1995-09-01'
           AND l_shipdate < TIMESTAMP '1995-10-01'""")),
 
+    "q_tpch_q7" -> Q(
+      // volume-shipping shape (TPC-H Q7): the two-sided nation filter is
+      // applied to BOTH broadcast dim copies BEFORE the fact joins (the
+      // (n1,n2)∈{(a,b),(b,a)} disjunction prunes 23/25 of each dim, and
+      // transitively the fact rows), then year rollup in exact cents.
+      (s, dir) => {
+        val (na, nb) = ("NATION_18", "NATION_19")
+        val n1 = t(s, dir, "nation")
+          .where(col("n_name").isin(na, nb))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation")
+          .where(col("n_name").isin(na, nb))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("volume_cents"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          year(l_shipdate) AS l_year,
+          sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT AS volume_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+          AND n2.n_name IN ('NATION_18', 'NATION_19')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    "q_tpch_q8" -> Q(
+      // national-market-share shape (TPC-H Q8): region-scoped demand for
+      // one part class, share of a target supplier nation by year. The
+      // share rides as exact numerator/denominator cents (the q14
+      // discipline); region+type filters prune through broadcast dims.
+      (s, dir) => {
+        val asia = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nk"))
+        val suppNat = t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part").where(col("p_type") === "PROMO"),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asia), col("c_nationkey") === col("c_nk"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNat), col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_2",
+              cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .otherwise(lit(0L))).as("nation_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("total_cents"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT year(o_orderdate) AS o_year,
+          sum(CASE WHEN n2.n_name = 'NATION_2'
+              THEN (round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT
+              ELSE 0 END)::BIGINT AS nation_cents,
+          sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT AS total_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_join_broadcast" -> Q(
       (s, dir) => t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
