@@ -563,6 +563,65 @@ object Queries {
         WHERE r_name = 'ASIA' AND p_type = 'PROMO'
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_tpch_q13" -> Q(
+      // customer-distribution shape (TPC-H Q13): LEFT join so zero-order
+      // customers survive with count 0, then the distribution-of-counts
+      // second aggregate — the canonical two-level rollup.
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*)::BIGINT AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY 1)
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    "q_tpch_q22" -> Q(
+      // global-sales-opportunity shape (TPC-H Q22): above-average
+      // positive balances in a nation set, customers with NO urgent
+      // order (anti join — this testdata has no order-less customers,
+      // so the anti leg keys on the urgent subset to stay non-vacuous).
+      // The average threshold compares as EXACT integers —
+      // cents(bal)·n > Σcents — so the boundary can never flip on FP
+      // association (the cents discipline applied to a correlated-
+      // scalar predicate).
+      (s, dir) => {
+        val nations = Seq(1, 2, 3, 4, 5).map(lit(_))
+        val cust = t(s, dir, "customer")
+          .where(col("c_nationkey").isin(nations: _*))
+        val stats = cust.where(col("c_acctbal") > 0)
+          .agg(sum(cents(col("c_acctbal"))).as("_sum_cents"),
+            count(lit(1)).as("_n"))
+        cust.crossJoin(broadcast(stats))
+          .where(cents(col("c_acctbal")) * col("_n") > col("_sum_cents"))
+          .join(t(s, dir, "orders")
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
+          .orderBy("cntrycode")
+      },
+      Some("""WITH cust AS (
+          SELECT * FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5)),
+        stats AS (
+          SELECT sum((round(c_acctbal*100, 0))::BIGINT)::BIGINT AS sum_cents,
+            count(*)::BIGINT AS n
+          FROM cust WHERE c_acctbal > 0)
+        SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust,
+          sum((round(c_acctbal*100, 0))::BIGINT)::BIGINT AS totacctbal_cents
+        FROM cust, stats
+        WHERE (round(c_acctbal*100, 0))::BIGINT * n > sum_cents
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_join_broadcast" -> Q(
       (s, dir) => t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
