@@ -271,6 +271,26 @@ object ExtraQueries {
       SELECT pr.a AS term_a, pr.b AS term_b, count(*)::BIGINT AS cnt
       FROM p GROUP BY 1, 2"""))),
 
+    // Adjacent-bigram LM counts + Kneser-Ney continuation counts.
+    // Ordered adjacency (t[i], t[i+1]) — the oracle replays generation,
+    // pair counting, and the distinct-left-context aggregate.
+    "q_bigram_lm" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.bigramLm(t(s, dir, "documents"))
+    }, Some("""WITH tok AS (
+        SELECT list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      p AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+          i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS pr
+        FROM tok WHERE len(t) > 1),
+      cnt AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*)::BIGINT AS cnt
+              FROM p GROUP BY 1, 2),
+      cont AS (SELECT w2, count(*)::BIGINT AS cont_w2
+               FROM (SELECT DISTINCT pr.w1 AS w1, pr.w2 AS w2 FROM p)
+               GROUP BY 1)
+      SELECT w1, w2, cnt, cont_w2 FROM cnt JOIN cont USING (w2)"""))),
+
     // PMI over the window-2 pairs (minCount 5). The oracle recomputes
     // the score in the SAME association order — (cnt/totPairs) /
     // ((ca/totTok)*(cb/totTok)) — so the doubles are bit-identical

@@ -259,6 +259,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Adjacent-bigram language-model count tables — what an n-gram LM
+    * trainer consumes: `c(w1,w2)` plus, per right word, the number of
+    * DISTINCT left contexts (the Kneser–Ney continuation-count
+    * numerator: "how many contexts does w2 complete" rather than "how
+    * often does w2 occur"). Ordered adjacency, unlike [[cooccurrence]]'s
+    * canonically-sorted windowed pairs. Generation is the same pure
+    * Column 1→N expansion riding the scan; then one pair-count shuffle,
+    * a distinct-context aggregate, and a key-partitioned join on w2
+    * (vocabulary-sized tables — shuffled, never broadcast, the tfidf df
+    * discipline).
+    */
+  def bigramLm(docs: org.apache.spark.sql.DataFrame, text: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs.select(toks(col(text)).as("_t")).where(size(col("_t")) > 1)
+    val pairs = graft.ops.Checkpoints.truncate(
+      t.select(explode(transform(
+        sequence(lit(1), size(col("_t")) - 1),
+        i => struct(element_at(col("_t"), i).as("w1"),
+          element_at(col("_t"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val cnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val cont = pairs.distinct()
+      .groupBy("w2").agg(count(lit(1)).as("cont_w2"))
+    cnt.join(cont, "w2").select(col("w1"), col("w2"), col("cnt"), col("cont_w2"))
+  }
+
   /** Pointwise mutual information over [[cooccurrence]] pairs:
     * `ln( (cnt/totPairs) / ((cntA/totTok)·(cntB/totTok)) )`, rounded at
     * 6 digits — written in exactly that association order so a replaying
