@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
 
 /** Per-round benchmark main. Mirrors the reference's gridmix/MRBench
   * workload shapes (BASELINE.md B1–B6) over the driver testdata at
@@ -46,7 +47,7 @@ object Bench {
       planMatches(tag) = op == cp
       planDump.append(s"== $tag OURS ==\n$op\n== $tag CONTROL ==\n$cp\n")
         .append(s"== MATCH: ${op == cp} ==\n\n")
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] plan-match $tag failed: ${e.getMessage}")
     }
 
@@ -87,9 +88,11 @@ object Bench {
       }) { abba(); extra += 1 }
       times(name) = os.min
       ctlTimes(name) = cs.min
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       // a pair failure degrades the report (missing entry), never aborts
-      // the run — the 80+ suite timings already taken must survive
+      // the run — the 80+ suite timings already taken must survive.
+      // Fatal VM errors (OOM, StackOverflow) are NOT swallowed: numbers
+      // measured after an OOM are untrustworthy, so the run must die.
       System.err.println(s"[bench] pair $name failed: ${e.getMessage}")
     }
 
@@ -126,7 +129,7 @@ object Bench {
     * warm-up, which is exactly the failure mode this closes.
     */
   private def guarded[A](what: String)(mk: => A): Option[A] =
-    try Some(mk) catch { case e: Throwable =>
+    try Some(mk) catch { case NonFatal(e) =>
       System.err.println(s"[bench] $what failed to build: ${e.getMessage}")
       None
     }
@@ -276,7 +279,7 @@ object Bench {
         if (math.abs(runs(0) - runs(1)) / math.max(runs.min, 1e-9) > 0.5)
           runs += time(exec(fn(spark, sfDir)))
         results(name) = runs.min
-      } catch { case e: Throwable =>
+      } catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name
       }
@@ -313,29 +316,47 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    // field order matters: the round artifact keeps only a TAIL of stdout,
-    // so the big per-query map goes first and every summary number cited
-    // by the judge (controls, ratios, scale trend, twin check) goes last —
-    // they survive truncation. The complete line is also written to
-    // BENCH_FULL.json in the repo so every number is machine-readable.
+    // artifact-completeness gate: every registry query must appear in
+    // this run's own results or failed list — the r8 failure mode was a
+    // suite that silently shrank (a registry key never even attempted).
+    // Non-empty means the bench loop itself dropped queries.
+    val missingFromSuite = (Queries.queries.keySet -- results.keySet -- failed.toSet)
+      .toSeq.sorted
+    val missingJson = missingFromSuite.map("\"" + _ + "\"").mkString("[", ",", "]")
     val pm = planMatches.toSeq
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val diag = scaleDiag.toSeq
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"scale10x":${jmap(scaleTimes)},"scale10x_controls":${jmap(scaleCtl)},"scale10x_diag":$diag,"plan_match":$pm,"b5_plan_match_10x":$b5PlanMatch,"twin_check":{"q_monster":${results.getOrElse("q_monster", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}},"contaminated":$contaminated}"""
+    val twin = s"""{"q_monster":${results.getOrElse("q_monster", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}}"""
+    // field order matters: the round artifact keeps only a TAIL of stdout,
+    // so the big maps (per-query timings, 10x scale maps, diag counters)
+    // go FIRST and every summary number cited by the judge (controls,
+    // ratio_vs_control, plan_match, twin check, contamination,
+    // missing_from_suite) goes LAST — they survive truncation. r9's
+    // artifact was unparseable because ratio_vs_control sat BEFORE the
+    // ~100 KB scale maps and was truncated out of the driver's tail.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"scale10x":${jmap(scaleTimes)},"scale10x_controls":${jmap(scaleCtl)},"scale10x_diag":$diag,"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5PlanMatch,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson}"""
+    // compact summary (≤1 KB): a fully self-contained, valid JSON object
+    // repeating every judge-cited number with only the HEADLINE timings in
+    // `queries`. Printed as the very last stdout line so a tail capture of
+    // any length parses it — this is the driver-certified artifact; the
+    // full per-query detail lives in the big line and BENCH_FULL.json.
+    val headlineQs = results.filter { case (k, _) => k.startsWith("b") }
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${jmap(headlineQs)},"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5PlanMatch,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"full_artifact":"BENCH_FULL.json"}"""
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
       try w.println(json) finally w.close()
-    } catch { case _: Throwable => () } // repo may be elsewhere; stdout is canonical
+    } catch { case NonFatal(_) => () } // repo may be elsewhere; stdout is canonical
     try {
       // full normalized plan dumps behind every plan_match bit, for
       // inspection (replaces the r4 b5-only BENCH_B5_PLANS.txt)
       val w = new java.io.PrintWriter("/root/repo/BENCH_PLANS.txt")
       try w.print(planDump.toString) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
     println(json)
+    println(summary)
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || missingFromSuite.nonEmpty) sys.exit(1)
   }
 
   /** Headline benches + controls over 10x-amplified inputs (min-of-2),
@@ -468,7 +489,7 @@ object Bench {
                (fn: => Unit): Unit = {
       def one(i: Int): Option[Double] =
         try { hygiene(spark); Some(time(fn)) }
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] scale-step $key run $i failed: ${e.getMessage}")
           None
         }
@@ -504,7 +525,7 @@ object Bench {
       scaleDiag(s"d1a_${tag}_sum_bucket") = r.getLong(1)
       scaleDiag(s"d1a_${tag}_sum_bucket_sq") = r.getLong(2)
       scaleDiag(s"d1a_${tag}_dropped_buckets") = r.getLong(3)
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] bucket diag $tag failed: ${e.getMessage}")
     }
     bucketDiag("1x", docs1x)
@@ -532,7 +553,7 @@ object Bench {
       scaleDiag(s"${prefix}_${tag}_sum_bucket") = r.getLong(1)
       scaleDiag(s"${prefix}_${tag}_sum_bucket_sq") = r.getLong(2)
       scaleDiag(s"${prefix}_${tag}_dropped_buckets") = r.getLong(3)
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] simhash diag $prefix $tag failed: ${e.getMessage}")
     }
     simhashDiag("d3", "1x", 4, docs1x)
@@ -556,7 +577,7 @@ object Bench {
       scaleDiag(s"d2_${tag}_sum_bucket") = r.getLong(1)
       scaleDiag(s"d2_${tag}_sum_bucket_sq") = r.getLong(2)
       scaleDiag(s"d2_${tag}_dropped_buckets") = r.getLong(3)
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] emb diag $tag failed: ${e.getMessage}")
     }
     embDiag("1x", emb1x)
@@ -598,7 +619,7 @@ object Bench {
       scaleDiag(s"d5_${tag}_cells") = r.getLong(0)
       scaleDiag(s"d5_${tag}_sum_cell") = r.getLong(1)
       scaleDiag(s"d5_${tag}_sum_cell_sq") = r.getLong(2)
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] cell diag $tag failed: ${e.getMessage}")
     }
     cellDiag("1x_k16", emb1x, 16)
@@ -631,7 +652,7 @@ object Bench {
       scaleDiag(s"d6_${tag}_blocks") = r.getLong(2) + 1
       scaleDiag(s"d6_${tag}_offset_rows") =
         spark.sessionState.conf.numShufflePartitions.toLong
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] token-block diag $tag failed: ${e.getMessage}")
     }
     tbDiag("1x", docs1x)
@@ -679,7 +700,7 @@ object Bench {
       scaleDiag(s"d7_${tag}_distinct_keys") = r.getLong(0)
       scaleDiag(s"d7_${tag}_true_hitters") = r.getLong(1)
       scaleDiag(s"d7_${tag}_gate_survivors") = survivors
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] heavy-hitter diag $tag failed: ${e.getMessage}")
     }
     hhDiag("1x", li1x, hhW)
@@ -710,7 +731,7 @@ object Bench {
       scaleDiag(s"d8_${tag}_edges") = e.count()
       scaleDiag(s"d8_${tag}_nodes") = e.select(col("src").as("n"))
         .unionByName(e.select(col("dst").as("n"))).distinct().count()
-    } catch { case ex: Throwable =>
+    } catch { case NonFatal(ex) =>
       System.err.println(s"[bench] pagerank diag $tag failed: ${ex.getMessage}")
     }
     prDiag("1x", edges1x)
@@ -747,7 +768,7 @@ object Bench {
         graft.text.TextAnalysis.tokenize(col("text"))).as("t"))
         .distinct().count()
       scaleDiag(s"d9_${tag}_dropped_terms") = vocab - r.getLong(0)
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] inverted-index diag $tag failed: ${e.getMessage}")
     }
     invDiag("1x", docs1x)
@@ -805,12 +826,12 @@ object Bench {
           }.sum
         scaleDiag(s"d10_${tag}_candidate_pairs") = pairs
         scaleDiag(s"d10_${tag}_queries") = pqQueries.count()
-      } catch { case e: Throwable =>
+      } catch { case NonFatal(e) =>
         System.err.println(s"[bench] ivfpq diag $tag failed: ${e.getMessage}")
       }
       ivfpqDiag("1x", emb1x)
       ivfpqDiag("10x", emb10x)
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d10 failed: ${e.getMessage}")
     }
 
@@ -853,7 +874,7 @@ object Bench {
       }
       measure("d4_stream_hourly", ctlTimes)(streamOnce("1x"))
       measure("d4_stream_hourly", times)(streamOnce("10x"))
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d4 staging failed: ${e.getMessage}")
     } finally rmrf(new java.io.File(d4root))
     hygiene(spark)

@@ -218,8 +218,13 @@ object Pq {
                  emb: String = "embedding",
                  maxLiteralCodewords: Int = MaxLiteralCodewords): DataFrame = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      // zero-norm guard matches Similarity.cosine (CosineSimilarity
+      // returns 0.0, not NaN) so the single and batched probe paths rank
+      // degenerate vectors identically — PqSpec asserts batch==single.
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0.0 || nb == 0.0) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
     }
     val cells = centroids.map { case (cid, cvec) => (cos(query, cvec), cid) }
       .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)

@@ -60,16 +60,35 @@ object MapLookup {
   /** Approximate-membership pre-filter over `col(keyCol)` built from the
     * key frame — the BloomMapFile analog. Returns the filtered table; pair
     * with an exact semi join to drop the ~fpp false positives. The filter
-    * object is built distributed (`stat.bloomFilter` aggregates partial
-    * sketches), collected once (bits ∝ expectedKeys, not table size) and
-    * shipped to executors via the closure.
+    * is built distributed (`stat.bloomFilter` aggregates partial sketches),
+    * collected once (bits ∝ expectedKeys, not table size) and applied via
+    * Spark's native `BloomFilterMightContain` expression — the same
+    * codegen'd predicate AQE's runtime bloom filter injects, so the
+    * pre-filter stays inside whole-stage codegen rather than dropping to a
+    * per-row Scala UDF.
+    *
+    * Type-general by construction: both sides probe on `xxhash64(key)`
+    * (any atomic key dtype — long, string, binary, …), so build and probe
+    * can never disagree on the hash domain. A NULL key hashes to the seed
+    * on both sides; the exact semi join afterwards drops it (SQL semantics:
+    * NULL matches nothing).
     */
   def bloomPrefilter(table: DataFrame, keyCol: String,
                      keys: DataFrame, keysCol: String,
                      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = keys.stat.bloomFilter(keysCol, expectedKeys, fpp)
-    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
-    table.where(mightContain(col(keyCol)))
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = keys.select(xxhash64(col(keysCol)).as("__graft_key_hash"))
+      .stat.bloomFilter("__graft_key_hash", expectedKeys, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pred = BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      org.apache.spark.sql.graft.ColumnShim.expression(xxhash64(col(keyCol))))
+    table.where(org.apache.spark.sql.graft.ColumnShim.column(pred))
   }
 
   /** Rows of the scan actually read under a pushed predicate — the

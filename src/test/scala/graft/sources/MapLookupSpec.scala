@@ -72,4 +72,29 @@ class MapLookupSpec extends SparkSpec {
     assert(pre.count() < total / 2,
       s"bloom kept ${pre.count()} of $total rows — no pruning")
   }
+
+  test("bloomPrefilter: string keys — no false negatives (dtype-general hash domain)") {
+    val t = raw.select(concat(lit("k"), col("o_orderkey")).as("okey"),
+      col("o_totalprice"))
+    val keys = raw.where(col("o_orderkey") % 97 === 0)
+      .select(concat(lit("k"), col("o_orderkey")).as("k"))
+    val exact = t.join(keys, col("okey") === col("k"), "left_semi")
+    val pre = MapLookup.bloomPrefilter(t, "okey", keys, "k",
+      expectedKeys = math.max(keys.count(), 1), fpp = 0.01)
+    assert(exact.join(pre, Seq("okey"), "left_anti").count() == 0,
+      "a true string-key match was dropped by the approximate filter")
+    assert(pre.count() < t.count() / 2,
+      s"bloom kept ${pre.count()} of ${t.count()} rows — no pruning on string keys")
+  }
+
+  test("bloomPrefilter plans the native might_contain predicate, not a Scala UDF") {
+    val keys = raw.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"))
+    val plan = MapLookup.bloomPrefilter(raw, "o_orderkey", keys, "k",
+      expectedKeys = 100).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected BloomFilterMightContain in the plan:\n${plan.take(800)}")
+    assert(!plan.contains("UDF"),
+      "bloom pre-filter must stay codegen'd — no Scala UDF in the plan")
+  }
 }
