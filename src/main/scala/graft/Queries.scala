@@ -622,6 +622,254 @@ object Queries {
                             AND o_orderpriority = '1-URGENT')
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_tpch_q9" -> Q(
+      // product-type-profit shape (TPC-H Q9): profit per supplier nation
+      // per year over one part family. This testdata has no partsupp, so
+      // supply cost is the deterministic stand-in 50% of p_retailprice —
+      // the plan shape is unchanged: the selective p_name LIKE filter
+      // prunes through the broadcast part dim BEFORE the fact join, then
+      // supplier→nation (broadcast) and orders supply the grouping keys.
+      // Profit rides as two exact-cents sums (revenue minus cost),
+      // differenced AFTER aggregation so each sum is FP-association-free.
+      (s, dir) => {
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .where(col("p_name").like("%widget%"))
+            .select("p_partkey", "p_retailprice")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("s_nk"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            - sum(cents(col("p_retailprice") * lit(0.5) * col("l_quantity"))))
+            .as("profit_cents"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          (sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)
+           - sum((round(p_retailprice*0.5*l_quantity*100, 0))::BIGINT))::BIGINT AS profit_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    "q_tpch_q21" -> Q(
+      // waiting-suppliers shape (TPC-H Q21): the canonical multi-semi/anti
+      // composition — suppliers who were the ONLY late supplier of a
+      // multi-supplier finalized order (reference users hand-rolled
+      // exactly this as chained reduce-side joins). This testdata has no
+      // receipt/commit dates, so "late" is shipped >85 days after the
+      // order date. Both the semi (another supplier exists) and the anti
+      // (no OTHER late supplier) are one equi-join on l_orderkey with the
+      // suppkey inequality as residual condition — hash joins on the
+      // order key, no cross product, fact shuffled once per leg on the
+      // same key.
+      (s, dir) => {
+        val ordersF = t(s, dir, "orders")
+          .where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val li = t(s, dir, "lineitem")
+        val late = li.join(ordersF, col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 85 DAYS"))
+        val l1 = late.select("l_orderkey", "l_suppkey")
+        val others = li.select(col("l_orderkey").as("o2_orderkey"),
+          col("l_suppkey").as("o2_suppkey"))
+        val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"),
+          col("l_suppkey").as("o3_suppkey"))
+        l1.join(others,
+            col("l_orderkey") === col("o2_orderkey") &&
+              col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+          .join(lateOthers,
+            col("l_orderkey") === col("o3_orderkey") &&
+              col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*)::BIGINT AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 85 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 85 DAY)
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    "q_tpch_q2" -> Q(
+      // minimum-cost-supplier shape (TPC-H Q2): for each qualifying part,
+      // the region's suppliers achieving the MINIMUM supply cost — the
+      // correlated-min-per-group join. This testdata has no partsupp, so
+      // the part↔supplier relation is derived from lineitem: per
+      // (part, supplier), cost = min observed unit price in exact centi
+      // units. The per-part min is ONE extra aggregation on the already
+      // part-keyed frame (no shuffle move), re-joined on (part, cost) —
+      // never a correlated subquery per row; dims (part filter, region
+      // suppliers) prune as broadcasts before the fact agg.
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(cents(col("l_extendedprice") / col("l_quantity")))
+            .as("cost_centi"))
+        val euSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("s_name"),
+            cents(col("s_acctbal")).as("s_acctbal_cents"), col("nation"))
+        val eligible = ps
+          .join(broadcast(t(s, dir, "part").where(col("p_size") === 5)
+            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        val minCost = eligible.groupBy(col("p_partkey").as("mc_partkey"))
+          .agg(min(col("cost_centi")).as("min_cost_centi"))
+        eligible.join(minCost,
+            col("p_partkey") === col("mc_partkey") &&
+              col("cost_centi") === col("min_cost_centi"))
+          .select("s_acctbal_cents", "s_name", "nation", "p_partkey", "cost_centi")
+          .orderBy(col("s_acctbal_cents").desc, col("nation"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+            min((round(l_extendedprice / l_quantity * 100, 0))::BIGINT) AS cost_centi
+          FROM lineitem GROUP BY 1, 2),
+        eu AS (
+          SELECT s_suppkey, s_name,
+            (round(s_acctbal*100, 0))::BIGINT AS s_acctbal_cents, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        el AS (
+          SELECT p_partkey, s_name, s_acctbal_cents, n_name, cost_centi
+          FROM ps JOIN part ON l_partkey = p_partkey
+          JOIN eu ON l_suppkey = s_suppkey
+          WHERE p_size = 5)
+        SELECT s_acctbal_cents, s_name, n_name AS nation, p_partkey, cost_centi
+        FROM el
+        WHERE cost_centi = (SELECT min(cost_centi) FROM el e2
+                            WHERE e2.p_partkey = el.p_partkey)
+        ORDER BY s_acctbal_cents DESC, nation, s_name, p_partkey LIMIT 100""")),
+
+    "q_tpch_q11" -> Q(
+      // important-stock shape (TPC-H Q11): per-part value held by one
+      // nation's suppliers, kept where value exceeds a FRACTION of the
+      // grand total. No partsupp → value = Σ extendedprice cents from
+      // lineitem. The global threshold rides as a 1-row broadcast and the
+      // comparison is exact integers (value·1000 > total), so the
+      // boundary can never flip on FP association — the q22 discipline
+      // applied to a global (not per-group) correlated scalar.
+      (s, dir) => {
+        val supp7 = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .where(col("n_name") === "NATION_7")
+            .select(col("n_nationkey").as("s_nk"))),
+            col("s_nationkey") === col("s_nk"))
+          .select("s_suppkey")
+        val value = t(s, dir, "lineitem")
+          .join(broadcast(supp7), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+        val total = value.agg(sum(col("value_cents")).as("_total_cents"))
+        value.crossJoin(broadcast(total))
+          .where(col("value_cents") * 1000 > col("_total_cents"))
+          .select("l_partkey", "value_cents")
+          .orderBy(col("value_cents").desc, col("l_partkey"))
+      },
+      Some("""WITH v AS (
+          SELECT l_partkey,
+            sum((round(l_extendedprice*100, 0))::BIGINT)::BIGINT AS value_cents
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'
+          GROUP BY 1)
+        SELECT l_partkey, value_cents FROM v
+        WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM v)
+        ORDER BY value_cents DESC, l_partkey""")),
+
+    "q_tpch_q15" -> Q(
+      // top-supplier shape (TPC-H Q15): quarterly revenue per supplier,
+      // suppliers tied for the MAXIMUM. The max is a 1-row broadcast over
+      // the already-aggregated (100-row) frame — the canonical view +
+      // correlated max rewritten as agg → broadcast scalar → filter, in
+      // exact cents so the tie comparison is integral.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_revenue_cents"))
+        val mx = rev.agg(max(col("total_revenue_cents")).as("_max_cents"))
+        rev.crossJoin(broadcast(mx))
+          .where(col("total_revenue_cents") === col("_max_cents"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+          SELECT l_suppkey,
+            sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT
+              AS total_revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue_cents
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    "q_tpch_q17" -> Q(
+      // small-quantity-order-revenue shape (TPC-H Q17): revenue from
+      // lineitems of one brand's parts whose quantity sits under 20% of
+      // that part's average quantity. The per-part average is ONE
+      // aggregation over the fact keyed the same way (no correlated
+      // subquery per row), and the 0.2·avg comparison is cleared of
+      // division: qty·5·n < Σqty in exact centi-quantity integers.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val perPart = li.groupBy(col("l_partkey").as("pp_partkey"))
+          .agg(sum(cents(col("l_quantity"))).as("_sum_qc"),
+            count(lit(1)).as("_n"))
+        li.join(broadcast(t(s, dir, "part")
+            .where(col("p_brand") === "Brand#12").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .join(perPart, col("l_partkey") === col("pp_partkey"))
+          .where(cents(col("l_quantity")) * 5 * col("_n") < col("_sum_qc"))
+          .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""WITH pp AS (
+          SELECT l_partkey AS pp_partkey,
+            sum((round(l_quantity*100, 0))::BIGINT)::BIGINT AS sum_qc,
+            count(*)::BIGINT AS n
+          FROM lineitem GROUP BY 1)
+        SELECT sum((round(l_extendedprice*100, 0))::BIGINT)::BIGINT AS revenue_cents,
+          count(*)::BIGINT AS cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN pp ON l_partkey = pp_partkey
+        WHERE p_brand = 'Brand#12'
+          AND (round(l_quantity*100, 0))::BIGINT * 5 * n < sum_qc""")),
+
     "q_join_broadcast" -> Q(
       (s, dir) => t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
