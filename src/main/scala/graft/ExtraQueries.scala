@@ -916,6 +916,44 @@ object ExtraQueries {
         replace(n_name, '_', '/') AS vec, n_name AS mname, n_name AS nested
         FROM nation"""))),
 
+    // Same record shapes through the reference's CSV wire format
+    // (`record/CsvRecordOutput.java` — %XX-escaped quoted strings, #hex
+    // buffers, v{}/m{}/s{} groups). The source data deliberately
+    // exercises the escapes: the string field carries ',100%}' (comma,
+    // percent AND closing brace), the vector a trailing EMPTY element,
+    // the map a comma-bearing key — all of which must survive the
+    // round trip for the oracle to match.
+    "q_record_csv" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val src = t(s, dir, "nation").select(
+        (col("n_nationkey") % 2 === 0).as("boolVal"),
+        col("n_nationkey").cast("byte").as("byteVal"),
+        col("n_nationkey").cast("int").as("intVal"),
+        (col("n_nationkey").cast("long") * 1000000007L).as("longVal"),
+        (col("n_regionkey") + lit(0.5)).cast("float").as("floatVal"),
+        (col("n_nationkey") / lit(4.0)).as("doubleVal"),
+        concat(col("n_name"), lit(",100%}")).as("stringVal"),
+        encode(col("n_name"), "UTF-8").as("bufferVal"),
+        split(concat(col("n_name"), lit("_")), "_").as("vectorVal"),
+        map(lit("k,1"), col("n_name")).as("mapVal"),
+        struct(col("n_name").as("stringVal")).as("recordVal")).as[RecRecord1]
+      val out = tmp("reccsv", dir)
+      Records.writeCsv(src, out)
+      Records.readCsv(s, out).toDF().select(
+        col("intVal").as("id"), col("boolVal"),
+        col("byteVal").cast("int").as("byteVal"), col("longVal"),
+        col("floatVal").cast("double").as("floatVal"), col("doubleVal"),
+        col("stringVal"), length(col("bufferVal")).cast("long").as("buf_len"),
+        array_join(col("vectorVal"), "/").as("vec"),
+        col("mapVal").getItem("k,1").as("mname"),
+        col("recordVal.stringVal").as("nested"))
+    }, Some("""SELECT n_nationkey AS id, (n_nationkey % 2 = 0) AS boolVal,
+        n_nationkey AS byteVal, n_nationkey::BIGINT * 1000000007 AS longVal,
+        (n_regionkey + 0.5)::DOUBLE AS floatVal, n_nationkey / 4.0 AS doubleVal,
+        n_name || ',100%}' AS stringVal, len(n_name)::BIGINT AS buf_len,
+        replace(n_name, '_', '/') || '/' AS vec, n_name AS mname, n_name AS nested
+        FROM nation"""))),
+
     // ---- composite presorted join: bucketed tables, zero shuffle ------
 
     "q_bucketed_join" -> (((s: SparkSession, dir: String) => {

@@ -52,4 +52,37 @@ class RecordsSpec extends SparkSpec {
     assert(back.map(normalize).toSeq == orig.map(normalize))
     assert(buffers(back.toSeq) == buffers(orig))
   }
+
+  test("csv round trip preserves all fields, incl. escapes and empty elements") {
+    val dir = java.nio.file.Files.createTempDirectory("rec").toString + "/csv"
+    // add an escape-heavy record: delimiter chars in the string, a
+    // comma-bearing map key, and an EMPTY vector element (the
+    // element-presence case XML cannot represent)
+    val rows = sample :+ RecRecord1(boolVal = true, byteVal = 7, intVal = 99,
+      longVal = 5L, floatVal = 2.5f, doubleVal = 0.125,
+      stringVal = "a,b%c}d\ne", bufferVal = Array[Byte](10, -1),
+      vectorVal = Seq("x", "", "y,z"), mapVal = Map("k,1" -> "v}2"),
+      recordVal = RecRecord0("n,{}"))
+    Records.writeCsv(Records.dataset(spark, rows), dir)
+    val back = Records.readCsv(spark, dir).collect().sortBy(_.intVal)
+    val orig = rows.sortBy(_.intVal)
+    assert(back.map(normalize).toSeq == orig.map(normalize))
+    assert(buffers(back.toSeq) == buffers(orig))
+  }
+
+  test("csv wire format matches the reference CsvRecordOutput byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("rec").toString + "/wire"
+    val one = RecRecord1(boolVal = true, byteVal = 1, intVal = 42,
+      longVal = 100L, floatVal = 1.5f, doubleVal = 0.25,
+      stringVal = "a,b%c}d", bufferVal = Array[Byte](0x0a, -1),
+      vectorVal = Seq("x", ""), mapVal = Map("k" -> "v"),
+      recordVal = RecRecord0("n"))
+    Records.writeCsv(Records.dataset(spark, Seq(one)), dir)
+    val line = spark.read.text(dir).collect().map(_.getString(0)).toSeq
+    // hand-assembled from CsvRecordOutput.java + Utils.toCSVString/
+    // toCSVBuffer: T/F bool, decimal ints, float printed through double,
+    // 'quoted %XX-escaped string, #lowercase-hex buffer, v{}/m{}/s{}
+    assert(line == Seq(
+      "T,1,42,100,1.5,0.25,'a%2Cb%25c%7Dd,#0aff,v{'x,'},m{'k,'v},s{'n}"))
+  }
 }
