@@ -40,6 +40,17 @@ object PageRank {
 
   /** [[pageRank]] plus a release() for the final iteration's checkpoint
     * and the edge list — call once the ranks have materialized.
+    *
+    * TWO tables are materialized up front and re-entered every
+    * iteration: the weighted edge list and `nodesDeg` (every node with
+    * its out-degree, null = dangling). The rank table CARRIES `deg`
+    * between iterations so the dangling mass is a pure scan of the
+    * checkpointed ranks — r9's profile showed the loop instead
+    * recomputing `nodes`/`outdeg` from the RAW edges inside every
+    * iteration (a full input scan + two distinct shuffles per pass,
+    * hidden inside the lazily-materialized dangling broadcast), which
+    * at 100 TB would turn a 3-iteration run into 3 extra passes over
+    * the edge input.
     */
   def pageRankTracked(edgesRaw: DataFrame, srcCol: String, dstCol: String,
                       iters: Int = 3, damping: Double = 0.85): Checkpoints.Truncated = {
@@ -47,33 +58,46 @@ object PageRank {
     val edges = edgesRaw
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .distinct()
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     // the weighted edge list re-enters every iteration — materialize once
     val weT = Checkpoints.truncateTracked(
       edges.join(outdeg, "src").select("src", "dst", "deg"), eager = true)
     val we = weT.df
-    val nScalar = broadcast(nodes.agg(count(lit(1)).cast("double").as("_n")))
+    // every node with its out-degree (null deg = dangling) — the second
+    // per-iteration re-entrant table. Derived from the CHECKPOINTED edge
+    // list, not the raw input: src nodes carry their deg on every we row,
+    // dangling nodes are dst-side only — so building it costs shuffles
+    // over the materialized edges, never another pass over the input.
+    val srcDeg = we.select(col("src").as("node"), col("deg")).distinct()
+    val ndT = Checkpoints.truncateTracked(
+      srcDeg.unionByName(
+        we.select(col("dst").as("node")).distinct()
+          .join(srcDeg.select("node"), Seq("node"), "left_anti")
+          .withColumn("deg", lit(null).cast("double"))),
+      eager = true)
+    val nodesDeg = ndT.df
+    val nScalar = broadcast(nodesDeg.agg(count(lit(1)).cast("double").as("_n")))
     // (1 - damping) computed in IEEE double on BOTH engines (the oracle
     // writes `1 - 0.85`, not a decimal literal) so the teleport term is
     // bit-identical
     val teleport = lit(1.0 - damping)
-    var r = nodes.crossJoin(nScalar)
-      .select(col("node"), round(lit(1.0) / col("_n"), 9).as("r"))
+    var r = nodesDeg.crossJoin(nScalar)
+      .select(col("node"), col("deg"), round(lit(1.0) / col("_n"), 9).as("r"))
     var releasePrev: () => Unit = () => ()
     for (_ <- 1 to iters) {
-      val contrib = we.join(r, col("src") === col("node"))
+      val contrib = we.join(r.select("node", "r"), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(round(sum(col("r") / col("deg")), 9).as("contrib"))
         .select(col("dst").as("node"), col("contrib"))
+      // dangling mass: nodes with no out-edges — deg rides in the rank
+      // table, so this is a scan of the previous checkpoint, no join
       val dangling = broadcast(
-        r.join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        r.where(col("deg").isNull)
           .agg(coalesce(round(sum(col("r")), 9), lit(0.0)).as("_mass")))
       val nextT = Checkpoints.truncateTracked(
-        nodes.join(contrib, Seq("node"), "left")
+        nodesDeg.join(contrib, Seq("node"), "left")
           .crossJoin(nScalar).crossJoin(dangling)
-          .select(col("node"),
+          .select(col("node"), col("deg"),
             round(teleport / col("_n") + lit(damping) *
               (coalesce(col("contrib"), lit(0.0)) + col("_mass") / col("_n")),
               9).as("rank")),
@@ -83,7 +107,8 @@ object PageRank {
       r = nextT.df.withColumnRenamed("rank", "r")
     }
     val finalRelease = releasePrev
-    Checkpoints.Truncated(r.withColumnRenamed("r", "rank"),
-      () => { weT.release(); finalRelease() })
+    Checkpoints.Truncated(
+      r.select(col("node"), col("r").as("rank")),
+      () => { weT.release(); ndT.release(); finalRelease() })
   }
 }
