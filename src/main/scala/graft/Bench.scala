@@ -835,6 +835,49 @@ object Bench {
       System.err.println(s"[bench] d10 failed: ${e.getMessage}")
     }
 
+    // d12: incremental-dedup trend — fixed HISTORY fingerprint table,
+    // new batch ×10 (decorrelated doc copies). The operator's claim is
+    // work ∝ batch with the history contributing only the bloom build +
+    // candidate-key anti join: wall should scale ≈ batch, and the
+    // counters attribute it — fast_path rows (bloom miss, no join) vs
+    // candidates (bloom hit → exact anti join), with candidates staying
+    // ≈ (planted dup rate + fpp)·batch at both scales.
+    try {
+      import graft.dedup.Dedup
+      // history from the SUFFIXED 1x docs (ampDocs(1)) so copy-0 re-crawls
+      // in both batches are TRUE history dups — the counters then show
+      // candidates = true dups + ~fpp·batch at each scale
+      val histFps = Dedup.exact(ampDocs(1).where(col("doc_id") % 3 === 0))
+        .select("text_hash")
+      def batchOf(docs: DataFrame): DataFrame =
+        docs.where(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+          .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+            .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text")))
+      // 1x side pays the identical amplifier transform (the d6 rationale)
+      val b1 = batchOf(ampDocs(1))
+      val b10 = batchOf(docs10x)
+      measure("d12_incremental_dedup", ctlTimes)(exec(
+        Dedup.incrementalExact(b1, histFps, expectedHistory = 1000000L)))
+      measure("d12_incremental_dedup", times)(exec(
+        Dedup.incrementalExact(b10, histFps, expectedHistory = 1000000L)))
+      def incDiag(tag: String, batch: DataFrame): Unit = try {
+        val pred = graft.sources.MapLookup.bloomPredicate(
+          histFps, "text_hash", expectedKeys = 1000000L)(col("text_hash"))
+        val deduped = Dedup.exact(batch)
+        val r = deduped.agg(count(lit(1)).as("batch_keys"),
+          coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("candidates")).head()
+        scaleDiag(s"d12_${tag}_batch_keys") = r.getLong(0)
+        scaleDiag(s"d12_${tag}_candidates") = r.getLong(1)
+        scaleDiag(s"d12_${tag}_fast_path") = r.getLong(0) - r.getLong(1)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d12 diag $tag failed: ${e.getMessage}")
+      }
+      incDiag("1x", b1)
+      incDiag("10x", b10)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d12 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each
@@ -874,6 +917,58 @@ object Bench {
       }
       measure("d4_stream_hourly", ctlTimes)(streamOnce("1x"))
       measure("d4_stream_hourly", times)(streamOnce("10x"))
+
+      // d11: checkpoint-RESTART trend — the most expensive streaming
+      // suite query's scale story. Phase 1 (untimed) streams all but the
+      // last 2 hours of the staged input and checkpoints; phase 2 (the
+      // measured point) resumes from that checkpoint with only the final
+      // 2-hour slice newly arrived. The slice is the same absolute size
+      // at both scales (the 10x copies are time-disjoint, so "the last
+      // 2 hours" belongs to one copy), so the 10x/1x ratio isolates what
+      // restart itself costs as processed HISTORY grows 10x: with a
+      // 2-hour watermark the live state is horizon-bounded (windows
+      // within watermark of the cut), and the checkpoint/sink logs grow
+      // with batches, not rows — resume should read ≈flat, and a ratio
+      // trending toward 10 would mean restore cost ∝ history (a real
+      // scale bug). Counters record history/resume rows + live windows.
+      def d11(tag: String): Option[Double] =
+        try {
+          import org.apache.spark.sql.streaming.Trigger
+          val df = spark.read.parquet(s"$d4root/in$tag")
+          val mx = df.agg(max("ts")).head().getTimestamp(0)
+          val cutTs = new java.sql.Timestamp(mx.getTime - 2L * 3600 * 1000)
+          val dir = s"$d4root/restart_$tag"
+          val hist = df.where(col("ts") <= lit(cutTs))
+          val tail = df.where(col("ts") > lit(cutTs))
+          hist.write.mode("overwrite").parquet(s"$dir/in")
+          def run(): Unit = {
+            val q = graft.streaming.EventStreams.hourlyCounts(
+                graft.streaming.EventStreams.readEvents(spark, s"$dir/in", "*.parquet"))
+              .writeStream.format("parquet")
+              .option("path", s"$dir/sink")
+              .option("checkpointLocation", s"$dir/ckpt")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+          run() // phase 1: build 1x/10x history into the checkpoint
+          tail.write.mode("append").parquet(s"$dir/in")
+          scaleDiag(s"d11_${tag}_hist_rows") = hist.count()
+          scaleDiag(s"d11_${tag}_resume_rows") = tail.count()
+          // live state at the cut: windows young enough to be unexpired
+          // under the 2h watermark — the rows a resume must restore
+          scaleDiag(s"d11_${tag}_state_windows") = hist
+            .where(col("ts") > lit(new java.sql.Timestamp(
+              cutTs.getTime - 3L * 3600 * 1000)))
+            .select(date_trunc("hour", col("ts")), col("event_type"))
+            .distinct().count()
+          hygiene(spark)
+          Some(time(run())) // phase 2: the measured resume
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] d11 $tag failed: ${e.getMessage}")
+          None
+        }
+      d11("1x").foreach(t => ctlTimes("d11_stream_restart") = t)
+      d11("10x").foreach(t => times("d11_stream_restart") = t)
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d4 staging failed: ${e.getMessage}")
     } finally rmrf(new java.io.File(d4root))

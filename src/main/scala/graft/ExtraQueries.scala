@@ -1001,6 +1001,36 @@ object ExtraQueries {
 
     // ---- dedup tail ---------------------------------------------------
 
+    // Incremental exact dedup: the daily-ingest shape — a new batch
+    // (non-history docs + 40 re-crawled history docs under fresh ids) is
+    // deduped intra-batch, then against the HISTORY fingerprint table via
+    // the bloom negative-lookup skip (definitely-new rows bypass the anti
+    // join entirely; the bloom has no false negatives, so the result is
+    // EXACTLY the plain anti join the oracle computes).
+    "q_dedup_incremental" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val history = docs.where(col("doc_id") % 3 === 0)
+      val historyFps = Dedup.exact(history).select("text_hash")
+      val recrawl = docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+      val batch = docs.where(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text").unionByName(recrawl)
+      Dedup.incrementalExact(batch, historyFps,
+        expectedHistory = 100000L, fpp = 0.01)
+    }, Some("""WITH hist AS (
+        SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 3 = 0),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 5000000, text FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id < 120),
+      ded AS (
+        SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS doc_id,
+          count(*)::BIGINT AS dup_cnt
+        FROM batch GROUP BY 1)
+      SELECT text_hash, doc_id, dup_cnt FROM ded
+      WHERE text_hash NOT IN (SELECT text_hash FROM hist)"""))),
+
     // Jaccard-VERIFIED corpus dedup: LSH candidates gated by exact n-gram
     // Jaccard >= 0.8 before clustering; oracle replays the whole pipeline
     // including the gate and the connected components (recursive CTE).

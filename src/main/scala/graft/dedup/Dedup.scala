@@ -75,6 +75,46 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(toks(lower(text)))), " "))
 
+  /** Incremental exact dedup: dedup a NEW batch against the published
+    * fingerprint table of an already-deduped HISTORY corpus, without
+    * reprocessing the history — the daily-ingest shape (at 100 TB the
+    * corpus dwarfs any day's batch; re-deduplicating from scratch per
+    * batch is the naive plan this operator replaces).
+    *
+    * Every stage is bounded by the BATCH, never the corpus:
+    *  1. intra-batch [[exact]] dedup — one hash shuffle of the batch;
+    *  2. history lookup with a bloom NEGATIVE-LOOKUP SKIP
+    *     ([[graft.sources.MapLookup.bloomPredicate]] — the BloomMapFile
+    *     pattern `/root/reference/src/core/org/apache/hadoop/io/BloomMapFile.java:45`,
+    *     negated): no false negatives means a batch row that MISSES the
+    *     bloom is definitely unseen and is kept with no join at all;
+    *     only the ~(dup-rate + fpp) fraction that hits shuffles into the
+    *     exact anti join that removes the false positives.
+    * The history side contributes one distributed bloom build (bits ∝
+    * `expectedHistory`, broadcast once) and the exact anti join's
+    * history scan is bloom-PREfiltered too — both sides of that shuffle
+    * carry only candidate keys.
+    *
+    * Returns the batch's surviving canonical rows
+    * (`text_hash`, id, `dup_cnt`) — append these to the corpus and their
+    * hashes to the fingerprint table to complete the ingest cycle.
+    */
+  def incrementalExact(batch: DataFrame, historyFps: DataFrame,
+                       fpCol: String = "text_hash",
+                       text: String = "text", id: String = "doc_id",
+                       expectedHistory: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    val b = exact(batch, text, id)
+    val mightBeSeen =
+      graft.sources.MapLookup.bloomPredicate(historyFps, fpCol,
+        expectedHistory, fpp)(col("text_hash"))
+    val hist = historyFps.select(col(fpCol).as("text_hash"))
+    b.where(!mightBeSeen) // definitely-new fast path: no join
+      .unionByName(
+        b.where(mightBeSeen)
+          .join(hist, Seq("text_hash"), "left_anti"))
+  }
+
   /** MinHash permutation constants: universal-hash family
     * `h_i(x) = (a_i * (x mod P) + b_i) mod P` over the prime
     * P = 2^31 - 1. Engine-portable (exact 64-bit integer math) and cheap:

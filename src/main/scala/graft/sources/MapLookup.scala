@@ -75,7 +75,19 @@ object MapLookup {
     */
   def bloomPrefilter(table: DataFrame, keyCol: String,
                      keys: DataFrame, keysCol: String,
-                     expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+                     expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    table.where(bloomPredicate(keys, keysCol, expectedKeys, fpp)(col(keyCol)))
+
+  /** The approximate-membership predicate itself: builds the bloom over
+    * `keys(keysCol)` (distributed partial sketches, one driver collect of
+    * bits ∝ expectedKeys) and returns a reusable might-contain Column for
+    * any key expression. `false` is DEFINITIVE (no false negatives) —
+    * which is what makes the negated form useful too: rows failing the
+    * predicate are certainly absent and can skip an exact join entirely
+    * (the incremental-dedup fast path, [[graft.dedup.Dedup]]).
+    */
+  def bloomPredicate(keys: DataFrame, keysCol: String,
+                     expectedKeys: Long, fpp: Double = 0.01): Column => Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     val bloom = keys.select(xxhash64(col(keysCol)).as("__graft_key_hash"))
@@ -85,10 +97,10 @@ object MapLookup {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val pred = BloomFilterMightContain(
-      Literal(bytes, BinaryType),
-      org.apache.spark.sql.graft.ColumnShim.expression(xxhash64(col(keyCol))))
-    table.where(org.apache.spark.sql.graft.ColumnShim.column(pred))
+    (key: Column) => org.apache.spark.sql.graft.ColumnShim.column(
+      BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        org.apache.spark.sql.graft.ColumnShim.expression(xxhash64(key))))
   }
 
   /** Rows of the scan actually read under a pushed predicate — the

@@ -26,6 +26,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((2L, 2L), (9L, 1L)))
   }
 
+  test("incrementalExact equals plain anti join and uses the bloom fast path") {
+    val history = docs(1L -> "seen one", 2L -> "seen two", 3L -> "seen three")
+    val fps = Dedup.exact(history).select("text_hash")
+    val batch = docs(
+      10L -> "brand new",     // definitely new
+      11L -> "seen two",      // re-crawl of history → dropped
+      12L -> "brand new",     // intra-batch dup of 10 → collapsed
+      13L -> "also new")
+    val got = Dedup.incrementalExact(batch, fps, expectedHistory = 10)
+    // equivalence to the naive plan: batch exact-dedup anti-join history
+    val naive = Dedup.exact(batch)
+      .join(fps, Seq("text_hash"), "left_anti")
+    assert(got.collect().map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      naive.collect().map(r => (r.getLong(1), r.getLong(2))).toSet)
+    assert(got.count() == 2) // "brand new" (id 10, cnt 2) + "also new"
+    // the membership test is the native bloom predicate, not a UDF/join
+    // (analyzed plan: over in-memory test rows Catalyst folds the local
+    // filters away entirely; MapLookupSpec asserts the executed form on
+    // real file scans)
+    val plan = got.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), plan.take(500))
+  }
+
   test("fingerprint is word-order and duplication invariant") {
     val df = docs(1L -> "alpha beta gamma", 2L -> "gamma alpha beta alpha", 3L -> "alpha beta delta")
     val fps = df.select(Dedup.fingerprint(col("text"))).collect().map(_.getString(0))
