@@ -769,21 +769,24 @@ object Queries {
 
     "q_tpch_q11" -> Q(
       // important-stock shape (TPC-H Q11): per-part value held by one
-      // nation's suppliers, kept where value exceeds a FRACTION of the
-      // grand total. No partsupp → value = Σ extendedprice cents from
+      // supplier group (canonically a nation; here region ASIA — the
+      // sf0.001 testdata has 10 suppliers total, so a single nation can
+      // be empty), kept where value exceeds a FRACTION of the grand
+      // total. No partsupp → value = Σ extendedprice cents from
       // lineitem. The global threshold rides as a 1-row broadcast and the
       // comparison is exact integers (value·1000 > total), so the
       // boundary can never flip on FP association — the q22 discipline
       // applied to a global (not per-group) correlated scalar.
       (s, dir) => {
-        val supp7 = t(s, dir, "supplier")
+        val asiaSupp = t(s, dir, "supplier")
           .join(broadcast(t(s, dir, "nation")
-            .where(col("n_name") === "NATION_7")
+            .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
             .select(col("n_nationkey").as("s_nk"))),
             col("s_nationkey") === col("s_nk"))
           .select("s_suppkey")
         val value = t(s, dir, "lineitem")
-          .join(broadcast(supp7), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
           .groupBy("l_partkey")
           .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
         val total = value.agg(sum(col("value_cents")).as("_total_cents"))
@@ -798,7 +801,8 @@ object Queries {
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
-          WHERE n_name = 'NATION_7'
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
           GROUP BY 1)
         SELECT l_partkey, value_cents FROM v
         WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM v)
