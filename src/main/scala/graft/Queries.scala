@@ -2062,6 +2062,77 @@ object Queries {
         JOIN sizes sb ON sb.doc_id = p.doc_b"""
       }),
 
+    "q_dedup_incr_near" -> Q(
+      // Incremental NEAR-dup: new batch (non-history docs + 40 re-crawls
+      // with one appended token — Jaccard just under 1) probed against
+      // the history band table, Jaccard-verified ≥ 0.8. The oracle
+      // replays minhash/banding/Jaccard over the same b:/h:-prefixed
+      // corpus and keeps only batch×history pairs.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val history = docs.where(col("doc_id") % 3 === 0)
+          .select("doc_id", "text")
+        val recrawl = docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+          .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+            concat(col("text"), lit(" graftzz")).as("text"))
+        val batch = docs.where(col("doc_id") % 3 =!= 0)
+          .select("doc_id", "text").unionByName(recrawl)
+        Dedup.incrementalNearDups(batch, history, threshold = 0.8,
+            maxBucket = 1000000)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .withColumn("batch_id", col("batch_id").cast("long"))
+          .withColumn("hist_id", col("hist_id").cast("long"))
+      },
+      Some {
+        val bandSelects = (0 until 4).map { b =>
+          val (i, j) = (2 * b, 2 * b + 1)
+          val sel = s"SELECT did, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+          if (b == 0) sel else s"UNION ALL $sel"
+        }.mkString(" ")
+        s"""WITH base AS (
+          SELECT 'h:' || doc_id::VARCHAR AS did, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT 'b:' || doc_id::VARCHAR, text FROM documents WHERE doc_id % 3 <> 0
+          UNION ALL
+          SELECT 'b:' || (doc_id + 5000000)::VARCHAR, text || ' graftzz'
+          FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
+        w AS (
+          SELECT did, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM base),
+        shl AS (
+          SELECT did, list_distinct(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS shs
+          FROM w),
+        sh AS (SELECT did, unnest(shs) AS sh FROM shl),
+        hx AS (
+          SELECT did, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+          FROM sh),
+        sig AS (SELECT did, ${minhashSigSql(8).replace("doc_id", "did")} FROM hx GROUP BY 1),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.did AS da, b.did AS db
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.did LIKE 'b:%' AND b.did LIKE 'h:%'),
+        sizes AS (SELECT did, len(shs)::BIGINT AS sz FROM shl),
+        inter AS (
+          SELECT p.da, p.db, count(*)::BIGINT AS inter
+          FROM pairs p
+          JOIN sh a ON a.did = p.da
+          JOIN sh b ON b.did = p.db AND a.sh = b.sh
+          GROUP BY 1, 2),
+        j AS (
+          SELECT p.da, p.db,
+            coalesce(i.inter, 0)::DOUBLE
+              / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jac
+          FROM pairs p
+          LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+          JOIN sizes sa ON sa.did = p.da
+          JOIN sizes sb ON sb.did = p.db)
+        SELECT substr(da, 3)::BIGINT AS batch_id, substr(db, 3)::BIGINT AS hist_id,
+          round(jac, 6) AS jaccard
+        FROM j WHERE jac >= 0.8"""
+      }),
+
     "q_kv_parse" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_type"),

@@ -115,6 +115,60 @@ object Dedup {
           .join(hist, Seq("text_hash"), "left_anti"))
   }
 
+  /** Incremental NEAR-dup: the fuzzy counterpart of [[incrementalExact]].
+    * LSH bands of the NEW batch probe the band table of the history
+    * corpus; candidates are verified by exact n-gram Jaccard between the
+    * batch doc and its matched history doc. Returns verified
+    * (`batch_id`, `hist_id`, `jaccard`) pairs — survivors are the batch
+    * anti-joined on `batch_id`.
+    *
+    * At 100 TB the history BAND TABLE is published alongside the corpus
+    * (computed once at ingest; bucket it by (band, bkey) and the
+    * per-batch probe shuffles only the batch side). Per batch, the cost
+    * is bands(batch) + one equi-join probe + shingles over CANDIDATE
+    * docs only — history text is never re-tokenized beyond the docs that
+    * actually matched a bucket. `maxBucket` drops pathological HISTORY
+    * buckets (corpus-wide boilerplate) before the probe — the
+    * [[minhashCandidates]] ceiling rationale applied to the history side.
+    *
+    * Batch and history ids may collide (they are different tables), so
+    * the Jaccard verification runs over a `b:`/`h:`-prefixed union of
+    * just the candidate docs, then maps back to the original ids.
+    */
+  def incrementalNearDups(batch: DataFrame, history: DataFrame,
+                          threshold: Double = 0.8, numPerms: Int = 8,
+                          rowsPerBand: Int = 2, shingleN: Int = 3,
+                          maxBucket: Int = 1000, text: String = "text",
+                          id: String = "doc_id"): DataFrame = {
+    val bBands = lshBands(minhashSignatures(batch, numPerms, shingleN, text, id),
+        numPerms, rowsPerBand, id)
+      .select(col(id).as("batch_id"), col("band"), col("bkey"))
+    val hBands = lshBands(minhashSignatures(history, numPerms, shingleN, text, id),
+        numPerms, rowsPerBand, id)
+      .select(col(id).as("hist_id"), col("band"), col("bkey"))
+    val okBuckets = hBands.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("_n")).where(col("_n") <= maxBucket)
+      .select("band", "bkey")
+    val cand = bBands
+      .join(hBands.join(okBuckets, Seq("band", "bkey")), Seq("band", "bkey"))
+      .select("batch_id", "hist_id").distinct()
+    val candDocs =
+      batch.join(cand.select(col("batch_id").as(id)).distinct(), id)
+        .select(concat(lit("b:"), col(id).cast("string")).as(id), col(text))
+      .unionByName(
+        history.join(cand.select(col("hist_id").as(id)).distinct(), id)
+          .select(concat(lit("h:"), col(id).cast("string")).as(id), col(text)))
+    val prefixedPairs = cand.select(
+      concat(lit("b:"), col("batch_id").cast("string")).as("doc_a"),
+      concat(lit("h:"), col("hist_id").cast("string")).as("doc_b"))
+    cand.join(
+        ngramJaccard(candDocs, prefixedPairs, shingleN, text, id)
+          .where(col("jaccard") >= threshold),
+        concat(lit("b:"), col("batch_id").cast("string")) === col("doc_a") &&
+          concat(lit("h:"), col("hist_id").cast("string")) === col("doc_b"))
+      .select(col("batch_id"), col("hist_id"), col("jaccard"))
+  }
+
   /** MinHash permutation constants: universal-hash family
     * `h_i(x) = (a_i * (x mod P) + b_i) mod P` over the prime
     * P = 2^31 - 1. Engine-portable (exact 64-bit integer math) and cheap:

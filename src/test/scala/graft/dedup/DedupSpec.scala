@@ -49,6 +49,17 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan.take(500))
   }
 
+  test("incrementalNearDups finds a near-dup of history, skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val history = docs(1L -> base, 2L -> "completely different words entirely here")
+    val batch = docs(
+      10L -> (base + " tail"),                       // near-dup of hist 1
+      11L -> "nothing in common with anything else") // unrelated
+    val got = Dedup.incrementalNearDups(batch, history, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L)))
+  }
+
   test("fingerprint is word-order and duplication invariant") {
     val df = docs(1L -> "alpha beta gamma", 2L -> "gamma alpha beta alpha", 3L -> "alpha beta delta")
     val fps = df.select(Dedup.fingerprint(col("text"))).collect().map(_.getString(0))
