@@ -878,6 +878,39 @@ object Bench {
       System.err.println(s"[bench] d12 failed: ${e.getMessage}")
     }
 
+    // d13: substring-dedup trend — duplicateWindows over decorrelated
+    // ×10 docs. The operator's claim: work ∝ character windows (one
+    // explode + one hash groupBy + one join back), NEVER doc-pairs —
+    // so wall and every counter should read ≈10× while a pairwise
+    // formulation would read ~100×. Counters attribute the join's
+    // duplicated-hash side too: with decorrelated copies the dup RATE
+    // is constant, so dup_windows also grows ∝ corpus, and the
+    // groupBy-count formulation keeps even a fully-duplicated corpus
+    // linear (k copies of a window are k rows in one hash bucket, not
+    // k(k-1)/2 pairs).
+    try {
+      import graft.dedup.Dedup
+      val w1 = ampDocs(1)
+      measure("d13_substring_dedup", ctlTimes)(exec(
+        Dedup.duplicateWindows(w1)))
+      measure("d13_substring_dedup", times)(exec(
+        Dedup.duplicateWindows(docs10x)))
+      def winDiag(tag: String, corpus: DataFrame): Unit = try {
+        val res = Dedup.duplicateWindows(corpus)
+          .agg(coalesce(sum(col("total_windows")), lit(0L)).as("windows"),
+            coalesce(sum(col("dup_windows")), lit(0L)).as("dup_windows"))
+          .head()
+        scaleDiag(s"d13_${tag}_windows") = res.getLong(0)
+        scaleDiag(s"d13_${tag}_dup_windows") = res.getLong(1)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d13 diag $tag failed: ${e.getMessage}")
+      }
+      winDiag("1x", w1)
+      winDiag("10x", docs10x)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d13 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

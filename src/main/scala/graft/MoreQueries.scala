@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.Sketches
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Round-10 oracle queries: standalone connected components, hybrid
+  * retrieval fusion, cross-doc substring dedup, and the deterministic
+  * HLL sketch. Registered into [[Queries.fullRegistry]]; same
+  * determinism rules as [[Queries]] (exact integers where association
+  * matters, md5-only hashing, unique total orders before any limit).
+  */
+object MoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val registry: Map[String, (
+    (SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // Standalone connected components over an explicit edge list (here:
+    // the LSH near-dup candidate pairs — the edge set q_dedup_corpus
+    // consumes internally), labeling every endpoint with the smallest
+    // reachable doc_id. The Spark side is O(diameter) min-label
+    // propagation joins with generation-released checkpoints
+    // (Dedup.dedupClusters); the oracle is a genuinely independent
+    // algorithm — a recursive-CTE reachability walk — so an
+    // under-propagation bug cannot cancel out of both sides.
+    "q_connected_components" -> (((s: SparkSession, dir: String) => {
+      val pairs = Dedup.minhashCandidates(t(s, dir, "documents"),
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+      Dedup.dedupClusters(pairs)
+        .select(col("doc_id"), col("cluster").as("component"))
+        .orderBy("doc_id")
+    }, Some {
+      val bandSelects = (0 until 4).map { b =>
+        val (i, j) = (2 * b, 2 * b + 1)
+        val sel = s"SELECT doc_id, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+        if (b == 0) sel else s"UNION ALL $sel"
+      }.mkString(" ")
+      val sigs = (0 until 8).map { i =>
+        s"min((x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})::BIGINT AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+        w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
+          FROM w),
+        hx AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+          FROM sh),
+        sig AS (SELECT doc_id, $sigs FROM hx GROUP BY 1),
+        bands AS ($bandSelects),
+        edges AS (
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id <> b.doc_id),
+        walk(node, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, wk.comp FROM walk wk JOIN edges e ON e.src = wk.node)
+        SELECT node AS doc_id, min(comp)::BIGINT AS component
+        FROM walk GROUP BY 1 ORDER BY 1"""
+    })),
+
+    // Hybrid retrieval with reciprocal-rank fusion: a lexical ranking
+    // (query-term frequency over documents) and a vector ranking (cosine
+    // against one query embedding) fused by rank only — the standard
+    // two-tower retrieval composition. Both input lists are top-50 with
+    // a unique (score, id) total order BEFORE the cut, so the fused
+    // ranks are engine-independent; each list is k-bounded, so the
+    // rank windows only ever see 50 rows (the global orderings
+    // themselves are TakeOrderedAndProject, never a full sort).
+    "q_rrf_fusion" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val lexTop = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+        .where(col("tk").isin("spark", "join", "table"))
+        .groupBy("doc_id").agg(count(lit(1)).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      val lexRank = lexTop.select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("rank"))
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val vecTop = Similarity.topKCosine(emb, qvec, 50)
+      val vecRank = vecTop.select(col("vec_id").as("id"),
+        row_number().over(Window.orderBy(col("cosine_sim").desc, col("vec_id")))
+          .as("rank"))
+      Similarity.rrfFuse(Seq(lexRank, vecRank))
+        .orderBy(col("rrf_score").desc, col("id"))
+        .limit(20)
+        .select(col("id").as("doc_id"), col("rrf_score"), col("n_lists"))
+    }, Some("""WITH lex0 AS (
+        SELECT doc_id, count(*)::BIGINT AS score
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+        WHERE tk IN ('spark', 'join', 'table')
+        GROUP BY 1),
+      lextop AS (SELECT * FROM lex0 ORDER BY score DESC, doc_id LIMIT 50),
+      lexr AS (SELECT doc_id AS id,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM lextop),
+      q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+      vecs AS (
+        SELECT vec_id,
+          round(list_dot_product(embedding::DOUBLE[], q.e)
+            / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               * sqrt(list_dot_product(q.e, q.e))), 6) AS cs
+        FROM embeddings, q
+        ORDER BY cs DESC, vec_id LIMIT 50),
+      vecr AS (SELECT vec_id AS id,
+          row_number() OVER (ORDER BY cs DESC, vec_id) AS rnk
+        FROM vecs),
+      u AS (SELECT id, rnk FROM lexr UNION ALL SELECT id, rnk FROM vecr)
+      SELECT id AS doc_id,
+        round(sum(1.0::DOUBLE / (60 + rnk)), 9) AS rrf_score,
+        count(*)::BIGINT AS n_lists
+      FROM u GROUP BY 1
+      ORDER BY rrf_score DESC, doc_id LIMIT 20"""))),
+
+    // Cross-document duplicated character windows (Lee et al. 2022
+    // ExactSubstr approximation — see Dedup.duplicateWindows): per-doc
+    // count and fraction of 40-char windows (stride 20) whose hash
+    // appears in at least one OTHER document.
+    "q_substring_dedup" -> (((s: SparkSession, dir: String) => {
+      Dedup.duplicateWindows(t(s, dir, "documents"), winLen = 40, stride = 20)
+        .orderBy("doc_id")
+    }, Some("""WITH wins AS (
+        SELECT doc_id, md5(substr(text, i, 40)) AS h
+        FROM (SELECT doc_id, text, unnest(range(1, len(text) - 38, 20)) AS i
+              FROM documents WHERE len(text) >= 40)),
+      dup AS (
+        SELECT h FROM (
+          SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+        WHERE nd > 1)
+      SELECT wins.doc_id,
+        count(*)::BIGINT AS total_windows,
+        count(dup.h)::BIGINT AS dup_windows,
+        round(count(dup.h)::DOUBLE / count(*), 6) AS dup_frac
+      FROM wins LEFT JOIN dup ON wins.h = dup.h
+      GROUP BY 1 ORDER BY 1"""))),
+
+    // Deterministic HyperLogLog (m=64) distinct-user estimate per event
+    // type, next to the exact count — certifies the O(m)-state sketch
+    // (Sketches.hllDistinctByGroup) against an oracle that replays the
+    // register math bit-for-bit (bucket split, bin()-length ranks, the
+    // exact integer harmonic denominator, one final double division).
+    "q_hll_distinct" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val est = Sketches.hllDistinctByGroup(ev, col("event_type"),
+        col("user_id"), m = 64)
+      val exact = ev.groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "grp").orderBy("grp")
+        .select(col("grp").as("event_type"), col("hll_est"),
+          col("zero_registers"), col("m"), col("exact_distinct"))
+    }, Some("""WITH h AS (
+        SELECT event_type AS grp,
+          ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM events),
+      b AS (SELECT grp, hv % 64 AS reg, hv // 64 AS rest FROM h),
+      r AS (SELECT grp, reg,
+          CASE WHEN rest = 0 THEN 55 ELSE 55 - len(bin(rest)) END AS rho
+        FROM b),
+      regs AS (SELECT grp, reg, max(rho) AS m_reg FROM r GROUP BY 1, 2),
+      grid AS (
+        SELECT grp, unnest(range(0, 64)) AS reg
+        FROM (SELECT DISTINCT grp FROM h)),
+      full_regs AS (
+        SELECT grid.grp, coalesce(m_reg, 0) AS m_reg
+        FROM grid LEFT JOIN regs ON grid.grp = regs.grp AND grid.reg = regs.reg),
+      s AS (
+        SELECT grp,
+          sum(1::BIGINT << (55 - m_reg))::BIGINT AS denom,
+          count(*) FILTER (m_reg = 0)::BIGINT AS zero_registers
+        FROM full_regs GROUP BY 1),
+      ex AS (
+        SELECT event_type AS grp, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        FROM events GROUP BY 1)
+      SELECT s.grp AS event_type,
+        round(0.709::DOUBLE * 4096 * 36028797018963968 / denom, 3) AS hll_est,
+        zero_registers, 64::BIGINT AS m, exact_distinct
+      FROM s JOIN ex ON s.grp = ex.grp
+      ORDER BY 1"""))),
+  )
+}

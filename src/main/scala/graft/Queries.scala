@@ -874,6 +874,166 @@ object Queries {
         WHERE p_brand = 'Brand#12'
           AND (round(l_quantity*100, 0))::BIGINT * 5 * n < sum_qc""")),
 
+    "q_tpch_q12" -> Q(
+      // shipping-mode-priority shape (TPC-H Q12): one fact-fact join with
+      // CASE-conditional counts grouped by a mode-like column. This
+      // testdata has no l_shipmode/receiptdate, so the "mode" is the ship
+      // latency bucket (days from order to ship: ≤30 FAST, ≤90 REGULAR,
+      // else SLOW) — the derived grouping key rides the scan; the only
+      // shuffle is the orderkey join plus one partial-agg exchange. The
+      // priority split is two filtered COUNTs in the same pass (map-side
+      // combine), never two scans.
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "FAST")
+              .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 90, "REGULAR")
+              .otherwise("SLOW").as("ship_bucket"),
+            hi.as("_hi"))
+          .groupBy("ship_bucket")
+          .agg(count(when(col("_hi"), 1)).as("high_line_count"),
+            count(when(!col("_hi"), 1)).as("low_line_count"))
+          .orderBy("ship_bucket")
+      },
+      Some("""SELECT CASE
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'REGULAR'
+            ELSE 'SLOW' END AS ship_bucket,
+          count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))::BIGINT
+            AS high_line_count,
+          count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))::BIGINT
+            AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_tpch_q16" -> Q(
+      // parts/supplier-relationship shape (TPC-H Q16): how many distinct
+      // suppliers can supply each qualifying part class, excluding
+      // blacklisted suppliers — the NOT-IN + count(distinct) composition.
+      // No partsupp → the part↔supplier relation is the DISTINCT
+      // (l_partkey, l_suppkey) projection of lineitem (one shuffle,
+      // reused as the fact); "complaint" suppliers are the deterministic
+      // stand-in s_acctbal < 0, excluded by an anti join on the tiny
+      // supplier dim BEFORE the part join — the blacklist never rides
+      // into the distinct-count shuffle. count(distinct) over
+      // (brand, type, size) is exact: Spark expands to a two-level agg,
+      // both keyed on the group columns.
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        val complaints = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        ps.join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(t(s, dir, "part")
+            .where(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size::INT AS p_size,
+          count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    "q_tpch_q19" -> Q(
+      // disjunctive-predicate-revenue shape (TPC-H Q19): revenue over an
+      // OR of three (brand, size-range, quantity-range) conjuncts. Every
+      // disjunct pins a brand, so the union of brands is hoisted into the
+      // part dim scan explicitly (`isin` — pushed to the parquet reader;
+      // Catalyst does not factor common members out of a disjunction
+      // across join inputs on its own), the part side broadcasts, and the
+      // full OR stays as the residual join condition — one fact scan, no
+      // union-of-three-scans rewrite.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = broadcast(t(s, dir, "part")
+          .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+          .select("p_partkey", "p_brand", "p_size"))
+        val cond =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        li.join(p, col("l_partkey") === col("p_partkey") && cond)
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"), count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT
+          sum((round(l_extendedprice*(1-l_discount)*100, 0))::BIGINT)::BIGINT
+            AS revenue_cents,
+          count(*)::BIGINT AS cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")),
+
+    "q_tpch_q20" -> Q(
+      // excess-stock-supplier shape (TPC-H Q20): suppliers in one nation
+      // holding more of a part family than recent demand justifies — the
+      // nested semi-join chain. No partsupp availqty → "available" is the
+      // total quantity that (part, supplier) ever shipped and "demand" is
+      // its 1995 slice, both from ONE grouped pass over the fact
+      // (conditional sum, exact centi-quantity); qualifying means
+      // available > 2 × demand-1995, i.e. the outside-1995 volume alone
+      // exceeds the 1995 volume. The part-family gate (p_name LIKE) and
+      // the nation gate prune as broadcasts, and the supplier output is a
+      // semi join — each supplier once, no matter how many parts qualify.
+      (s, dir) => {
+        val qtyC = cents(col("l_quantity"))
+        val in95 = year(col("l_shipdate")) === 1995
+        val perPS = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .where(col("p_name").like("%widget%")).select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(qtyC).as("avail_qc"),
+            sum(when(in95, qtyC).otherwise(0L)).as("demand95_qc"))
+          .where(col("avail_qc") > lit(2) * col("demand95_qc"))
+          .select(col("l_suppkey"))
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation").where(col("n_name") === "NATION_3")
+            .select(col("n_nationkey").as("s_nk"))),
+            col("s_nationkey") === col("s_nk"))
+          .join(perPS, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+            sum((round(l_quantity*100, 0))::BIGINT)::BIGINT AS avail_qc,
+            sum(CASE WHEN year(l_shipdate) = 1995
+                THEN (round(l_quantity*100, 0))::BIGINT ELSE 0 END)::BIGINT
+              AS demand95_qc
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%widget%'
+          GROUP BY 1, 2)
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND EXISTS (SELECT 1 FROM ps
+                      WHERE l_suppkey = s_suppkey AND avail_qc > 2 * demand95_qc)
+        ORDER BY s_suppkey""")),
+
     "q_join_broadcast" -> Q(
       (s, dir) => t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -2149,7 +2309,9 @@ object Queries {
     * (kept in [[ExtraQueries]] to avoid a 2000-line file).
     */
   def fullRegistry: Map[String, Q] =
-    registry ++ ExtraQueries.registry.map { case (k, (fn, sql)) => k -> Q(fn, sql) }
+    registry ++
+      (ExtraQueries.registry ++ MoreQueries.registry)
+        .map { case (k, (fn, sql)) => k -> Q(fn, sql) }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     fullRegistry.map { case (k, q) => k -> q.fn }

@@ -90,4 +90,72 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) / col("_hk")), 6).as("est_distinct"),
         lit(k.toLong).as("k"))
   }
+
+  /** Bias-correction constant of the raw HyperLogLog estimator
+    * (Flajolet et al. 2007, §4) for the supported register counts.
+    */
+  private val hllAlpha = Map(16 -> 0.673, 32 -> 0.697, 64 -> 0.709)
+
+  /** Deterministic HyperLogLog distinct estimate per group — the O(m)-
+    * state counterpart of [[kmvDistinctByGroup]], built on the same md5
+    * hash family so (unlike `approx_count_distinct`'s engine-private
+    * xxhash HLL) any engine replays the estimate bit-for-bit.
+    *
+    * Hash layout per key: 60 md5 bits → low log2(m) bits pick the
+    * register, the remaining W = 60 - log2(m) bits feed the rank
+    * rho = (position of the highest set bit from the top of the W-bit
+    * field), computed with INTEGER/string ops only (`bin()` length —
+    * never a floating log, whose last-ulp behavior differs across
+    * libms). Register value M = max rho, M = 0 for an empty register.
+    *
+    * The harmonic denominator Σ 2^-M is carried as the EXACT integer
+    * Σ 2^(W+1-M) (every term a power of two, integer addition
+    * associative — Spark's partial aggregation order can never change
+    * the sum), so the only floating-point steps are the final
+    * alpha·m²·2^(W+1) / denom division and its round(…, 3) — one
+    * IEEE-deterministic rounding from identical integer inputs on any
+    * engine.
+    *
+    * Output: `(grp, hll_est, zero_registers, m)`. `zero_registers` is
+    * exported because the raw estimator biases high below ~2.5·m
+    * distincts, where linear counting (m·ln(m/V)) is the textbook
+    * correction — ln is a libm call, so the correction is left to the
+    * caller rather than silently breaking replayability.
+    *
+    * Scale shape (100 TB): one map-side-partial max-aggregation to
+    * (group, register) — ≤ m rows per group survive the shuffle no
+    * matter the input — then an m-row-per-group grid join and a second
+    * tiny aggregate. State is O(m) per group, mergeable by max.
+    */
+  def hllDistinctByGroup(df: DataFrame, group: Column, key: Column,
+                         m: Int = 64): DataFrame = {
+    val alpha = hllAlpha.getOrElse(m,
+      throw new IllegalArgumentException(s"m must be one of ${hllAlpha.keys.toSeq.sorted}, got $m"))
+    val bits = Integer.numberOfTrailingZeros(m)
+    val w = 60 - bits // rank-field width; rho in 1..w+1, 0 = empty
+    val hv = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val rho = when(col("rest") === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(col("rest"))))
+    val regs = df
+      .select(group.as("grp"), hv.as("hv"))
+      .select(col("grp"), (col("hv") % m).as("register"),
+        shiftright(col("hv"), bits).as("rest"))
+      .select(col("grp"), col("register"), rho.as("rho"))
+      .groupBy("grp", "register").agg(max(col("rho")).as("m_reg"))
+    // full m-register grid per group: empty registers contribute 2^(w+1)
+    val grid = regs.select("grp").distinct()
+      .select(col("grp"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("register"))
+    grid.join(regs, Seq("grp", "register"), "left")
+      .select(col("grp"), coalesce(col("m_reg"), lit(0)).as("m_reg"))
+      .groupBy("grp")
+      .agg(
+        sum(expr(s"shiftleft(cast(1 as bigint), ${w + 1} - m_reg)")).as("_denom"),
+        count(when(col("m_reg") === 0, 1)).as("zero_registers"))
+      .select(col("grp"),
+        round(lit(alpha) * lit(m * m) * lit(1L << (w + 1)) / col("_denom"), 3)
+          .as("hll_est"),
+        col("zero_registers"), lit(m.toLong).as("m"))
+  }
 }

@@ -724,4 +724,48 @@ object Dedup {
           .otherwise(array_join(transform(col("_kept"), _.getField("chunk_text")),
             " ")).as("dedup_text"))
   }
+
+  /** Cross-document duplicated character spans — the suffix-array-free
+    * approximation of exact substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": their
+    * ExactSubstr finds every ≥50-char repeat with a corpus suffix
+    * array). Here: fixed-length `winLen` character windows at fixed
+    * `stride`, hashed; a window is duplicated when its hash occurs in
+    * ≥ 2 DISTINCT documents (within-doc repetition is q_repetition's
+    * job). Any cross-doc verbatim repeat of length ≥ winLen + stride - 1
+    * is guaranteed to contain a shared aligned window in both copies
+    * only when stride divides the alignment — with stride ≤ winLen/2
+    * every repeat of length ≥ 2·winLen is caught regardless of
+    * alignment, which is the recall/cost dial. Returns per-doc
+    * `(doc_id, total_windows, dup_windows, dup_frac)`; docs shorter
+    * than winLen are excluded (no window fits).
+    *
+    * Scale shape (100 TB): windows ∝ chars/stride ride the scan as a
+    * pure Column transform+explode; then ONE groupBy on the 16-byte
+    * hash for the cross-doc occurrence count and one equi-join back —
+    * never a doc-pair comparison, and the shuffle carries hashes, not
+    * text. The duplicated-hash side of the join is the (typically tiny)
+    * duplicate set only.
+    */
+  def duplicateWindows(docs: DataFrame, winLen: Int = 40, stride: Int = 20,
+                       text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(winLen >= 1 && stride >= 1, s"winLen/stride must be >= 1")
+    val wins = docs.where(length(col(text)) >= winLen)
+      .select(col(id).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length($text) - ${winLen - 1}, $stride), " +
+            s"i -> substring($text, i, $winLen))")).as("_win"))
+      .select(col("doc_id"), md5(col("_win")).as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .where(col("_nd") > 1)
+      .select(col("h"), lit(1).as("_dup"))
+    wins.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_windows"),
+        count(col("_dup")).as("dup_windows"))
+      .select(col("doc_id"), col("total_windows"), col("dup_windows"),
+        round(col("dup_windows").cast("double") / col("total_windows"), 6)
+          .as("dup_frac"))
+  }
 }

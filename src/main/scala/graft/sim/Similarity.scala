@@ -56,6 +56,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009): merge ranked
+    * retrieval lists by `score(d) = Σ_lists 1/(c + rank_d)` — the
+    * standard way to combine a lexical (BM25-style) and a vector (ANN)
+    * ranking without score calibration, since only RANKS enter the
+    * formula. Inputs are `(id, rank)` tables (rank 1-based, each id at
+    * most once per list); output `(id, rrf_score, n_lists)` with the
+    * score rounded at 9 decimals.
+    *
+    * Determinism note: each 1/(c+rank) is one IEEE division of exact
+    * small integers; with two lists the sum is a single commutative
+    * addition, so any engine reproduces it bit-for-bit. With 3+ lists
+    * the addition order inside the aggregate is engine-chosen — callers
+    * needing cross-engine hashes should fuse pairwise.
+    *
+    * Scale shape: a union + one groupBy on id — never a join chain, so
+    * fusing k lists of n rows is one shuffle of k·n tiny rows. The
+    * inputs are top-k lists already, so this is driver-free metadata
+    * scale in practice.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], c: Int = 60, id: String = "id",
+              rank: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings.map(_.select(col(id).as("id"), col(rank).as("rank")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(
+        round(sum(lit(1.0) / (lit(c.toDouble) + col("rank"))), 9)
+          .as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Per-vector int8 scalar quantization: affine-map each component to a
     * 0..255 code against the vector's own [min, max] range —
     * `struct(mn, mx, codes)`. The 100 TB rationale is storage/scan IO: a

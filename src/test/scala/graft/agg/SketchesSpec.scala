@@ -60,4 +60,56 @@ class SketchesSpec extends SparkSpec {
     val e32 = Sketches.kmvDistinct(df.repartition(32), col("v"), 128).head().getDouble(0)
     assert(e1 == e32)
   }
+
+  test("HLL estimate lands within the expected error band (1.04/sqrt(m))") {
+    import spark.implicits._
+    val n = 20000
+    val df = (1 to n).map(i => ("g", s"key_$i")).toDF("g", "v")
+    val r = Sketches.hllDistinctByGroup(df, col("g"), col("v"), m = 64).head()
+    val est = r.getDouble(1)
+    // std err ~ 1.04/8 = 13%; 4 sigma, deterministic inputs
+    assert(math.abs(est - n) / n < 0.52, s"estimate $est vs exact $n")
+    assert(r.getLong(2) == 0L, "20k keys should touch all 64 registers")
+    assert(r.getLong(3) == 64L)
+  }
+
+  test("HLL is partitioning-independent and registers only grow under union") {
+    import spark.implicits._
+    val a = (1 to 3000).map(i => ("g", s"a_$i")).toDF("g", "v")
+    val b = (1 to 3000).map(i => ("g", s"b_$i")).toDF("g", "v")
+    def est(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Sketches.hllDistinctByGroup(df.repartition(parts), col("g"), col("v"))
+        .head().getDouble(1)
+    assert(est(a, 1) == est(a, 17))
+    // union can only raise register maxima -> estimate never shrinks
+    val u = est(a.union(b), 4)
+    assert(u >= est(a, 4) && u >= est(b, 4))
+  }
+
+  test("HLL per-group estimates equal each group's independent run") {
+    import spark.implicits._
+    val df = ((1 to 2000).map(i => ("big", s"k_$i"))
+      ++ (1 to 40).map(i => ("small", s"s_$i"))).toDF("g", "v")
+    val by = Sketches.hllDistinctByGroup(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (g <- Seq("big", "small")) {
+      val solo = Sketches
+        .hllDistinctByGroup(df.where(col("g") === g), col("g"), col("v"))
+        .head().getDouble(1)
+      assert(by(g) == solo, s"group $g")
+    }
+    // a small group leaves most of the 64 registers empty
+    val smallZeros = Sketches.hllDistinctByGroup(
+      df.where(col("g") === "small"), col("g"), col("v"))
+      .head().getLong(2)
+    assert(smallZeros > 0 && smallZeros < 64)
+  }
+
+  test("HLL rejects unsupported register counts") {
+    import spark.implicits._
+    val df = Seq(("g", "x")).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinctByGroup(df, col("g"), col("v"), m = 100)
+    }
+  }
 }

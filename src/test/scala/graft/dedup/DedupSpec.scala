@@ -341,4 +341,33 @@ class DedupSpec extends SparkSpec {
     val kept = run(13).filter(_._3 != null ).filter(_._3.contains("p1 p2 p3 p4"))
     assert(kept.map(_._1) == Seq(1L))
   }
+
+  test("duplicateWindows flags cross-doc repeats, not unique or short docs") {
+    val shared = "x" * 25 + "y" * 25 // 50 shared chars >= winLen + stride - 1
+    val df = docs(
+      1L -> (shared + " unique tail one " + "a" * 30),
+      2L -> (shared + " other trailing text " + "b" * 30),
+      3L -> ("entirely distinct content here padded out to window length " +
+        "c" * 30),
+      4L -> "short") // < winLen: no window fits, excluded
+    val r = Dedup.duplicateWindows(df, winLen = 20, stride = 10)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(!r.contains(4L))
+    assert(r(1L)._2 > 0 && r(2L)._2 > 0, s"shared prefix must be flagged: $r")
+    assert(r(3L)._2 == 0, s"unique doc flagged: $r")
+    // a window duplicated only WITHIN one doc does not count
+    val self = docs(5L -> ("z" * 60 + " filler " + "z" * 60))
+    val rs = Dedup.duplicateWindows(self, winLen = 20, stride = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(rs(5L) == 0, s"within-doc repeat counted as cross-doc: $rs")
+  }
+
+  test("duplicateWindows is partitioning-independent") {
+    val df = docs((1L to 30L).map(i =>
+      i -> (("common prefix block shared by everyone ") + s"doc $i " + "t" * 40)): _*)
+    def run(p: Int) = Dedup.duplicateWindows(df.repartition(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(run(1) == run(11))
+  }
 }

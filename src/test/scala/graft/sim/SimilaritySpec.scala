@@ -245,4 +245,18 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & quant).size >= 18, s"recall ${(exact & quant).size}/20")
     assert(quant.contains(0L)) // self survives quantization at rank ~1
   }
+
+  test("rrfFuse matches the hand-computed two-list formula") {
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val vec = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(lex, vec))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == (r9(1.0 / 61), 1L))
+    assert(got(2L) == (r9(1.0 / 62 + 1.0 / 61), 2L))
+    assert(got(3L) == (r9(1.0 / 62), 1L))
+    // the doc on both lists outranks single-list docs at adjacent ranks
+    assert(got(2L)._1 > got(1L)._1 && got(1L)._1 > got(3L)._1)
+  }
 }
