@@ -19,6 +19,41 @@ object MoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** DuckDB replay of [[graft.text.Bpe.trainMerges]]: the shared CTE
+    * prefix — one word-count pass, then `steps` unrolled
+    * (pair-count → best-pair → greedy list_reduce rewrite) rounds, the
+    * same trajectory-unrolling discipline as the kmeans oracle. The
+    * caller appends the final SELECT over `b0..b{steps-1}` / `s{steps}`.
+    */
+  private def bpeCtes(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (
+        SELECT word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0 GROUP BY 1),
+      s0 AS (SELECT word, cnt,
+        list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+        FROM w)"""
+    for (k <- 0 until steps) {
+      sb ++= s""",
+      pc$k AS (
+        SELECT pr[1] AS a, pr[2] AS b, sum(cnt)::BIGINT AS c
+        FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                i -> [syms[i], syms[i + 1]])) AS pr
+              FROM s$k WHERE len(syms) >= 2)
+        GROUP BY 1, 2),
+      b$k AS (SELECT a, b, c FROM pc$k ORDER BY c DESC, a, b LIMIT 1),
+      s${k + 1} AS (
+        SELECT word, cnt,
+          list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+            CASE WHEN len(acc) > 0 AND acc[-1] = b$k.a AND x[1] = b$k.b
+              THEN list_append(acc[1:-2], b$k.a || b$k.b)
+              ELSE list_append(acc, x[1]) END) AS syms
+        FROM s$k, b$k)"""
+    }
+    sb.toString
+  }
+
   val registry: Map[String, (
     (SparkSession, String) => DataFrame, Option[String])] = Map(
 
@@ -190,5 +225,43 @@ object MoreQueries {
         zero_registers, 64::BIGINT AS m, exact_distinct
       FROM s JOIN ex ON s.grp = ex.grp
       ORDER BY 1"""))),
+
+    // BPE merge TRAINING (Sennrich et al. 2016) — the tokenizer-training
+    // workload: 6 learned merges over the documents vocabulary. The
+    // oracle unrolls the same 6 (count pairs → argmax → greedy rewrite)
+    // rounds as CTE chains; a drift in tie-breaking, rewrite greediness,
+    // or pair weighting flips the later steps.
+    "q_bpe_merges" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.text.Bpe.trainMerges(t(s, dir, "documents"), steps = 6)
+        .toDF().orderBy("step")
+    }, Some {
+      val union = (0 until 6).map { k =>
+        s"SELECT ${k + 1}::BIGINT AS step, a AS pair_left, b AS pair_right, a || b AS merged, c AS pair_count FROM b$k"
+      }.mkString(" UNION ALL ")
+      bpeCtes(6) + s" SELECT * FROM ($union) ORDER BY step"
+    })),
+
+    // BPE ENCODE under the learned merges: per-doc word/char/BPE-token
+    // counts — the number a token-budgeted batcher consumes. The Spark
+    // side applies the merge list as nested scan-stage folds per word;
+    // the oracle takes an INDEPENDENT route (join each doc word to the
+    // final vocabulary symbol table s6), so a fold/training divergence
+    // cannot cancel out of both sides.
+    "q_bpe_encode" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, steps = 6)
+      graft.text.Bpe.encodeCounts(docs, merges).orderBy("doc_id")
+    }, Some(bpeCtes(6) + """,
+      dw AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE len(word) > 0)
+      SELECT doc_id, count(*)::BIGINT AS words,
+        sum(len(dw.word))::BIGINT AS chars,
+        sum(len(s6.syms))::BIGINT AS bpe_tokens
+      FROM dw JOIN s6 ON dw.word = s6.word
+      GROUP BY 1 ORDER BY 1"""))),
   )
 }

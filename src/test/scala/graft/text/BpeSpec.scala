@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  private def corpus(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("trainMerges learns the classic frequency-ordered merges") {
+    // 4×"low" + 2×"lowest": 'lo' and 'ow' both appear 6 times → tie
+    // breaks lexicographically ('lo' < 'ow'); then 'low' (as merged
+    // symbol pair (lo, w)) appears 6 times and wins step 2.
+    val docs = corpus(
+      "d1" -> "low low low low",
+      "d2" -> "lowest lowest")
+    val m = Bpe.trainMerges(docs, steps = 2)
+    assert(m.map(x => (x.step, x.merged, x.pair_count)) ==
+      Seq((1L, "lo", 6L), (2L, "low", 6L)))
+  }
+
+  test("greedy rewrite resolves overlapping pairs left-to-right") {
+    // Pair counting sees every adjacent position: (a,a) appears 3 times
+    // in "aaaa" and 2 in "aaa" → 5. The greedy L2R rewrite then merges
+    // non-overlapping: "aaaa" → [aa, aa], "aaa" → [aa, a]. Round 2 ties
+    // (aa,aa):1 vs (aa,a):1 → lexicographic on b picks (aa,a) → "aaa".
+    val docs = corpus("d1" -> "aaaa aaa")
+    val m = Bpe.trainMerges(docs, steps = 2)
+    assert(m(0).merged == "aa" && m(0).pair_count == 5)
+    assert(m(1).merged == "aaa" && m(1).pair_count == 1)
+  }
+
+  test("trainMerges stops early when no pair remains") {
+    val docs = corpus("d1" -> "a b c") // all single-char words
+    assert(Bpe.trainMerges(docs, steps = 5).isEmpty)
+  }
+
+  test("encodeCounts: chars, words, and post-merge token counts") {
+    val docs = corpus("d1" -> "low lowest", "d2" -> "low")
+    val m = Bpe.trainMerges(docs, steps = 2) // lo, low
+    val rows = Bpe.encodeCounts(docs, m).orderBy("doc_id").collect()
+    // d1: "low"→[low]=1 tok, "lowest"→[low,e,s,t]=4 toks
+    assert(rows(0).getLong(1) == 2 && rows(0).getLong(2) == 9 &&
+      rows(0).getLong(3) == 5)
+    // d2: "low"→1 tok
+    assert(rows(1).getLong(1) == 1 && rows(1).getLong(2) == 3 &&
+      rows(1).getLong(3) == 1)
+  }
+
+  test("encode with empty merge list counts characters") {
+    val docs = corpus("d1" -> "ab cde")
+    val r = Bpe.encodeCounts(docs, Nil).head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 5 && r.getLong(3) == 5)
+  }
+
+  test("training plan never re-touches the corpus after the first pass") {
+    // initSymbols(wordCounts) is checkpointed eagerly; per-step plans
+    // must read the truncated vocab table, not re-scan documents.
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val words = Bpe.wordCounts(docs)
+    val vocab = words.count()
+    assert(vocab > 0)
+    // pairCounts over the vocab-sized table stays vocab-sized
+    val pc = Bpe.pairCounts(Bpe.initSymbols(words))
+    val plan = pc.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate")) // partial agg on the explode
+  }
+}
