@@ -911,6 +911,46 @@ object Bench {
       System.err.println(s"[bench] d13 failed: ${e.getMessage}")
     }
 
+    // d14: BPE-training trend — trainMerges cost decomposes as one
+    // corpus pass (wordCounts) + steps x vocab-sized work. The
+    // decorrelated x10 point (ampDocs suffixes every token) grows BOTH
+    // the corpus and the vocabulary 10x, so wall should read <=10x. The
+    // CORRELATED x10 point (plain row copies, same vocab) is the sharp
+    // claim: the corpus pass reads 10x rows but every per-step table
+    // stays 1x vocab-sized, so wall should sit FAR below 10x — training
+    // is never steps x corpus. Counters attribute which regime each
+    // point is in: distinct_pairs tracks vocabulary, pair_mass tracks
+    // corpus token volume.
+    try {
+      import graft.text.Bpe
+      val corrDocs10 = docs1x
+        .crossJoin(spark.range(10).select(col("id").as("_k")))
+        .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
+        .drop("_k")
+      def bpeRun(docs: DataFrame): Unit = { Bpe.trainMerges(docs, steps = 4); () }
+      measure("d14_bpe_train", ctlTimes)(bpeRun(ampDocs(1)))
+      measure("d14_bpe_train", times)(bpeRun(docs10x))
+      measure("d14_bpe_train_corr", times)(bpeRun(corrDocs10))
+      // the correlated point shares the 1x control measurement
+      ctlTimes.get("d14_bpe_train").foreach(t => ctlTimes("d14_bpe_train_corr") = t)
+      def bpeDiag(tag: String, docs: DataFrame): Unit = try {
+        val vocab = Bpe.initSymbols(Bpe.wordCounts(docs))
+        val r = Bpe.pairCounts(vocab)
+          .agg(count(lit(1)).as("pairs"),
+            coalesce(sum(col("c")), lit(0L)).as("mass")).head()
+        scaleDiag(s"d14_${tag}_vocab") = vocab.count()
+        scaleDiag(s"d14_${tag}_distinct_pairs") = r.getLong(0)
+        scaleDiag(s"d14_${tag}_pair_mass") = r.getLong(1)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d14 diag $tag failed: ${e.getMessage}")
+      }
+      bpeDiag("1x", ampDocs(1))
+      bpeDiag("10x", docs10x)
+      bpeDiag("10x_corr", corrDocs10)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d14 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

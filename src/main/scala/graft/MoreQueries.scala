@@ -263,5 +263,79 @@ object MoreQueries {
         sum(len(s6.syms))::BIGINT AS bpe_tokens
       FROM dw JOIN s6 ON dw.word = s6.word
       GROUP BY 1 ORDER BY 1"""))),
+
+    // BPE tokenize-then-pack: the end-to-end training-layout step —
+    // per-doc BPE token counts (+1 separator) packed into fixed 64-token
+    // blocks via the distributed prefix sum. The oracle routes the
+    // counts through the s6 symbol table (independent of the Spark-side
+    // fold) and replays the packing as one window + unnest.
+    "q_bpe_blocks" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, steps = 6)
+      val counts = graft.text.Bpe.encodeCounts(docs, merges)
+      val assigned = graft.text.TokenBlocks.assign(
+        counts, "doc_id", col("bpe_tokens") + 1, blockTokens = 64)
+      graft.text.TokenBlocks.manifest(assigned, 64)
+        .select(col("block_id"), col("doc_id"), col("off_in_block"), col("len"))
+    }, Some(bpeCtes(6) + """,
+      dw AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE len(word) > 0),
+      bt AS (
+        SELECT doc_id, (sum(len(s6.syms)) + 1)::BIGINT AS w,
+               md5(doc_id::VARCHAR) AS h
+        FROM dw JOIN s6 ON dw.word = s6.word GROUP BY 1),
+      c AS (
+        SELECT doc_id, w,
+               coalesce(sum(w) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS start
+        FROM bt),
+      m AS (
+        SELECT doc_id, w, start,
+               unnest(range(start // 64, (start + w - 1) // 64 + 1))::BIGINT
+                 AS block_id
+        FROM c)
+      SELECT block_id, doc_id,
+             greatest(start - block_id * 64, 0) AS off_in_block,
+             least(start + w, (block_id + 1) * 64)
+               - greatest(start, block_id * 64) AS len
+      FROM m"""))),
+
+    // Kneser–Ney bigram perplexity filter (CCNet-style LM quality gate):
+    // per-doc mean log10 P_KN over adjacent bigrams + keep verdict. The
+    // oracle rebuilds the model tables and the score in the SAME
+    // association order — max(c−D,0)/c1 + (D·fan1/c1)·(cont2/nbi) — so
+    // the doubles are bit-identical before the 9/6-digit rounds.
+    "q_perplexity_filter" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.knDocScores(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      dp AS (
+        SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS pr
+              FROM tok WHERE len(t) > 1)),
+      cnt AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM dp GROUP BY 1, 2),
+      lft AS (SELECT w1, sum(cnt)::BIGINT AS c1, count(*)::BIGINT AS fan1
+              FROM cnt GROUP BY 1),
+      ct  AS (SELECT w2, count(*)::BIGINT AS cont2 FROM cnt GROUP BY 1),
+      nb  AS (SELECT count(*)::BIGINT AS nbi FROM cnt),
+      sc AS (
+        SELECT dp.doc_id,
+          round(log10(greatest(cnt.cnt - 0.75, 0.0) / lft.c1
+            + (0.75 * lft.fan1 / lft.c1) * (ct.cont2::DOUBLE / nb.nbi)), 9)
+            AS lp
+        FROM dp JOIN cnt USING (w1, w2) JOIN lft USING (w1)
+                JOIN ct USING (w2), nb)
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        round(avg(lp), 6) AS kn_logprob,
+        (round(avg(lp), 6) >= -1.4755) AS kept
+      FROM sc GROUP BY 1 ORDER BY 1"""))),
   )
 }

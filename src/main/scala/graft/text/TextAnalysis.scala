@@ -447,6 +447,60 @@ object TextAnalysis {
       .groupBy(col(id)).agg(round(avg(col("lp")), 6).as("unigram_logprob"))
   }
 
+  /** CCNet-style LM perplexity filter (Wenzek et al. 2020,
+    * arXiv:1911.00359), with the interpolated Kneser–Ney bigram model of
+    * Chen & Goodman 1998: per document, the mean log10 of
+    * `P_KN(w2|w1) = max(c(w1,w2)−D, 0)/c(w1·) +
+    * (D·N1+(w1,·)/c(w1·)) · N1+(·,w2)/N1+(··)` over its adjacent
+    * bigrams, plus `kept = score ≥ threshold`. The score is the
+    * (negated-log) perplexity in monotone form — `ppl = 10^−score` —
+    * kept in log space so both engines compare bit-identical doubles
+    * (a `pow` would cross libm implementations).
+    *
+    * Model tables ([[bigramLm]]'s counts plus the left-context
+    * marginals) are vocabulary-keyed aggregates of ONE pair expansion:
+    * the doc-bigram stream is checkpointed and feeds both the model
+    * build and the scoring join, so the corpus is tokenized once. All
+    * model joins shuffle on their word keys (vocabulary scales with the
+    * corpus — never broadcast, the tfidf df discipline; stop-word skew
+    * on the w1/w2 marginal joins is AQE's skew-join case); the single
+    * distinct-bigram total rides a 1-row broadcast. Per-bigram logs
+    * round at 9 before the mean and the mean at 6 so partitioning and
+    * libm ulps cannot move the verdict.
+    */
+  def knDocScores(docs: org.apache.spark.sql.DataFrame,
+                  discount: Double = 0.75, threshold: Double = -1.4755,
+                  text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = graft.ops.Checkpoints.truncate(
+      docs.select(col(id), toks(col(text)).as("_t"))
+        .where(size(col("_t")) > 1)
+        .select(col(id), explode(transform(
+          sequence(lit(1), size(col("_t")) - 1),
+          i => struct(element_at(col("_t"), i).as("w1"),
+            element_at(col("_t"), i + 1).as("w2")))).as("p"))
+        .select(col(id), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val cnt = graft.ops.Checkpoints.truncate(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
+    val left = cnt.groupBy("w1")
+      .agg(sum(col("cnt")).as("c1"), count(lit(1)).as("fan1"))
+    val cont = cnt.groupBy("w2").agg(count(lit(1)).as("cont2"))
+    val nbi = cnt.agg(count(lit(1)).as("_nbi"))
+    val d = lit(discount)
+    // written in exactly the oracle's association order — see q_perplexity_filter
+    val p = greatest(col("cnt") - d, lit(0.0)) / col("c1") +
+      (d * col("fan1") / col("c1")) *
+        (col("cont2").cast("double") / col("_nbi"))
+    pairs.join(cnt, Seq("w1", "w2"))
+      .join(left, "w1").join(cont, "w2")
+      .crossJoin(broadcast(nbi))
+      .withColumn("lp", round(log10(p), 9))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("kn_logprob"))
+      .withColumn("kept", col("kn_logprob") >= lit(threshold))
+  }
+
   /** Gopher-style n-gram repetition signals (Rae et al. 2021,
     * arXiv:2112.11446, Table A1 family), char-weighted: per document,
     * `top_ngram_char_frac` = chars covered by occurrences of the single

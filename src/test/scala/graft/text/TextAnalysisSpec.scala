@@ -230,6 +230,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("a", "b")) == (4L, expected))
   }
 
+  test("knDocScores: hand-computed interpolated Kneser-Ney bigram scores") {
+    import spark.implicits._
+    // corpus: "a b" x3, "b a" x1 → cnt(a,b)=3, cnt(b,a)=1
+    // c1(a)=3 fan1(a)=1; c1(b)=1 fan1(b)=1; cont2(a)=cont2(b)=1; nbi=2
+    // P(b|a) = (3-.75)/3 + (.75·1/3)·(1/2) = 0.875
+    // P(a|b) = (1-.75)/1 + (.75·1/1)·(1/2) = 0.625
+    val docs = Seq("d1" -> "a b", "d2" -> "a b", "d3" -> "a b",
+      "d4" -> "b a").toDF("doc_id", "text")
+    val out = TextAnalysis.knDocScores(docs, threshold = -0.1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    def lp(p: Double) = math.round(math.log10(p) * 1e9) / 1e9
+    def sc(p: Double) = math.round(lp(p) * 1e6) / 1e6
+    assert(out("d1") == (1L, sc(0.875), true))
+    assert(out("d4") == (1L, sc(0.625), false))
+  }
+
+  test("knDocScores drops docs with fewer than two tokens") {
+    import spark.implicits._
+    val docs = Seq("d1" -> "solo", "d2" -> "two words").toDF("doc_id", "text")
+    val ids = TextAnalysis.knDocScores(docs).select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids == Set("d2"))
+  }
+
   test("fingerprint equals dedup fingerprint (shared definition)") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
     val n = docs.select(
