@@ -1539,6 +1539,63 @@ object Queries {
         FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"""
       }),
 
+    // Quality-aware canonical selection: same LSH clusters as
+    // q_dedup_corpus, but each cluster's survivor is its HIGHEST-quality
+    // member (tie → smaller id). The Spark side picks via a max_by hash
+    // aggregate; the oracle takes the independent window-rank route, so
+    // a tie-break or argmax bug cannot cancel out of both sides.
+    "q_dedup_canonical" -> Q(
+      (s, dir) => Dedup.dedupCorpusBest(t(s, dir, "documents"),
+        TextAnalysis.qualityScore(col("text"))),
+      Some {
+        val bandSelects = (0 until 4).map { b =>
+          val (i, j) = (2 * b, 2 * b + 1)
+          val sel = s"SELECT doc_id, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+          if (b == 0) sel else s"UNION ALL $sel"
+        }.mkString(" ")
+        val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+        val lowToks = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+        val allWords = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH RECURSIVE w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
+          FROM w),
+        hx AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+          FROM sh),
+        sig AS (SELECT doc_id, ${minhashSigSql(8)} FROM hx GROUP BY 1),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        reach AS (
+          SELECT DISTINCT a AS id, a AS r FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id, min(r) AS label FROM reach GROUP BY 1),
+        q AS (
+          SELECT doc_id, round(
+            least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
+            + least((len(list_filter($lowToks, t -> list_contains([$allWords], t)))::DOUBLE
+                     / greatest(len($toks), 1)::DOUBLE) * 5.0, 1.0) * 0.4
+            + (1.0 - least((len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+                     / greatest(len(text), 1)::DOUBLE) * 5.0, 1.0)) * 0.2, 6) AS s
+          FROM documents),
+        best AS (
+          SELECT comp.id, row_number() OVER (
+            PARTITION BY comp.label ORDER BY q.s DESC, comp.id) AS rn
+          FROM comp JOIN q ON q.doc_id = comp.id)
+        SELECT d.doc_id, coalesce(best.rn = 1, TRUE) AS keep
+        FROM documents d LEFT JOIN best ON d.doc_id = best.id"""
+      }),
+
     "q_repetition" -> Q(
       (s, dir) => TextAnalysis.repetitionRatio(t(s, dir, "documents")),
       Some("""WITH w AS (

@@ -367,6 +367,36 @@ object Dedup {
       .select(col(id), coalesce(col("keep"), lit(true)).as("keep"))
   }
 
+  /** Quality-aware canonical selection (the FineWeb/SemDeDup keep rule):
+    * like [[dedupCorpus]], but the survivor of each near-dup cluster is
+    * the doc maximizing `score` (ties broken toward the smaller id)
+    * rather than blindly the smallest id — dedup should discard the
+    * WORSE copies. The pick is two map-side-combinable hash aggregates
+    * (max score per cluster, then min id among the docs achieving it —
+    * id-type-generic, no numeric negation trick), deliberately not a
+    * per-cluster window sort (a pathological mega-cluster would
+    * otherwise serialize through one task's sort). Unclustered docs
+    * keep=true via the left join, as in [[dedupCorpus]].
+    */
+  def dedupCorpusBest(docs: DataFrame, score: Column, numPerms: Int = 8,
+                      rowsPerBand: Int = 2, shingleN: Int = 3,
+                      text: String = "text", id: String = "doc_id")
+      : DataFrame = {
+    val pairs = minhashCandidates(docs, numPerms, rowsPerBand, shingleN,
+      maxBucket = 1000, text = text, id = id)
+    val clusters = dedupClusters(pairs)
+    val scored = graft.ops.Checkpoints.truncate(clusters.join(
+      docs.select(col(id), score.as("_s")), Seq(id)))
+    val best = scored.groupBy("cluster").agg(max(col("_s")).as("_m"))
+    val canonical = scored.join(best, "cluster")
+      .where(col("_s") === col("_m"))
+      .groupBy("cluster").agg(min(col(id)).as("canon"))
+    val marked = clusters.join(canonical, "cluster")
+      .select(col(id), (col(id) === col("canon")).as("keep"))
+    docs.select(col(id)).join(marked, Seq(id), "left")
+      .select(col(id), coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
   /** Production-shape dedup: LSH candidates are VERIFIED with exact
     * n-gram Jaccard before clustering, so LSH false positives (docs that
     * merely collide in a band) cannot glue unrelated documents into one

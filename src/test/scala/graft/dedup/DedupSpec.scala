@@ -362,6 +362,21 @@ class DedupSpec extends SparkSpec {
     assert(rs(5L) == 0, s"within-doc repeat counted as cross-doc: $rs")
   }
 
+  test("dedupCorpusBest keeps the highest-scoring cluster member") {
+    // d1/d2 identical (one cluster), d3 unrelated. Score favors d2 →
+    // the LARGER id survives, unlike dedupCorpus's min-id rule.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = docs(1L -> txt, 2L -> txt, 3L -> "totally different words here now")
+    val score = when(col("doc_id") === 2L, 2.0).otherwise(1.0)
+    val keep = Dedup.dedupCorpusBest(df, score)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep == Map(1L -> false, 2L -> true, 3L -> true))
+    // tie on score → smaller id wins
+    val tied = Dedup.dedupCorpusBest(df, lit(1.0))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(tied == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("duplicateWindows is partitioning-independent") {
     val df = docs((1L to 30L).map(i =>
       i -> (("common prefix block shared by everyone ") + s"doc $i " + "t" * 40)): _*)
