@@ -951,6 +951,61 @@ object Bench {
       System.err.println(s"[bench] d14 failed: ${e.getMessage}")
     }
 
+    // d15: per-key top-K under a Zipf head domain — the crawl-balancing
+    // cap. skewDocs relabels an n*40x replication of the corpus to ONE
+    // hot source on top of the 1x tail, so the direct window's hot-key
+    // partition must rank ~200k*n rows in a single task while
+    // saltedTopKPerKey spreads them over 8 salt cells and re-ranks
+    // <=K*8 survivors. The salted path is the trend pair (1x control,
+    // 10x scale); the direct window runs on the SAME 10x input so its
+    // reading exposes the single-reducer cost the salt removes.
+    // Counters attribute it: hot_rows is what the direct window's one
+    // task sorts, salted_max_cell what the biggest salted task sorts.
+    try {
+      def skewDocs(n: Int): DataFrame = {
+        val hot = docs1x
+          .crossJoin(spark.range(n * 40L).select(col("id").as("_k")))
+          .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
+          .withColumn("source", lit("src_hot"))
+          .drop("_k")
+        docs1x.select("doc_id", "source", "n_chars")
+          .unionByName(hot.select("doc_id", "source", "n_chars"))
+      }
+      val capOrder = Seq(col("n_chars").desc, col("doc_id"))
+      def capDirect(df: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(capOrder: _*)
+        df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
+      }
+      def capSalted(df: DataFrame): DataFrame =
+        graft.ops.Skew.saltedTopKPerKey(df, col("source"), col("doc_id"),
+          k = 10, order = capOrder, saltBuckets = 8)
+      val sk1 = skewDocs(1)
+      val sk10 = skewDocs(10)
+      measure("d15_domain_cap", ctlTimes)(exec(capSalted(sk1)))
+      measure("d15_domain_cap", times)(exec(capSalted(sk10)))
+      measure("d15_domain_cap_direct", times)(exec(capDirect(sk10)))
+      // the direct-window point shares the salted 1x control reading
+      ctlTimes.get("d15_domain_cap")
+        .foreach(t => ctlTimes("d15_domain_cap_direct") = t)
+      def capDiag(tag: String, df: DataFrame): Unit = try {
+        val r = df.groupBy("source").agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("hot"), count(lit(1)).as("keys")).head()
+        scaleDiag(s"d15_${tag}_hot_rows") = r.getLong(0)
+        scaleDiag(s"d15_${tag}_sources") = r.getLong(1)
+        scaleDiag(s"d15_${tag}_salted_max_cell") = df
+          .groupBy(col("source"),
+            pmod(xxhash64(col("doc_id")), lit(8L)).as("_salt"))
+          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().getLong(0)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d15 diag $tag failed: ${e.getMessage}")
+      }
+      capDiag("1x", sk1)
+      capDiag("10x", sk10)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d15 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

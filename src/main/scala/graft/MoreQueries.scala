@@ -337,5 +337,128 @@ object MoreQueries {
         round(avg(lp), 6) AS kn_logprob,
         (round(avg(lp), 6) >= -1.4755) AS kept
       FROM sc GROUP BY 1 ORDER BY 1"""))),
+
+    // Strict-ordering conversion funnel view → click → purchase: earliest
+    // stage-1 time per user, then the earliest stage-2 event strictly
+    // after it, etc. Every shuffle keys on user_id (agg + joins reuse one
+    // partitioning); per-user state is one row of stage timestamps, never
+    // the event history — the property that holds for a 10^8-event user.
+    "q_funnel" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), expr("ts_ns DIV 1000").as("us"))
+      graft.ops.EventAnalytics
+        .funnel(ev, "user_id", "event_type", "us",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t1").as("t1_us"),
+          col("t2").as("t2_us"), col("t3").as("t3_us"), col("reached"))
+        .orderBy("user_id")
+    }, Some("""WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us)::BIGINT AS t1_us FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT ev.user_id, min(us)::BIGINT AS t2_us
+            FROM ev JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us > t1_us GROUP BY 1),
+      p AS (SELECT ev.user_id, min(us)::BIGINT AS t3_us
+            FROM ev JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1)
+      SELECT v.user_id, t1_us, t2_us, t3_us,
+        (1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::BIGINT AS reached
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      ORDER BY 1"""))),
+
+    // Weekly cohort retention: cohort = week of first activity, counted
+    // at each later active week offset. Integer epoch-day math end to
+    // end (no calendar anchoring), output is cohorts × offsets —
+    // metadata-sized at any input scale.
+    "q_retention" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+      graft.ops.EventAnalytics
+        .weeklyRetention(ev, "user_id", col("day"))
+        .orderBy("cohort_week", "week_offset")
+    }, Some("""WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      first AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1)
+      SELECT (d0 // 7)::BIGINT AS cohort_week,
+        ((day - d0) // 7)::BIGINT AS week_offset,
+        count(DISTINCT ev.user_id)::BIGINT AS active_users
+      FROM ev JOIN first USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // Sliding 7-day distinct users via HLL sketch MERGE: the raw input
+    // collapses once to per-day registers (≤64 rows/day); windows merge
+    // day sketches by max — day-grain metadata — instead of re-shuffling
+    // every raw row per overlapping window. exact_distinct rides along
+    // as certification (the path the sketch exists to avoid at 100 TB).
+    "q_hll_window" -> (((s: SparkSession, dir: String) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+      val est = Sketches.hllSlidingDistinct(days, col("day"),
+        col("user_id"), windowDays = 7)
+      val obs = days.select("day").distinct().withColumnRenamed("day", "wend")
+      val exact = days
+        .withColumn("wend", explode(sequence(col("day"), col("day") + 6)))
+        .join(obs, Seq("wend"), "left_semi")
+        .groupBy("wend").agg(countDistinct("user_id").as("exact_distinct"))
+      est.join(exact, est("day") === exact("wend"))
+        .select(est("day"), col("hll_est"), col("zero_registers"),
+          col("m"), col("exact_distinct"))
+        .orderBy("day")
+    }, Some("""WITH h AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+          ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM events),
+      b AS (SELECT day, hv % 64 AS reg, hv // 64 AS rest FROM h),
+      r AS (SELECT day, reg,
+          CASE WHEN rest = 0 THEN 55 ELSE 55 - len(bin(rest)) END AS rho
+        FROM b),
+      dayregs AS (SELECT day, reg, max(rho) AS m_reg FROM r GROUP BY 1, 2),
+      obs AS (SELECT DISTINCT day FROM h),
+      fan AS (SELECT o.day AS wend, d.reg, d.m_reg
+              FROM dayregs d JOIN obs o ON o.day BETWEEN d.day AND d.day + 6),
+      wregs AS (SELECT wend, reg, max(m_reg) AS m_reg FROM fan GROUP BY 1, 2),
+      grid AS (SELECT wend, unnest(range(0, 64)) AS reg
+               FROM (SELECT DISTINCT wend FROM wregs)),
+      full_regs AS (SELECT grid.wend, coalesce(m_reg, 0) AS m_reg
+        FROM grid LEFT JOIN wregs
+          ON grid.wend = wregs.wend AND grid.reg = wregs.reg),
+      s AS (SELECT wend,
+          sum(1::BIGINT << (55 - m_reg))::BIGINT AS denom,
+          count(*) FILTER (m_reg = 0)::BIGINT AS zero_registers
+        FROM full_regs GROUP BY 1),
+      ex AS (SELECT o.day AS wend,
+          count(DISTINCT e.user_id)::BIGINT AS exact_distinct
+        FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events) e
+        JOIN obs o ON o.day BETWEEN e.day AND e.day + 6
+        GROUP BY 1)
+      SELECT s.wend AS day,
+        round(0.709::DOUBLE * 4096 * 36028797018963968 / denom, 3) AS hll_est,
+        zero_registers, 64::BIGINT AS m, exact_distinct
+      FROM s JOIN ex USING (wend) ORDER BY 1"""))),
+
+    // Per-domain document cap (the crawl-corpus balancing step: at most K
+    // docs per source, best-first) via Skew.saltedTopKPerKey — stage 1
+    // ranks within (source, salt of doc_id) keeping ≤K per salt so a
+    // Zipf-head domain spreads over 8 tasks instead of pinning one
+    // reducer; stage 2 re-ranks the ≤K·8 survivors. Provably identical
+    // to the direct window (rank-≤K overall ⇒ rank-≤K within its salt),
+    // which is exactly what the single-window oracle checks.
+    "q_domain_cap" -> (((s: SparkSession, dir: String) => {
+      graft.ops.Skew.saltedTopKPerKey(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        key = col("source"), saltOn = col("doc_id"), k = 10,
+        order = Seq(col("n_chars").desc, col("doc_id")), saltBuckets = 8)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("source", "rnk")
+    }, Some("""SELECT doc_id, source, n_chars, rnk FROM (
+        SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id)::BIGINT AS rnk
+        FROM documents)
+      WHERE rnk <= 10 ORDER BY source, rnk"""))),
   )
 }

@@ -128,21 +128,41 @@ object Sketches {
     * tiny aggregate. State is O(m) per group, mergeable by max.
     */
   def hllDistinctByGroup(df: DataFrame, group: Column, key: Column,
-                         m: Int = 64): DataFrame = {
-    val alpha = hllAlpha.getOrElse(m,
-      throw new IllegalArgumentException(s"m must be one of ${hllAlpha.keys.toSeq.sorted}, got $m"))
+                         m: Int = 64): DataFrame =
+    hllEstimate(hllRegisters(df, group, key, m), m)
+
+  /** Per-(group, register) max-rank table — the HLL sketch itself, in
+    * relational form: ≤ m rows per group whatever the input size, built
+    * by one map-side-partial max-aggregation. Mergeable by a further
+    * `max` over any re-grouping of `grp` — the property
+    * [[hllSlidingDistinct]] exploits.
+    */
+  def hllRegisters(df: DataFrame, group: Column, key: Column,
+                   m: Int): DataFrame = {
+    require(hllAlpha.contains(m),
+      s"m must be one of ${hllAlpha.keys.toSeq.sorted}, got $m")
     val bits = Integer.numberOfTrailingZeros(m)
     val w = 60 - bits // rank-field width; rho in 1..w+1, 0 = empty
     val hv = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
       .cast("long")
     val rho = when(col("rest") === 0, lit(w + 1))
       .otherwise(lit(w + 1) - length(bin(col("rest"))))
-    val regs = df
-      .select(group.as("grp"), hv.as("hv"))
+    df.select(group.as("grp"), hv.as("hv"))
       .select(col("grp"), (col("hv") % m).as("register"),
         shiftright(col("hv"), bits).as("rest"))
       .select(col("grp"), col("register"), rho.as("rho"))
       .groupBy("grp", "register").agg(max(col("rho")).as("m_reg"))
+  }
+
+  /** Estimate from a `(grp, register, m_reg)` register table (missing
+    * registers = empty). Same integer-denominator discipline as
+    * [[hllDistinctByGroup]] — this IS its second half.
+    */
+  def hllEstimate(regs: DataFrame, m: Int): DataFrame = {
+    val alpha = hllAlpha.getOrElse(m,
+      throw new IllegalArgumentException(s"m must be one of ${hllAlpha.keys.toSeq.sorted}, got $m"))
+    val bits = Integer.numberOfTrailingZeros(m)
+    val w = 60 - bits
     // full m-register grid per group: empty registers contribute 2^(w+1)
     val grid = regs.select("grp").distinct()
       .select(col("grp"),
@@ -157,5 +177,37 @@ object Sketches {
         round(lit(alpha) * lit(m * m) * lit(1L << (w + 1)) / col("_denom"), 3)
           .as("hll_est"),
         col("zero_registers"), lit(m.toLong).as("m"))
+  }
+
+  /** Sliding-window distinct estimate via SKETCH MERGE — for each day
+    * with data, the distinct-key estimate over the trailing
+    * `windowDays`-day window, WITHOUT re-reading raw rows per window.
+    *
+    * The raw input collapses once to per-day registers (≤ m rows per
+    * day); each day's registers then fan out to the ≤ `windowDays`
+    * observed window-end days they cover and max-merge per
+    * (window, register). Everything after the first aggregation is
+    * day-grain metadata — at 100 TB the alternative (count-distinct per
+    * overlapping window) re-shuffles every raw row `windowDays` times,
+    * while this shuffles it once. This is the standard mergeable-sketch
+    * argument (Flajolet et al. 2007 §6): HLL registers form a
+    * max-semilattice, so any re-grouping merges losslessly.
+    *
+    * `day` must be an integer day number. Output:
+    * `(day, hll_est, zero_registers, m)` — `day` is the window END;
+    * only days present in the input appear.
+    */
+  def hllSlidingDistinct(df: DataFrame, day: Column, key: Column,
+                         windowDays: Int, m: Int = 64): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val dayRegs = hllRegisters(df, day, key, m)
+      .withColumnRenamed("grp", "_day")
+    val observed = dayRegs.select(col("_day").as("grp")).distinct()
+    val merged = dayRegs
+      .withColumn("grp", explode(sequence(col("_day"),
+        col("_day") + lit((windowDays - 1).toLong))))
+      .join(observed, Seq("grp"), "left_semi")
+      .groupBy("grp", "register").agg(max(col("m_reg")).as("m_reg"))
+    hllEstimate(merged, m).withColumnRenamed("grp", "day")
   }
 }

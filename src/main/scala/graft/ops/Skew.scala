@@ -63,6 +63,40 @@ object Skew {
     b.join(sm, Seq(key, "_salt"), "inner").drop("_salt")
   }
 
+  /** Two-stage top-K per key for skewed key distributions — the capped
+    * variant of [[saltedAggregate]]. A plain
+    * `row_number() OVER (PARTITION BY key ORDER BY …) <= k` sends EVERY
+    * row of a hot key to one reducer; at 100 TB a head domain (web-crawl
+    * corpora are Zipfian in host) pins a single task with billions of
+    * rows. Stage 1 ranks within (key, salt) and keeps ≤ k per salt, so
+    * the hot key spreads over `saltBuckets` tasks and at most
+    * k·saltBuckets survivors per key reach stage 2; stage 2 re-ranks the
+    * survivors within key alone. Because rank-k survivors of the whole
+    * key are necessarily rank-≤k within their salt bucket, the result is
+    * IDENTICAL to the direct window for any `saltBuckets` — the salt
+    * changes only the shuffle layout, never the answer.
+    *
+    * `order` must be a total order (include a unique tiebreak column) or
+    * the kept set is engine-dependent; `saltOn` should be a deterministic
+    * per-row expression (e.g. the tiebreak id) so runs are repeatable.
+    */
+  def saltedTopKPerKey(df: DataFrame, key: Column, saltOn: Column, k: Int,
+                       order: Seq[Column], saltBuckets: Int = 8,
+                       rankCol: String = "rnk"): DataFrame = {
+    require(k >= 1 && saltBuckets >= 1, "k and saltBuckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(saltOn), lit(saltBuckets.toLong)))
+    val w1 = Window.partitionBy(key, col("_salt")).orderBy(order: _*)
+    val survivors = salted
+      .withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= k)
+      .drop("_r1", "_salt")
+    val w2 = Window.partitionBy(key).orderBy(order: _*)
+    survivors.withColumn(rankCol, row_number().over(w2))
+      .where(col(rankCol) <= k)
+  }
+
   /** Sampled range split points — the `InputSampler` analog, exposed via
     * `approxQuantile` (Spark's RangePartitioner uses the same reservoir
     * sampling internally under `orderBy`).

@@ -112,4 +112,23 @@ class SketchesSpec extends SparkSpec {
       Sketches.hllDistinctByGroup(df, col("g"), col("v"), m = 100)
     }
   }
+
+  test("sliding HLL == from-scratch HLL over each trailing window") {
+    import spark.implicits._
+    // days 0..9, keys overlap across days so merge ≠ sum
+    val rows = for (d <- 0L until 10L; k <- 0 until 40)
+      yield (d, s"user${(d * 7 + k) % 120}")
+    val df = rows.toDF("day", "key")
+    val slid = Sketches.hllSlidingDistinct(df, col("day"), col("key"),
+        windowDays = 3)
+      .select("day", "hll_est", "zero_registers")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val direct = (0L until 10L).map { wend =>
+      val win = df.where(col("day") >= wend - 2 && col("day") <= wend)
+      val r = Sketches.hllDistinctByGroup(win, lit(wend), col("key")).head()
+      (wend, r.getDouble(1), r.getLong(2))
+    }
+    assert(slid == direct)
+  }
 }
