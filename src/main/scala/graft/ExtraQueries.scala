@@ -1251,6 +1251,63 @@ object ExtraQueries {
         sum(vc)::BIGINT AS value_cents
       FROM sessed GROUP BY user_id, sess"""))),
 
+    // STATEFUL streaming funnel under the BATCH oracle: the same strict
+    // view→click→purchase semantics as q_funnel, computed per user by
+    // flatMapGroupsWithState. Chain entries finalize as the watermark
+    // passes them (future arrivals are provably later), so state is the
+    // chain prefix + only above-watermark events — bounded by watermark
+    // delay, never user history. The sentinel (foreign type, +30d)
+    // advances the watermark without postponing any user's event-time
+    // timeout; every user then emits exactly one row in the trailing
+    // batch, and the oracle is literally the batch funnel SQL.
+    "q_stream_funnel" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmp("stream_funnel_in", dir)
+      val sink = tmp("stream_funnel_out", dir)
+      val ckpt = tmp("stream_funnel_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxNs = Tables.eventsTsRangeNs(raw)._2
+      val sentinelTmp = tmp("stream_funnel_sentinel", dir)
+      raw.limit(1)
+        .withColumn("ts", Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
+      val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+      val q = graft.streaming.EventStreams
+        .funnelStream(stream, Seq("view", "click", "purchase"))
+        .toDF().writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+          col("reached"))
+        .orderBy("user_id")
+    }, Some("""WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us)::BIGINT AS t1_us FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT ev.user_id, min(us)::BIGINT AS t2_us
+            FROM ev JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us > t1_us GROUP BY 1),
+      p AS (SELECT ev.user_id, min(us)::BIGINT AS t3_us
+            FROM ev JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1)
+      SELECT v.user_id, t1_us, t2_us, t3_us,
+        (1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::BIGINT AS reached
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      ORDER BY 1"""))),
+
     // Streaming DEDUP under the oracle: the events file staged TWICE
     // (simulated duplicate delivery — the reference-era at-least-once
     // ingestion problem) + sentinel; dropDuplicatesWithinWatermark keeps

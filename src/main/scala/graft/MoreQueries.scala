@@ -54,8 +54,81 @@ object MoreQueries {
     sb.toString
   }
 
+  /** One UNION-ALL branch of the q_kmv_intersect oracle: the Beyer et al.
+    * union-sketch membership estimate for one event-type pair, reading
+    * the per-type bottom-k CTEs `s_<type>`.
+    */
+  private def kmvPairSql(a: String, b: String, k: Int): String =
+    s"""SELECT '$a|$b' AS pair, su_size, matched,
+      round(est_u, 6) AS est_union,
+      CASE WHEN su_size = 0 THEN 0.0
+        ELSE round(matched * est_u / su_size, 6) END AS est_intersect,
+      $k::BIGINT AS k,
+      (SELECT count(*)::BIGINT FROM
+        (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+         FROM events WHERE event_type = '$a') x
+        JOIN (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+              FROM events WHERE event_type = '$b') y
+        USING (user_id, d)) AS exact_intersect
+    FROM (
+      SELECT count(*)::BIGINT AS su_size,
+        coalesce(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0)::BIGINT
+          AS matched,
+        CASE WHEN count(*) < $k THEN count(*)::DOUBLE
+          ELSE ${k - 1}.0 / max(h) END AS est_u
+      FROM (
+        SELECT su.h, sa.h IS NOT NULL AS ina, sb.h IS NOT NULL AS inb
+        FROM (SELECT h FROM (SELECT h FROM s_$a UNION SELECT h FROM s_$b)
+              ORDER BY h LIMIT $k) su
+        LEFT JOIN s_$a sa ON su.h = sa.h
+        LEFT JOIN s_$b sb ON su.h = sb.h))"""
+
   val registry: Map[String, (
     (SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // Pairwise set-overlap between event types over (user, day) activity
+    // sets via KMV intersection sketches (Beyer et al. 2007): each set
+    // is read ONCE into O(k) bottom-k state; union merge, membership
+    // flags, and the ρ·|A∪B| estimate are k-row metadata. N sets need N
+    // sketch builds — never N² distinct-joins. exact_intersect rides
+    // along as certification of the estimator.
+    "q_kmv_intersect" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      def side(tp: String): DataFrame = ev
+        .where(col("event_type") === tp)
+        .select(concat_ws("|", col("user_id"),
+          expr("ts_ns DIV 86400000000000")).as("ud"),
+          col("user_id"), expr("ts_ns DIV 86400000000000").as("d"))
+      Seq(("click", "purchase"), ("view", "click"), ("view", "purchase"))
+        .map { case (a, b) =>
+          val est = Sketches.kmvIntersect(
+            side(a), col("ud"), side(b), col("ud"), k = 64)
+          val exact = side(a).select("user_id", "d").distinct()
+            .join(side(b).select("user_id", "d").distinct(),
+              Seq("user_id", "d"))
+            .agg(count(lit(1)).as("exact_intersect"))
+          est.crossJoin(exact)
+            .select(lit(s"$a|$b").as("pair"), col("su_size"), col("matched"),
+              col("est_union"), col("est_intersect"), col("k"),
+              col("exact_intersect"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("pair")
+    }, Some {
+      val ctes = Seq("view", "click", "purchase").map { tp =>
+        s"""h_$tp AS (
+          SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR || '|' ||
+              (epoch_us(ts) // 86400000000)::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0 AS h
+          FROM events WHERE event_type = '$tp'),
+        s_$tp AS (SELECT h FROM h_$tp ORDER BY h LIMIT 64)"""
+      }.mkString(", ")
+      val pairs = Seq(("click", "purchase"), ("view", "click"),
+        ("view", "purchase"))
+        .map { case (a, b) => kmvPairSql(a, b, 64) }
+        .mkString(" UNION ALL ")
+      s"WITH $ctes $pairs ORDER BY pair"
+    })),
 
     // Standalone connected components over an explicit edge list (here:
     // the LSH near-dup candidate pairs — the edge set q_dedup_corpus
@@ -368,6 +441,37 @@ object MoreQueries {
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       ORDER BY 1"""))),
 
+    // Deadline (conversion-window) funnel: each stage must land within
+    // 48 h of the previous stage's finalized time — the attribution-
+    // window semantics ad/commerce funnels actually use. Same shuffle
+    // shape as q_funnel; only the qualifying predicate narrows.
+    "q_funnel_deadline" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), expr("ts_ns DIV 1000").as("us"))
+      graft.ops.EventAnalytics
+        .funnel(ev, "user_id", "event_type", "us",
+          Seq("view", "click", "purchase"), maxGap = Some(172800000000L))
+        .select(col("user_id"), col("t1").as("t1_us"),
+          col("t2").as("t2_us"), col("t3").as("t3_us"), col("reached"))
+        .orderBy("user_id")
+    }, Some("""WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us)::BIGINT AS t1_us FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT ev.user_id, min(us)::BIGINT AS t2_us
+            FROM ev JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us > t1_us
+              AND us <= t1_us + 172800000000 GROUP BY 1),
+      p AS (SELECT ev.user_id, min(us)::BIGINT AS t3_us
+            FROM ev JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us > t2_us
+              AND us <= t2_us + 172800000000 GROUP BY 1)
+      SELECT v.user_id, t1_us, t2_us, t3_us,
+        (1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::BIGINT AS reached
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      ORDER BY 1"""))),
+
     // Weekly cohort retention: cohort = week of first activity, counted
     // at each later active week offset. Integer epoch-day math end to
     // end (no calendar anchoring), output is cohorts × offsets —
@@ -440,17 +544,21 @@ object MoreQueries {
       FROM s JOIN ex USING (wend) ORDER BY 1"""))),
 
     // Per-domain document cap (the crawl-corpus balancing step: at most K
-    // docs per source, best-first) via Skew.saltedTopKPerKey — stage 1
-    // ranks within (source, salt of doc_id) keeping ≤K per salt so a
-    // Zipf-head domain spreads over 8 tasks instead of pinning one
-    // reducer; stage 2 re-ranks the ≤K·8 survivors. Provably identical
-    // to the direct window (rank-≤K overall ⇒ rank-≤K within its salt),
-    // which is exactly what the single-window oracle checks.
+    // docs per source, best-first) as the PLAIN declarative window —
+    // deliberately. Spark 4's InferWindowGroupLimit rewrites a
+    // `row_number() <= K` filter into a partial-mode WindowGroupLimit
+    // BEFORE the exchange (a bounded per-key heap on the map side), so
+    // at most K rows per source per input partition ever cross the
+    // shuffle: a Zipf-head domain's reducer sorts ≤ K·maps rows, not the
+    // domain. Measured against Skew.saltedTopKPerKey on a staged
+    // hot-domain table (d15): the direct window wins 2× — Catalyst's
+    // rank-limit pushdown subsumes manual salting here.
     "q_domain_cap" -> (((s: SparkSession, dir: String) => {
-      graft.ops.Skew.saltedTopKPerKey(
-        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        key = col("source"), saltOn = col("doc_id"), k = 10,
-        order = Seq(col("n_chars").desc, col("doc_id")), saltBuckets = 8)
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("rnk").cast("long").as("rnk"))
         .orderBy("source", "rnk")

@@ -91,6 +91,46 @@ object Sketches {
         lit(k.toLong).as("k"))
   }
 
+  /** KMV set-INTERSECTION estimate between two key sets (Beyer et al.,
+    * SIGMOD 2007 §4): the k smallest hashes of A∪B are a uniform sample
+    * of the union, so the fraction of them present in both sides
+    * estimates the Jaccard similarity, and |A∩B| ≈ ρ · |A∪B|.
+    * Everything derives from the two per-side bottom-k sketches — the
+    * raw inputs are each read ONCE to build O(k) state; the union merge,
+    * membership flags, and estimate are k-row metadata. That is the
+    * 100 TB shape: pairwise overlap between N sets needs N sketch builds,
+    * not N² set joins.
+    *
+    * Output, one row: `(su_size, matched, est_union, est_intersect, k)`;
+    * `su_size < k` means the union sketch IS the exact distinct union
+    * (and the estimate degrades to exact). Deterministic md5 hashing and
+    * a fixed association order — round(matched · est_u / su_size, 6) with
+    * est_u unrounded — keep the doubles engine-replayable.
+    */
+  def kmvIntersect(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+                   k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sa = kmvSketch(a, keyA, k)
+    val sb = kmvSketch(b, keyB, k)
+    val su = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
+    val marked = su
+      .join(sa.withColumn("_ina", lit(1)), Seq("h"), "left")
+      .join(sb.withColumn("_inb", lit(1)), Seq("h"), "left")
+    val estU = when(col("su_size") < k, col("su_size").cast("double"))
+      .otherwise(lit((k - 1).toDouble) / col("_hk"))
+    marked
+      .agg(count(lit(1)).as("su_size"),
+        coalesce(sum(when(col("_ina") === 1 && col("_inb") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("matched"),
+        max(col("h")).as("_hk"))
+      .select(col("su_size"), col("matched"),
+        round(estU, 6).as("est_union"),
+        when(col("su_size") === 0, lit(0.0)) // empty inputs: 0, not 0/0
+          .otherwise(round(col("matched") * estU / col("su_size"), 6))
+          .as("est_intersect"),
+        lit(k.toLong).as("k"))
+  }
+
   /** Bias-correction constant of the raw HyperLogLog estimator
     * (Flajolet et al. 2007, §4) for the supported register counts.
     */

@@ -33,16 +33,22 @@ object EventAnalytics {
     * number of stages completed.
     */
   def funnel(ev: DataFrame, userCol: String, typeCol: String, tsCol: String,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String], maxGap: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     var acc = ev.where(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
     for ((st, i) <- stages.tail.zipWithIndex) {
       val prev = s"t${i + 1}"
       val cur = s"t${i + 2}"
+      // deadline (conversion-window) variant: stage i+1 must land within
+      // maxGap of the finalized stage-i time, not merely after it
+      val inWindow = maxGap match {
+        case Some(g) => col(tsCol) > col(prev) && col(tsCol) <= col(prev) + g
+        case None => col(tsCol) > col(prev)
+      }
       val nxt = ev.where(col(typeCol) === st)
         .join(acc.select(col(userCol), col(prev)), Seq(userCol))
-        .where(col(tsCol) > col(prev))
+        .where(inWindow)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
       acc = acc.join(nxt, Seq(userCol), "left")
     }

@@ -63,18 +63,23 @@ object Skew {
     b.join(sm, Seq(key, "_salt"), "inner").drop("_salt")
   }
 
-  /** Two-stage top-K per key for skewed key distributions — the capped
-    * variant of [[saltedAggregate]]. A plain
-    * `row_number() OVER (PARTITION BY key ORDER BY …) <= k` sends EVERY
-    * row of a hot key to one reducer; at 100 TB a head domain (web-crawl
-    * corpora are Zipfian in host) pins a single task with billions of
-    * rows. Stage 1 ranks within (key, salt) and keeps ≤ k per salt, so
-    * the hot key spreads over `saltBuckets` tasks and at most
-    * k·saltBuckets survivors per key reach stage 2; stage 2 re-ranks the
-    * survivors within key alone. Because rank-k survivors of the whole
-    * key are necessarily rank-≤k within their salt bucket, the result is
-    * IDENTICAL to the direct window for any `saltBuckets` — the salt
-    * changes only the shuffle layout, never the answer.
+  /** Two-stage salted top-K per key — the capped variant of
+    * [[saltedAggregate]]. Stage 1 ranks within (key, salt) keeping ≤ k
+    * per salt cell; stage 2 re-ranks the ≤ k·saltBuckets survivors.
+    * Because rank-k survivors of the whole key are necessarily rank-≤k
+    * within their salt bucket, the result is IDENTICAL to the direct
+    * window for any `saltBuckets`.
+    *
+    * MEASURED FINDING (d15, SCALING.md): on Spark 4 this is REDUNDANT —
+    * `InferWindowGroupLimit` already rewrites a `row_number() <= k`
+    * filter into a partial-mode `WindowGroupLimit` before the exchange
+    * (a bounded per-key heap on the map side), so the direct window ships
+    * ≤ k rows per key per input partition and beats this two-stage form
+    * ~2× on a staged hot-domain table. Prefer the plain window
+    * (q_domain_cap does); this helper stays as the documented shape for
+    * engines/contexts WITHOUT rank-limit pushdown — e.g. a `rank`-free
+    * bounded selection under an aggregate, or Spark < 3.5 — and as the
+    * provably-equivalent reference the d15 trend measures against.
     *
     * `order` must be a total order (include a unique tiebreak column) or
     * the kept set is engine-dependent; `saltOn` should be a deterministic

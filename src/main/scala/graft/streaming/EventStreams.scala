@@ -204,6 +204,106 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, stage: Int,
+                               tUs: Long)
+  final case class FunnelState(done: Seq[Long], pending: Seq[(Int, Long)],
+                               maxSeenMs: Long)
+  final case class FunnelOut(user_id: Long, t1_us: Option[Long],
+                             t2_us: Option[Long], t3_us: Option[Long],
+                             reached: Long)
+
+  /** The greedy strict-ordering funnel chain, advanced as far as the
+    * watermark allows. A chain entry is FINAL once appended: it was the
+    * minimum qualifying time ≤ the watermark, and every future arrival
+    * has event time > watermark, so nothing can undercut it — the same
+    * argument that lets stream-stream joins discard matched state. After
+    * advancing, every pending event at or below the watermark is either
+    * consumed or provably useless (its stage is already finalized, or a
+    * qualifying predecessor would need a time > watermark > its own), so
+    * the buffer only ever holds events above the watermark: state is
+    * bounded by rate × watermark delay, never by user history.
+    */
+  private def funnelAdvance(st: FunnelState, wmUs: Long,
+                            nStages: Int): FunnelState = {
+    var done = st.done
+    var progressed = true
+    while (progressed && done.length < nStages) {
+      val need = done.length
+      val last = if (done.isEmpty) Long.MinValue else done.last
+      val cand = st.pending.collect {
+        case (s, t) if s == need && t > last && t <= wmUs => t
+      }
+      if (cand.isEmpty) progressed = false else done = done :+ cand.min
+    }
+    FunnelState(done, st.pending.filter(_._2 > wmUs), st.maxSeenMs)
+  }
+
+  /** Streaming conversion funnel — the stateful counterpart of
+    * [[graft.ops.EventAnalytics.funnel]], same strict-ordering
+    * semantics (stage i+1 strictly after the finalized stage-i time),
+    * emitting one row per user when the watermark closes their activity.
+    * Up to 3 stages (the output row is fixed-width). Non-stage events
+    * pass through untouched — they advance nothing, so a far-future
+    * sentinel of a foreign type moves the WATERMARK without postponing
+    * any user's timeout.
+    */
+  def funnelStream(events: DataFrame, stages: Seq[String],
+                   watermark: String = "2 hours"): Dataset[FunnelOut] = {
+    require(stages.nonEmpty && stages.length <= 3,
+      "funnelStream supports 1..3 stages")
+    val n = stages.length
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (st, i)) =>
+        when(col("event_type") === st, lit(i)).otherwise(acc)
+      }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), stageIdx.as("stage"),
+        expr("ts_ns DIV 1000").as("tUs"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          def finalize(st: FunnelState): Iterator[FunnelOut] = {
+            val d = funnelAdvance(st, Long.MaxValue, n).done
+            if (d.isEmpty) Iterator.empty
+            else Iterator(FunnelOut(uid, d.lift(0), d.lift(1), d.lift(2),
+              d.length.toLong))
+          }
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            finalize(st)
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption.getOrElse(FunnelState(Nil, Nil, 0L))
+            val staged = evs.filter(_.stage >= 0)
+            // stage events only: a foreign-type sentinel must not push
+            // this user's timeout past the watermark it creates
+            val maxSeen = (prev.maxSeenMs +: staged.map(_.ts.getTime)).max
+            val wmMs = math.max(0L, state.getCurrentWatermarkMs())
+            val st = funnelAdvance(
+              FunnelState(prev.done,
+                prev.pending ++ staged.map(e => (e.stage, e.tUs)), maxSeen),
+              wmMs * 1000L, n)
+            val target = st.maxSeenMs + 1000L
+            if (target > wmMs) {
+              state.update(st)
+              state.setTimeoutTimestamp(target)
+              Iterator.empty
+            } else {
+              // past due (watermark already beyond this user's activity):
+              // a timeout would never legally schedule — finalize now
+              state.remove()
+              finalize(st)
+            }
+          }
+      }
+  }
+
   /** Run any of the above to a memory sink until all available data is
     * processed (test/batch-replay entry point).
     */

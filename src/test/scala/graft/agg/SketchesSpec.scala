@@ -113,6 +113,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KMV intersection: exact mode, identical, disjoint, overlap band") {
+    import spark.implicits._
+    // exact mode: union fits in k, sketch IS the sets
+    val sa = Seq("x", "y", "z").toDF("k")
+    val sb = Seq("y", "z", "w").toDF("k")
+    val ex = Sketches.kmvIntersect(sa, col("k"), sb, col("k"), 64).head()
+    assert(ex.getLong(0) == 4 && ex.getLong(1) == 2
+      && ex.getDouble(3) == 2.0)
+    // identical sets: every union-sketch hash is in both sides
+    val a = (1 to 500).map(i => s"k$i").toDF("k")
+    val same = Sketches.kmvIntersect(a, col("k"), a, col("k"), 64).head()
+    assert(same.getDouble(3) == same.getDouble(2))
+    // disjoint sets: zero matched, zero estimate
+    val c = (10000 to 10500).map(i => s"z$i").toDF("k")
+    val dis = Sketches.kmvIntersect(a, col("k"), c, col("k"), 64).head()
+    assert(dis.getLong(1) == 0L && dis.getDouble(3) == 0.0)
+    // 200-key overlap of 500-key sets: estimate lands in a sane band
+    val b = (301 to 800).map(i => s"k$i").toDF("k")
+    val est = Sketches.kmvIntersect(a, col("k"), b, col("k"), 64)
+      .head().getDouble(3)
+    assert(est > 60 && est < 420, s"est_intersect=$est for true 200")
+  }
+
   test("sliding HLL == from-scratch HLL over each trailing window") {
     import spark.implicits._
     // days 0..9, keys overlap across days so merge ≠ sum

@@ -42,6 +42,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getLong(1) == 5L && r.getLong(2) == 7L)
   }
 
+  test("funnel maxGap: stage counts only within the deadline, inclusive") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 15L), // within gap 10 → converts
+      (2L, "A", 10L), (2L, "B", 25L), // beyond 10+10 → stalls
+      (3L, "A", 10L), (3L, "B", 20L)  // exactly at the deadline → counts
+    ).toDF("user_id", "event_type", "us")
+    val out = EventAnalytics
+      .funnel(ev, "user_id", "event_type", "us", Seq("A", "B"),
+        maxGap = Some(10L))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, Some(15L), 2L), (2L, None, 1L),
+      (3L, Some(20L), 2L)))
+  }
+
   test("weeklyRetention cohorts by first week, counts distinct per offset") {
     import spark.implicits._
     // days: u1 first day 0 (week 0), active days 0, 8 (offset 1), 8 again

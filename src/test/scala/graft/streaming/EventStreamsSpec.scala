@@ -180,6 +180,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel matches the batch strict-order funnel") {
+    val out = EventStreams.funnelStream(staged,
+      Seq("view", "click", "purchase"))
+    EventStreams.runToMemory(out.toDF(), "funnel", OutputMode.Append())
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getLong(4))
+    val streamed = spark.table("funnel")
+      .where(col("user_id") =!= -1)
+      .select("user_id", "t1_us", "t2_us", "t3_us", "reached")
+      .collect().map(row).toSet
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("us"))
+    val batch = graft.ops.EventAnalytics
+      .funnel(ev, "user_id", "event_type", "us",
+        Seq("view", "click", "purchase"))
+      .collect().map(row).toSet
+    assert(streamed == batch)
+  }
+
   test("RocksDB state store produces identical results to the default provider") {
     // at 100 TB the in-memory HDFS-backed state store is the wrong
     // provider — sessions/windows/join state must spill; Spark bundles
