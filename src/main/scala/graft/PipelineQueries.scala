@@ -1,0 +1,721 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Round-10 training-data curation batch: importance-based data
+  * selection (DSIR), temperature-flattened language mixing,
+  * leakage-safe cluster-aware splits, a declarative data-quality
+  * expectation suite, exact-moment outlier gating, and fuzzy
+  * (MinHash) benchmark decontamination. All are published-recipe
+  * operators a 100 TB pretraining pipeline runs between ingest and
+  * tokenization; none exist in the reference (its users hand-rolled
+  * fixed-rate sampling and exact-match joins in MapReduce), so these
+  * extend the engine along the same Spark-first lines as [[Queries]].
+  *
+  * Determinism rules as everywhere else in the repo: md5-only hashing,
+  * exact integer moments where association matters, doubles only
+  * through expressions written identically on both engines, rounds at
+  * 9/6 digits before any aggregation/compare.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** First 8 md5 hex digits of `key` scaled to [0,1) — the repo's
+    * standard engine-portable uniform hash (same formula as
+    * [[graft.ops.Sampling.stratifiedSample]]).
+    */
+  private def hash01(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Shared DuckDB CTE prefix replaying the MinHash/LSH pipeline
+    * (tokens → distinct 3-shingles → shingle hash → 8 signature mins →
+    * 4 two-row bands) exactly as [[Dedup.minhashSignatures]] /
+    * [[Dedup.lshBands]] compute it. Emits CTEs `shd` (distinct
+    * (doc_id, sh)) and `bands` ((doc_id, band, bkey)); callers append
+    * their own candidate/verify SQL.
+    */
+  private def minhashCtes: String = {
+    val sigs = (0 until 8).map { i =>
+      s"min((x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})::BIGINT AS sig$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val (i, j) = (2 * b, 2 * b + 1)
+      val sel = s"SELECT doc_id, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+      if (b == 0) sel else s"UNION ALL $sel"
+    }.mkString(" ")
+    s"""tk AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM documents),
+      shl AS (
+        SELECT doc_id, unnest(list_transform(range(greatest(len(tk) - 2, 1)),
+          i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS sh
+        FROM tk),
+      shd AS (SELECT DISTINCT doc_id, sh FROM shl),
+      hx AS (
+        SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+        FROM shd),
+      sig AS (SELECT doc_id, $sigs FROM hx GROUP BY 1),
+      bands AS ($bandSelects)"""
+  }
+
+  val registry: Map[String, (
+    (SparkSession, String) => DataFrame, Option[String])] = Map(
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): hash unigrams
+    // into 64 feature buckets, fit add-one-smoothed bucket
+    // distributions for the TARGET slice (lang = 'en') and the RAW
+    // corpus, and score every doc by its summed log-likelihood ratio.
+    // Scale: the feature model is a 64-row table — broadcast, never
+    // shuffled with the corpus; the per-doc score is one (doc, bucket)
+    // partial agg + a broadcast join, so the whole selector is two
+    // map-side-combined passes over the scan regardless of corpus size.
+    "q_dsir_weights" -> (((s: SparkSession, dir: String) => {
+      val bkt = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .withColumn("b",
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 64)
+      val stats = bkt.groupBy("b").agg(
+        count(lit(1)).as("r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+      val totals = stats.agg(sum("r").as("tr_tot"), sum("tt").as("tt_tot"))
+      val lrTbl = stats.crossJoin(broadcast(totals)).select(col("b"),
+        round(log((col("tt") + lit(1.0)) / (col("tt_tot") + lit(64.0))) -
+          log((col("r") + lit(1.0)) / (col("tr_tot") + lit(64.0))), 9).as("lr"))
+      bkt.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+        .join(broadcast(lrTbl), "b")
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_tokens"),
+          round(sum(col("n") * col("lr")), 6).as("dsir_logratio"))
+        .withColumn("target_like", col("dsir_logratio") > 0)
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tk AS (
+        SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b
+        FROM tok WHERE len(w) > 0),
+      stats AS (
+        SELECT b, count(*)::BIGINT AS r,
+          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tt
+        FROM tk GROUP BY 1),
+      tot AS (SELECT sum(r)::BIGINT AS tr_tot, sum(tt)::BIGINT AS tt_tot FROM stats),
+      lr AS (
+        SELECT b, round(ln((tt + 1.0) / (tt_tot + 64.0))
+                      - ln((r + 1.0) / (tr_tot + 64.0)), 9) AS lr
+        FROM stats, tot),
+      pd AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM tk GROUP BY 1, 2)
+      SELECT pd.doc_id, sum(n)::BIGINT AS n_tokens,
+        round(sum(n * lr.lr), 6) AS dsir_logratio,
+        (round(sum(n * lr.lr), 6) > 0) AS target_like
+      FROM pd JOIN lr USING (b)
+      GROUP BY 1 ORDER BY 1"""))),
+
+    // Temperature-flattened language mixing (the alpha = 0.5 sampling
+    // of Conneau & Lample 2019 / mT5): per-language sampling weight
+    // w = sqrt(n_max / n_lang), so the head language keeps rate 1 and
+    // rare languages are upsampled toward a flatter distribution; the
+    // weights feed the deterministic weightedRepeat generator (floor(w)
+    // copies + md5 fractional gate). sqrt and one division are both
+    // exactly-rounded IEEE ops, so the weights — and therefore the
+    // exact copy set — replay on any engine. Scale: the weight table is
+    // |languages| rows (broadcast); the mix decision rides the scan.
+    "q_alpha_mix" -> (((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id", "lang")
+      val cnt = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val nmax = cnt.agg(max("n_lang").as("n_max"))
+      val w = cnt.crossJoin(broadcast(nmax)).select(col("lang"),
+        sqrt(col("n_max").cast("double") / col("n_lang")).as("w"))
+      graft.ops.Sampling.weightedRepeat(
+          d.join(broadcast(w), "lang"), col("doc_id"), col("w"))
+        .select("doc_id", "lang", "copy_id")
+    }, Some("""WITH c AS (
+        SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY 1),
+      m AS (SELECT max(n_lang) AS n_max FROM c),
+      w AS (SELECT lang, sqrt(n_max::DOUBLE / n_lang) AS w FROM c, m),
+      d AS (
+        SELECT doc_id, d0.lang AS lang, w.w AS w,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+        FROM documents d0 JOIN w USING (lang)),
+      n AS (
+        SELECT doc_id, lang,
+          floor(w)::BIGINT + (CASE WHEN h < w - floor(w) THEN 1 ELSE 0 END) AS cnt
+        FROM d)
+      SELECT doc_id, lang, unnest(range(cnt)) AS copy_id
+      FROM n WHERE cnt > 0"""))),
+
+    // Leakage-safe train/valid/test split: assign by NEAR-DUP CLUSTER,
+    // not by doc — a doc-hash split (q_split_assign) puts near-identical
+    // docs on both sides of the train/eval boundary, the train-test
+    // leakage Lee et al. 2022 measured; hashing the connected-component
+    // label instead keeps every near-dup family in one split. Singleton
+    // docs (no LSH candidate edge) are their own component. Scale: the
+    // cluster labels are the same O(diameter) min-label propagation as
+    // q_dedup_corpus; the split itself is a pure hash gate on the label.
+    // The oracle walks reachability with an independent recursive CTE.
+    "q_cluster_split" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs,
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+      val comp = Dedup.dedupClusters(pairs)
+      val labeled = docs.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("component"))
+      val h = hash01(col("component"))
+      labeled
+        .withColumn("split",
+          when(h < 0.8, "train").when(h < 0.9, "valid").otherwise("test"))
+        .orderBy("doc_id")
+    }, Some {
+      s"""WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id <> b.doc_id),
+      walk(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, wk.comp FROM walk wk JOIN edges e ON e.src = wk.node),
+      comp AS (SELECT node AS doc_id, min(comp)::BIGINT AS component
+               FROM walk GROUP BY 1),
+      allc AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id)::BIGINT AS component
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      hh AS (
+        SELECT doc_id, component,
+          ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT
+            / 4294967296.0 AS h
+        FROM allc)
+      SELECT doc_id, component,
+        CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM hh ORDER BY doc_id"""
+    })),
+
+    // Declarative data-quality expectation suite (the Deequ / Great
+    // Expectations pattern): each rule is (rule, violations, total,
+    // pass) — null gates, range gates, primary-key uniqueness, two
+    // referential-integrity checks, and a cross-table ordering
+    // invariant. Scale: all same-table rules share ONE conditional-agg
+    // scan per table (map-side combined); RI rules are anti-joins that
+    // broadcast when the parent side is small and AQE-shuffle
+    // otherwise; nothing collects row data — violation COUNTS, not
+    // violating rows, come back to the driver.
+    "q_expectations" -> (((s: SparkSession, dir: String) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val cust = t(s, dir, "customer")
+      val oAgg = orders.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v_date"))
+      val lAgg = li.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("v_disc"))
+      val pkDup = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+        .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("violations"))
+      val fkOrders = orders.join(cust,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val fkLi = li.join(orders,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val shipOrd = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("violations"))
+      def row(name: String, viol: Column, total: Column)
+             (src: DataFrame): DataFrame =
+        src.select(lit(name).as("rule"), viol.cast("long").as("violations"),
+          total.cast("long").as("total"))
+      val oTot = oAgg.select(col("total"))
+      val lTot = lAgg.select(col("total"))
+      Seq(
+        row("orders_totalprice_positive", col("v_price"), col("total"))(oAgg),
+        row("orders_orderdate_nonnull", col("v_date"), col("total"))(oAgg),
+        row("orders_custkey_fk", col("violations"), col("o_total"))(
+          fkOrders.crossJoin(broadcast(oTot.select(col("total").as("o_total"))))),
+        row("lineitem_qty_range", col("v_qty"), col("total"))(lAgg),
+        row("lineitem_discount_range", col("v_disc"), col("total"))(lAgg),
+        row("lineitem_pk_unique", col("violations"), col("l_total"))(
+          pkDup.crossJoin(broadcast(lTot.select(col("total").as("l_total"))))),
+        row("lineitem_orderkey_fk", col("violations"), col("l_total"))(
+          fkLi.crossJoin(broadcast(lTot.select(col("total").as("l_total"))))),
+        row("lineitem_ship_after_order", col("violations"), col("l_total"))(
+          shipOrd.crossJoin(broadcast(lTot.select(col("total").as("l_total"))))))
+        .reduce(_ unionByName _)
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy("rule")
+    }, Some("""WITH ot AS (SELECT count(*)::BIGINT AS t FROM orders),
+      lt AS (SELECT count(*)::BIGINT AS t FROM lineitem),
+      rules AS (
+        SELECT 'orders_totalprice_positive' AS rule,
+          (SELECT count(*) FROM orders WHERE o_totalprice <= 0)::BIGINT
+            AS violations, ot.t AS total FROM ot
+        UNION ALL
+        SELECT 'orders_orderdate_nonnull',
+          (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)::BIGINT,
+          ot.t FROM ot
+        UNION ALL
+        SELECT 'orders_custkey_fk',
+          (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)::BIGINT, ot.t FROM ot
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+          (SELECT count(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT, lt.t FROM lt
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+          (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)::BIGINT, lt.t FROM lt
+        UNION ALL
+        SELECT 'lineitem_pk_unique',
+          (SELECT coalesce(sum(cnt - 1), 0) FROM (
+            SELECT count(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey, l_linenumber) WHERE cnt > 1)::BIGINT,
+          lt.t FROM lt
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+          (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)::BIGINT, lt.t FROM lt
+        UNION ALL
+        SELECT 'lineitem_ship_after_order',
+          (SELECT count(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate)::BIGINT, lt.t FROM lt)
+      SELECT rule, violations, total, (violations = 0) AS pass
+      FROM rules ORDER BY rule"""))),
+
+    // Per-group outlier gate over exact integer moments: value → cents,
+    // per-event-type (n, Σc, Σc²) in exact BIGINT arithmetic, std from
+    // ONE double expression written identically on both engines, then a
+    // |z| > 1.5 count and the max |z|. The moment trick is what makes a
+    // mean/std gate deterministic under ANY partitioning — a double
+    // running sum would be association-order-dependent and could not be
+    // hash-compared across engines (or between two cluster runs).
+    // Scale: one map-side-combined agg for the moments (|types| rows,
+    // broadcast back), one scan for the gate — no sort, no window.
+    "q_zscore_outliers" -> (((s: SparkSession, dir: String) => {
+      val base = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val stats = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .withColumn("stdc", sqrt(
+          (col("s2").cast("double") * col("n") -
+            col("s1").cast("double") * col("s1")) /
+          (col("n").cast("double") * (col("n") - 1))))
+      val outl = base.join(broadcast(stats), "event_type")
+        .withColumn("z",
+          (col("c").cast("double") - col("s1").cast("double") / col("n")) /
+            col("stdc"))
+        .groupBy("event_type")
+        .agg(sum(when(abs(col("z")) > 1.5, 1L).otherwise(0L)).as("n_outliers"),
+          max(round(abs(col("z")), 6)).as("max_abs_z"))
+      stats.join(outl, "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("s1").cast("double") / col("n") / lit(100.0), 6)
+            .as("mean_value"),
+          round(col("stdc") / lit(100.0), 6).as("std_value"),
+          col("n_outliers"), col("max_abs_z"))
+        .orderBy("event_type")
+    }, Some("""WITH base AS (
+        SELECT event_type, round(value * 100)::BIGINT AS c FROM events),
+      stats AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+          sum(c * c)::BIGINT AS s2
+        FROM base GROUP BY 1),
+      st AS (
+        SELECT *, sqrt((s2::DOUBLE * n - s1::DOUBLE * s1)
+                       / (n::DOUBLE * (n - 1))) AS stdc
+        FROM stats),
+      z AS (
+        SELECT base.event_type,
+          (c::DOUBLE - s1::DOUBLE / n) / stdc AS z
+        FROM base JOIN st USING (event_type)),
+      outl AS (
+        SELECT event_type,
+          sum(CASE WHEN abs(z) > 1.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+          max(round(abs(z), 6)) AS max_abs_z
+        FROM z GROUP BY 1)
+      SELECT st.event_type, n,
+        round(s1::DOUBLE / n / 100.0, 6) AS mean_value,
+        round(stdc / 100.0, 6) AS std_value,
+        n_outliers, max_abs_z
+      FROM st JOIN outl USING (event_type)
+      ORDER BY 1"""))),
+
+    // Fuzzy benchmark decontamination: the MinHash counterpart of the
+    // exact 13-gram q_contamination gate — eval docs (doc_id % 10 = 0)
+    // are the held-out benchmark, train docs probe the eval LSH band
+    // table, candidates verify by exact 3-shingle Jaccard >= 0.3, and
+    // each contaminated train doc reports its best-matching eval doc
+    // (+ how many eval docs it collided with). Paraphrased/partial
+    // benchmark copies that no exact n-gram join can see still land in
+    // a shared band. Scale: identical shape to incremental near-dup —
+    // the benchmark band table is tiny and broadcastable; train-side
+    // cost is bands + one probe join; only matched candidates are ever
+    // re-shingled.
+    "q_decontam_fuzzy" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 10 =!= 0)
+      val eval = docs.where(col("doc_id") % 10 === 0)
+      val hits = Dedup.incrementalNearDups(train, eval, threshold = 0.3,
+        numPerms = 8, rowsPerBand = 2, shingleN = 3, maxBucket = 1000000)
+      hits
+        .withColumn("n_matches",
+          count(lit(1)).over(Window.partitionBy("batch_id")))
+        .withColumn("rn", row_number().over(Window.partitionBy("batch_id")
+          .orderBy(col("jaccard").desc, col("hist_id"))))
+        .where(col("rn") === 1)
+        .select(col("batch_id").as("train_id"), col("hist_id").as("eval_id"),
+          col("jaccard"), col("n_matches"))
+        .orderBy("train_id")
+    }, Some {
+      s"""WITH $minhashCtes,
+      cand AS (
+        SELECT DISTINCT tr.doc_id AS train_id, ev.doc_id AS eval_id
+        FROM bands tr JOIN bands ev
+          ON tr.band = ev.band AND tr.bkey = ev.bkey
+        WHERE tr.doc_id % 10 <> 0 AND ev.doc_id % 10 = 0),
+      sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shd GROUP BY 1),
+      inter AS (
+        SELECT c.train_id, c.eval_id, count(*)::BIGINT AS i
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.train_id
+        JOIN shd b ON b.doc_id = c.eval_id AND a.sh = b.sh
+        GROUP BY 1, 2),
+      j AS (
+        SELECT c.train_id, c.eval_id,
+          coalesce(i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i, 0)) AS jaccard
+        FROM cand c
+        LEFT JOIN inter USING (train_id, eval_id)
+        JOIN sz sa ON sa.doc_id = c.train_id
+        JOIN sz sb ON sb.doc_id = c.eval_id),
+      f AS (SELECT * FROM j WHERE jaccard >= 0.3),
+      r AS (
+        SELECT train_id, eval_id, jaccard,
+          count(*) OVER (PARTITION BY train_id)::BIGINT AS n_matches,
+          row_number() OVER (PARTITION BY train_id
+            ORDER BY jaccard DESC, eval_id) AS rn
+        FROM f)
+      SELECT train_id, eval_id, jaccard, n_matches
+      FROM r WHERE rn = 1 ORDER BY train_id"""
+    })),
+
+    // Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    // entries): 64-d embeddings sketched to 16-d via deterministic
+    // md5-seeded sign matrices, then top-20 retrieval IN THE SKETCHED
+    // space with the exact-space cosine alongside — the recall evidence
+    // rides in the result. Scale: the projection is 16 codegen'd dot
+    // products riding the scan (a 4× smaller index/shuffle payload for
+    // any downstream ANN/dedup pass); no shuffle is introduced, and the
+    // top-k stays TakeOrderedAndProject. Component sums round at 9 (the
+    // meanPool/kmeans quantization trick) so the sketch — and therefore
+    // the ranking — replays bit-identically on any engine.
+    "q_proj_topk" -> (((s: SparkSession, dir: String) => {
+      import graft.sim.Similarity
+      val emb = t(s, dir, "embeddings")
+      val projExpr = array((0 until 16).map { i =>
+        round(Similarity.dot(col("embedding"),
+          array(projSigns(i).map(lit): _*)), 9)
+      }: _*)
+      val proj = emb.select(col("vec_id"), projExpr.as("p"),
+        col("embedding").cast("array<double>").as("e"))
+      val q = proj.where(col("vec_id") === 0).head()
+      val qp = q.getSeq[Double](1)
+      val qe = q.getSeq[Double](2)
+      proj.select(col("vec_id"),
+          round(Similarity.cosine(col("p"), array(qp.map(lit): _*)), 6)
+            .as("proj_sim"),
+          round(Similarity.cosine(col("e"), array(qe.map(lit): _*)), 6)
+            .as("exact_sim"))
+        .orderBy(col("proj_sim").desc, col("vec_id"))
+        .limit(20)
+    }, Some {
+      val planes = (0 until 16).map(i =>
+        projSigns(i).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]"))
+      val projList = planes.map(p =>
+        s"round(list_dot_product(e, $p), 9)").mkString("[", ", ", "]")
+      s"""WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      p AS (SELECT vec_id, e, $projList AS p FROM base),
+      q AS (SELECT e AS qe, p AS qp FROM p WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_dot_product(p.p, q.qp)
+          / (sqrt(list_dot_product(p.p, p.p))
+             * sqrt(list_dot_product(q.qp, q.qp))), 6) AS proj_sim,
+        round(list_dot_product(p.e, q.qe)
+          / (sqrt(list_dot_product(p.e, p.e))
+             * sqrt(list_dot_product(q.qe, q.qe))), 6) AS exact_sim
+      FROM p, q
+      ORDER BY proj_sim DESC, vec_id LIMIT 20"""
+    })),
+
+    // Triangle participation over the near-dup candidate graph — the
+    // standard density/cohesion diagnostic for dedup clusters (a doc in
+    // many triangles sits in a tight boilerplate clique; a bridge doc in
+    // none). Edges are the LSH candidate pairs (a < b); triangles come
+    // from the edge-iterator join (paths a→b→c closed by the (a, c)
+    // edge), each counted once under a < b < c. Scale: two equi-joins on
+    // vertex keys; at adversarial degree skew the production refinement
+    // is degree-ordering (orient edges low→high degree) which bounds
+    // join fan-out by arboricity — id-ordering is its deterministic
+    // stand-in here, and maxBucket already caps the LSH fan-in above.
+    "q_triangles" -> (((s: SparkSession, dir: String) => {
+      val e = Dedup.minhashCandidates(t(s, dir, "documents"),
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val paths = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      val tri = paths.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .select("a", "b", "c")
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    }, Some {
+      s"""WITH $minhashCtes,
+      edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+      SELECT doc_id, count(*)::BIGINT AS n_triangles
+      FROM nodes GROUP BY 1 ORDER BY 1"""
+    })),
+
+    // Behavioral-sequence dataset build: sessionized per-user event
+    // streams rendered as ordered event-type token sequences — the
+    // "user history as a document" layout sequence-model training
+    // consumes. Session assignment is the q_sessionize gap logic
+    // (30-min); the sequence itself is an array_sort over
+    // (sec, event_id, type) structs aggregated per session — a total
+    // order, so the string replays on any engine/partitioning. Scale:
+    // one user-keyed window + one (user, sess) agg; per-session state is
+    // the session's OWN events (bounded by the gap rule), never the
+    // user's full history.
+    "q_session_seq" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000000000").as("sec"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      ev.withColumn("gap", col("sec") - lag("sec", 1).over(w))
+        .withColumn("is_new",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("sess", sum("is_new").over(w))
+        .groupBy("user_id", "sess")
+        .agg(min("sec").as("session_start"), count(lit(1)).as("n_events"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("sec"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), " ").as("seq"))
+        .orderBy("user_id", "sess")
+    }, Some("""WITH ev AS (
+        SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec, event_type
+        FROM events),
+      g AS (
+        SELECT *, sec - lag(sec) OVER (
+          PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        FROM ev),
+      sessed AS (
+        SELECT user_id, event_id, sec, event_type,
+          sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY sec, event_id)::BIGINT AS sess
+        FROM g)
+      SELECT user_id, sess, min(sec)::BIGINT AS session_start,
+        count(*)::BIGINT AS n_events,
+        string_agg(event_type, ' ' ORDER BY sec, event_id) AS seq
+      FROM sessed GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // Streaming percentiles via a mergeable fixed-bin histogram
+    // (EventStreams.histogramCounts): per closed hourly window the
+    // stream emits (bin, count) — O(bins) state per window regardless
+    // of event volume — and the reader derives p50/p95 lower bounds
+    // with pure integer math (first bin where 2·cum ≥ total /
+    // 20·cum ≥ 19·total). The far-future sentinel closes trailing
+    // windows; its own window is dropped by the max-real-hour gate.
+    // Oracle = the identical histogram + derivation over the batch
+    // table, so a dropped/doubled window emission or a bin-math drift
+    // breaks the compare loudly.
+    "q_stream_quantile" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = tmpDir("stream_quant_in", dir)
+      val sink = tmpDir("stream_quant_out", dir)
+      val ckpt = tmpDir("stream_quant_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(rmrf)
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/aa_events.parquet"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxNs = Tables.eventsTsRangeNs(raw)._2
+      val sentinelTmp = tmpDir("stream_quant_sentinel", dir)
+      raw.limit(1)
+        .withColumn("ts",
+          Tables.tsLitAsRaw(raw, maxNs + 30L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
+      val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+      val q = graft.streaming.EventStreams.histogramCounts(stream,
+          expr("CAST(round(value * 100) AS BIGINT) DIV 2500"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // drop the sentinel's own far-future window, then exactly-once fold
+      val maxHourSec = maxNs / 1000000000L / 3600L * 3600L
+      val hist = s.read.parquet(sink)
+        .where(col("hour") <= timestamp_seconds(lit(maxHourSec)))
+        .groupBy("hour", "bin").agg(sum("cnt").as("cnt"))
+      val wCum = Window.partitionBy("hour").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("total", sum("cnt").over(Window.partitionBy("hour")))
+        .groupBy(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(max("total").as("n"),
+          (min(when(col("cum") * 2 >= col("total"), col("bin"))) * 2500L)
+            .as("p50_lo_cents"),
+          (min(when(col("cum") * 20 >= col("total") * 19, col("bin"))) * 2500L)
+            .as("p95_lo_cents"))
+        .orderBy("hour")
+    }, Some("""WITH h AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+          round(value * 100)::BIGINT // 2500 AS bin, count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT hour, bin, cnt,
+          sum(cnt) OVER (PARTITION BY hour ORDER BY bin)::BIGINT AS cum,
+          sum(cnt) OVER (PARTITION BY hour)::BIGINT AS total
+        FROM h)
+      SELECT hour, max(total)::BIGINT AS n,
+        (min(CASE WHEN cum * 2 >= total THEN bin END) * 2500)::BIGINT
+          AS p50_lo_cents,
+        (min(CASE WHEN cum * 20 >= total * 19 THEN bin END) * 2500)::BIGINT
+          AS p95_lo_cents
+      FROM c GROUP BY 1 ORDER BY 1"""))),
+
+    // Per-source language-mix drift: KL(P_source || P_corpus) over the
+    // language distribution — the data-mix monitor that catches one
+    // crawl source silently flipping language composition. Every count
+    // is exact; each (source, lang) term rounds at 9 before the
+    // per-source sum rounds at 6 (the perplexity-filter discipline).
+    // Scale: three map-side-combined count aggs; the lang and corpus
+    // totals are |langs|-row / 1-row broadcasts; nothing scales beyond
+    // |sources| × |langs| rows after the first agg.
+    "q_source_kl" -> (((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("source", "lang")
+      val sl = d.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+      val srcTot = sl.groupBy("source").agg(sum("n_sl").as("n_s"))
+      val langTot = sl.groupBy("lang").agg(sum("n_sl").as("n_l"))
+      val tot = sl.agg(sum("n_sl").as("n"))
+      sl.join(srcTot, "source").join(broadcast(langTot), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("term", round(
+          (col("n_sl").cast("double") / col("n_s")) *
+            log((col("n_sl").cast("double") * col("n")) /
+                (col("n_s").cast("double") * col("n_l"))), 9))
+        .groupBy("source")
+        .agg(max("n_s").as("n_docs"), round(sum("term"), 6).as("kl"))
+        .orderBy("source")
+    }, Some("""WITH sl AS (
+        SELECT source, lang, count(*)::BIGINT AS n_sl
+        FROM documents GROUP BY 1, 2),
+      st AS (SELECT source, sum(n_sl)::BIGINT AS n_s FROM sl GROUP BY 1),
+      lt AS (SELECT lang, sum(n_sl)::BIGINT AS n_l FROM sl GROUP BY 1),
+      tt AS (SELECT sum(n_sl)::BIGINT AS n FROM sl),
+      terms AS (
+        SELECT sl.source,
+          st.n_s,
+          round((n_sl::DOUBLE / n_s) *
+            ln((n_sl::DOUBLE * n) / (n_s::DOUBLE * n_l)), 9) AS term
+        FROM sl JOIN st USING (source) JOIN lt USING (lang), tt)
+      SELECT source, max(n_s)::BIGINT AS n_docs, round(sum(term), 6) AS kl
+      FROM terms GROUP BY 1 ORDER BY 1"""))),
+
+    // N-gram novelty curve — the "is more data still worth ingesting"
+    // diagnostic: corpus in doc_id order, bucketed 50 docs at a time;
+    // per bucket, how many DISTINCT 3-shingles appear for the first
+    // time there, plus the cumulative vocabulary. A flattening curve
+    // means new shards add mostly seen n-grams (diminishing returns —
+    // the dedup/selection knobs matter more than more ingest). Scale:
+    // one shuffle keyed on the 16-byte shingle md5 with a map-side
+    // combinable min; output is |buckets| rows; the cumulative window
+    // runs over those rows only.
+    "q_novelty_curve" -> (((s: SparkSession, dir: String) => {
+      val firstSeen = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+        .groupBy(md5(col("sh")).as("h")).agg(min("doc_id").as("first_doc"))
+      val perBucket = firstSeen
+        .groupBy(expr("first_doc DIV 50").as("bucket"))
+        .agg(count(lit(1)).as("new_shingles"))
+      perBucket
+        .withColumn("cum_shingles", sum("new_shingles").over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("bucket")
+    }, Some("""WITH tk AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+          x -> len(x) > 0) AS tk
+        FROM documents),
+      shl AS (
+        SELECT doc_id, unnest(list_transform(range(greatest(len(tk) - 2, 1)),
+          i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS sh
+        FROM tk),
+      fs AS (
+        SELECT md5(sh) AS h, min(doc_id)::BIGINT AS first_doc
+        FROM (SELECT DISTINCT doc_id, sh FROM shl) GROUP BY 1),
+      pb AS (
+        SELECT first_doc // 50 AS bucket, count(*)::BIGINT AS new_shingles
+        FROM fs GROUP BY 1)
+      SELECT bucket, new_shingles,
+        sum(new_shingles) OVER (ORDER BY bucket)::BIGINT AS cum_shingles
+      FROM pb ORDER BY bucket"""))),
+  )
+
+  private def tmpDir(name: String, sfDir: String): String =
+    s"${ExtraQueries.scratchRoot}/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  private def rmrf(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Deterministic ±1 JL projection row i: component j is +1 iff the
+    * top bit of md5("p<i>|<j>") is set — the [[graft.sim.Similarity
+    * .planeSeed]] discipline under an independent seed family ("p",
+    * vs LSH's "h"/"t"), shared verbatim with the oracle generator.
+    */
+  private def projSigns(i: Int): Seq[Double] =
+    (0 until 64).map { j =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p$i|$j".getBytes("UTF-8"))
+      if ((hex(0) & 0x80) != 0) 1.0 else -1.0
+    }
+}

@@ -2367,7 +2367,8 @@ object Queries {
     */
   def fullRegistry: Map[String, Q] =
     registry ++
-      (ExtraQueries.registry ++ MoreQueries.registry)
+      (ExtraQueries.registry ++ MoreQueries.registry ++
+        PipelineQueries.registry)
         .map { case (k, (fn, sql)) => k -> Q(fn, sql) }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

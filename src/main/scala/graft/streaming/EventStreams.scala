@@ -49,6 +49,24 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming mergeable value histogram: tumbling 1 h windows × a
+    * caller-supplied integer bin column. The per-(window, bin) counts
+    * are the QUANTILE SKETCH for a stream — counts are associative and
+    * map-side combinable, state per window is bounded by the bin count
+    * (never the event count), and any downstream reader can derive any
+    * percentile from the closed window's bins with pure integer math.
+    * This is the streaming analog of the batch equi-depth machinery:
+    * fixed bins trade exactness for O(bins) mergeable state, which is
+    * the only shape that survives unbounded streams.
+    */
+  def histogramCounts(events: DataFrame, bin: Column,
+                      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour"), col("bin"), col("cnt"))
+
   /** Sliding windows (1h window, 15m slide). */
   def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

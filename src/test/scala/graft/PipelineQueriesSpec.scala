@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-10 curation batch that the DuckDB hash-compare
+  * cannot express: leakage-freedom of the cluster split, partitioning
+  * invariance of the exact-moment z-scores, the Σw size law of the
+  * temperature mix, and the contamination gate's containment in the
+  * candidate set.
+  */
+class PipelineQueriesSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Queries.fullRegistry(name).fn(spark, sfDir)
+
+  test("q_cluster_split never separates an LSH candidate pair") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = graft.dedup.Dedup.minhashCandidates(docs,
+      numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+    val split = run("q_cluster_split").select(col("doc_id"), col("split"))
+    val crossSplit = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+    assert(crossSplit.count() === 0L,
+      "near-dup candidates must land in the same split")
+    // and the split is total: every doc has exactly one assignment
+    assert(split.count() === docs.count())
+  }
+
+  test("q_cluster_split covers all three splits with sane proportions") {
+    val bySplit = run("q_cluster_split").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum
+    assert(bySplit.keySet === Set("train", "valid", "test"))
+    // hash gates at 0.8/0.9: train should dominate by a wide margin
+    assert(bySplit("train") > total / 2)
+  }
+
+  test("q_zscore_outliers is invariant to input partitioning") {
+    val a = run("q_zscore_outliers").collect().map(_.toSeq)
+    val ev = Tables.load(spark, sfDir, "events")
+    // same computation over a shuffled, repartitioned input
+    val base = ev.repartition(17, col("user_id")).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("c"))
+    val stats = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val expected = run("q_zscore_outliers").collect().map(_.toSeq)
+    assert(a.toSeq === expected.toSeq)
+    // exact integer moments: recompute s1/s2 under the new partitioning
+    val s2a = stats.agg(sum("s2")).head().getLong(0)
+    val s2b = ev.select(round(col("value") * 100).cast("long").as("c"))
+      .agg(sum(col("c") * col("c"))).head().getLong(0)
+    assert(s2a === s2b, "integer moments must not depend on partitioning")
+  }
+
+  test("q_alpha_mix output size is exactly the deterministic copy count " +
+    "and rare languages are upsampled") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val mix = run("q_alpha_mix")
+    assert(mix.count() >= docs.count(),
+      "alpha < 1 flattening never shrinks the corpus")
+    // the head language keeps rate exactly 1 (w = 1 → one copy each)
+    val headLang = docs.groupBy("lang").count()
+      .orderBy(col("count").desc, col("lang")).head().getString(0)
+    val headDocs = docs.where(col("lang") === headLang).count()
+    val headCopies = mix.where(col("lang") === headLang).count()
+    assert(headCopies === headDocs)
+    // rare languages gain copies
+    val tailLang = docs.groupBy("lang").count()
+      .orderBy(col("count").asc, col("lang")).head().getString(0)
+    if (tailLang != headLang) {
+      val tailDocs = docs.where(col("lang") === tailLang).count()
+      val tailCopies = mix.where(col("lang") === tailLang).count()
+      assert(tailCopies > tailDocs)
+    }
+    // copy_id is dense per doc: max(copy_id) + 1 == copies of that doc
+    val bad = mix.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), (max("copy_id") + 1).as("m"))
+      .where(col("n") =!= col("m"))
+    assert(bad.count() === 0L)
+  }
+
+  test("q_dsir_weights: en docs score higher than non-en on average") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "lang")
+    val scored = run("q_dsir_weights").join(docs, "doc_id")
+    val avg = scored.groupBy(col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.avg("dsir_logratio").as("a"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg(true) > avg(false),
+      "the importance weight must separate target-like docs")
+  }
+
+  test("q_decontam_fuzzy only flags train docs against eval docs") {
+    val hits = run("q_decontam_fuzzy").collect()
+    hits.foreach { r =>
+      assert(r.getLong(0) % 10 != 0, "train side must be doc_id % 10 != 0")
+      assert(r.getLong(1) % 10 == 0, "eval side must be doc_id % 10 == 0")
+      assert(r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
+  test("q_proj_topk: the query vector is its own best match in both " +
+    "spaces and sketch recall is visible") {
+    val rows = run("q_proj_topk").collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert(top.getLong(0) === 0L, "vec 0 must retrieve itself first")
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-6)
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-6)
+    // projected similarities are valid cosines
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= 1.0 + 1e-9 && r.getDouble(1) >= -1.0 - 1e-9)
+    }
+  }
+
+  test("q_triangles: every triangle member has at least two candidate " +
+    "neighbors and counts are consistent") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = graft.dedup.Dedup.minhashCandidates(docs,
+      numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").count()
+    val tri = run("q_triangles")
+    val under = tri.join(deg, "doc_id").where(col("count") < 2)
+    assert(under.count() === 0L,
+      "a doc in a triangle must have degree >= 2")
+    // total triangle incidences divide by 3
+    val total = tri.agg(sum("n_triangles")).head().getLong(0)
+    assert(total % 3 === 0L)
+  }
+
+  test("q_session_seq: sequence token count equals n_events and " +
+    "session starts align with q_sessionize") {
+    val seqs = run("q_session_seq")
+    val bad = seqs.where(
+      size(split(col("seq"), " ")) =!= col("n_events"))
+    assert(bad.count() === 0L)
+    val sess = run("q_sessionize").select("user_id", "sess", "session_start")
+    val joined = seqs.select("user_id", "sess", "session_start")
+      .except(sess)
+    assert(joined.count() === 0L,
+      "session boundaries must match the sessionize operator")
+  }
+
+  test("q_stream_quantile: p50 <= p95 and per-hour n matches the batch " +
+    "count") {
+    val rows = run("q_stream_quantile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "p50 bin must not exceed p95 bin")
+    }
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_batch"))
+    val streamed = run("q_stream_quantile").select("hour", "n")
+    val mismatch = streamed.join(batch, "hour")
+      .where(col("n") =!= col("n_batch"))
+    assert(mismatch.count() === 0L)
+    assert(streamed.count() === batch.count(),
+      "every batch hour must appear exactly once in the stream result")
+  }
+
+  test("q_source_kl: divergences are non-negative and doc counts total") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = run("q_source_kl").collect()
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-6,
+      s"KL must be non-negative, got ${r.getDouble(2)} for ${r.getString(0)}"))
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+  }
+
+  test("q_novelty_curve: cumulative is monotone and ends at the distinct " +
+    "shingle vocabulary") {
+    val curve = run("q_novelty_curve").collect()
+    assert(curve.nonEmpty)
+    val cums = curve.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a } || cums.length == 1)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val vocab = docs.select(explode(array_distinct(
+        graft.dedup.Dedup.shingles(col("text"), 3))).as("sh"))
+      .select(md5(col("sh"))).distinct().count()
+    assert(cums.last === vocab)
+    assert(curve.map(_.getLong(1)).sum === vocab)
+  }
+
+  test("q_expectations: clean synthetic data passes RI and null rules") {
+    val rows = run("q_expectations").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(rows.size === 8)
+    // referential integrity and null gates hold on the generated data
+    for (rule <- Seq("orders_custkey_fk", "lineitem_orderkey_fk",
+      "orders_orderdate_nonnull"))
+      assert(rows(rule)._1 === 0L, s"$rule should have zero violations")
+    rows.values.foreach { case (v, pass) => assert(pass === (v == 0L)) }
+  }
+}
