@@ -694,6 +694,213 @@ object PipelineQueries {
       SELECT bucket, new_shingles,
         sum(new_shingles) OVER (ORDER BY bucket)::BIGINT AS cum_shingles
       FROM pb ORDER BY bucket"""))),
+
+    // Substring TRIM — the transformation q_substring_dedup only flags:
+    // disjoint 40-char windows whose hash appears in ≥2 docs are CUT
+    // and the doc reassembled from the kept segments + the sub-window
+    // tail (the ExactSubstr removal step of Lee et al. 2022, on
+    // stride = winLen so the surgery is unambiguous). Scale: windows
+    // ride the scan; one 16-byte-hash groupBy finds shared windows; the
+    // reassembly aggregates each doc's OWN segments (array_sort over a
+    // total order) — never doc pairs, never a corpus-wide sort.
+    "q_substring_trim" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val wins = docs.where(length(col("text")) >= 40)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text)-39, 40), " +
+            "i -> struct(i AS i, substring(text, i, 40) AS seg))")).as("w"))
+        .select(col("doc_id"), col("w.i").as("i"), col("w.seg").as("seg"))
+        .withColumn("h", md5(col("seg")))
+      val dup = wins.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
+        .select(col("h"), lit(1).as("_dup"))
+      val body = wins.join(dup, Seq("h"), "left").where(col("_dup").isNull)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_windows"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("i"), col("seg")))), x => x.getField("seg")), "")
+            .as("body"))
+      docs.join(body, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(length(col("text")) >= 40,
+            expr("CAST(length(text) DIV 40 AS BIGINT)")).otherwise(0L)
+            .as("n_windows"),
+          (when(length(col("text")) >= 40,
+            expr("CAST(length(text) DIV 40 AS BIGINT)")).otherwise(0L) -
+            coalesce(col("kept_windows"), lit(0L))).as("dropped_windows"),
+          when(length(col("text")) >= 40,
+            concat(coalesce(col("body"), lit("")),
+              expr("substring(text, CAST(length(text) DIV 40 AS INT) * 40 + 1)")))
+            .otherwise(col("text")).as("trimmed"))
+        .withColumn("trimmed_len", length(col("trimmed")).cast("long"))
+        .orderBy("doc_id")
+    }, Some("""WITH wins AS (
+        SELECT doc_id, i, substr(text, i, 40) AS seg,
+          md5(substr(text, i, 40)) AS h
+        FROM (SELECT doc_id, text, unnest(range(1, len(text) - 38, 40)) AS i
+              FROM documents WHERE len(text) >= 40)),
+      dup AS (
+        SELECT h FROM (
+          SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+        WHERE nd > 1),
+      body AS (
+        SELECT doc_id, count(*)::BIGINT AS kept_windows,
+          string_agg(seg, '' ORDER BY i) AS body
+        FROM wins WHERE h NOT IN (SELECT h FROM dup)
+        GROUP BY 1),
+      res AS (
+        SELECT d.doc_id,
+          CASE WHEN len(text) >= 40 THEN len(text) // 40 ELSE 0 END::BIGINT
+            AS n_windows,
+          CASE WHEN len(text) >= 40 THEN len(text) // 40 ELSE 0 END::BIGINT
+            - coalesce(kept_windows, 0) AS dropped_windows,
+          CASE WHEN len(text) >= 40
+            THEN coalesce(body, '') || substr(text, (len(text) // 40) * 40 + 1)
+            ELSE text END AS trimmed
+        FROM documents d LEFT JOIN body USING (doc_id))
+      SELECT doc_id, n_windows, dropped_windows, trimmed,
+        len(trimmed)::BIGINT AS trimmed_len
+      FROM res ORDER BY doc_id"""))),
+
+    // IVFPQ + exact refine — the standard two-stage production
+    // retrieval: the compressed index proposes 50 candidates by ADC
+    // (probing 2 cells), then ONLY those 50 are re-ranked by exact
+    // cosine against full-precision vectors. Scale: the refine join
+    // touches k rows, not the corpus — the expensive exact math is
+    // bounded by the candidate budget regardless of index size, which
+    // is why reconstruction error (q_pq_reconstruct) never has to reach
+    // the final ranking.
+    "q_ivfpq_refine" -> (((s: SparkSession, dir: String) => {
+      import graft.sim.{Pq, Similarity}
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val books = Pq.seedCodebooks(emb, m = 8, ksub = 16)
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val index = Similarity.buildIvfIndex(emb, centroids)
+      val coarse = Pq.ivfAdcTopK(index, centroids, books, qvec,
+        k = 50, nprobe = 2)
+      coarse.join(emb, "vec_id")
+        .select(col("vec_id"), col("adc_dot"),
+          round(Similarity.cosine(col("embedding").cast("array<double>"),
+            array(qvec.map(lit): _*)), 6).as("exact_cos"))
+        .orderBy(col("exact_cos").desc, col("vec_id"))
+        .limit(10)
+    }, Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        scoredc AS (
+          SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+          FROM e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scoredc) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        qc AS (SELECT c.cid FROM c, q
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid LIMIT 2),
+        cand AS (SELECT a.vec_id, a.v FROM assign a
+                 WHERE a.cid IN (SELECT cid FROM qc)),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS sv
+                  FROM e ORDER BY vec_id LIMIT 16),
+        mis AS (SELECT unnest(range(8)) AS mi),
+        books AS (SELECT mis.mi, s.code, s.sv[mis.mi*8+1 : mis.mi*8+8] AS cv
+                  FROM seeds s CROSS JOIN mis),
+        sub AS (
+          SELECT cand.vec_id, b.mi, b.code,
+            round(
+              list_dot_product(cand.v[b.mi*8+1 : b.mi*8+8], cand.v[b.mi*8+1 : b.mi*8+8])
+              - 2 * list_dot_product(cand.v[b.mi*8+1 : b.mi*8+8], b.cv)
+              + list_dot_product(b.cv, b.cv), 9) AS d
+          FROM cand CROSS JOIN books b),
+        best AS (
+          SELECT vec_id, mi, code FROM (
+            SELECT vec_id, mi, code,
+              row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1),
+        tabs AS (SELECT b.mi, b.code,
+                   list_dot_product(q.qv[b.mi*8+1 : b.mi*8+8], b.cv) AS pd
+                 FROM books b, q),
+        coarse AS (
+          SELECT best.vec_id, round(sum(tabs.pd ORDER BY tabs.mi), 6) AS adc_dot
+          FROM best JOIN tabs ON best.mi = tabs.mi AND best.code = tabs.code
+          GROUP BY best.vec_id
+          ORDER BY adc_dot DESC, best.vec_id LIMIT 50)
+        SELECT coarse.vec_id, coarse.adc_dot,
+          round(list_dot_product(e.v, q.qv)
+            / (sqrt(list_dot_product(e.v, e.v))
+               * sqrt(list_dot_product(q.qv, q.qv))), 6) AS exact_cos
+        FROM coarse JOIN e ON coarse.vec_id = e.vec_id, q
+        ORDER BY exact_cos DESC, coarse.vec_id LIMIT 10"""))),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006
+    // A-ES): 5 docs per source drawn with probability ∝ n_chars, via
+    // the deterministic priority key ln(u)/w (u from the md5 [0,1)
+    // hash, shifted off zero; larger weight → key closer to 0 → higher
+    // rank). One window per source — and Spark's WindowGroupLimit
+    // bounds it map-side, so each input partition ships ≤5 rows per
+    // source to the shuffle, the same plan shape q_domain_cap measured
+    // 2× over the salted form (d15). Keys round at 9 before ranking so
+    // the order replays across libms.
+    "q_weighted_sample" -> (((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      val key = round(log(u) / col("n_chars"), 9)
+      val w = Window.partitionBy("source")
+        .orderBy(col("key").desc, col("doc_id"))
+      d.withColumn("key", key)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("key"))
+        .orderBy("source", "doc_id")
+    }, Some("""WITH d AS (
+        SELECT doc_id, source, n_chars,
+          round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0) / n_chars, 9) AS key
+        FROM documents),
+      r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+        FROM d)
+      SELECT source, doc_id, n_chars, key
+      FROM r WHERE rn <= 5 ORDER BY source, doc_id"""))),
+
+    // Event-type transition matrix over per-user ordered histories —
+    // the bigram model of behavioral sequences (the q_session_seq
+    // corpus viewed as a Markov chain). One user-keyed window produces
+    // the (prev → next) pairs; counts and row-normalized probabilities
+    // are |types|² rows. Scale: the window partitions by user (no
+    // global sort), the count agg is map-side combinable, and the
+    // normalization joins a |types|-row broadcast.
+    "q_event_transitions" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("ts_ns"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val pairs = ev.withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+      val cnt = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val rowTot = cnt.groupBy("prev_type").agg(sum("cnt").as("row_total"))
+      cnt.join(broadcast(rowTot), "prev_type")
+        .select(col("prev_type"), col("next_type"), col("cnt"),
+          round(col("cnt").cast("double") / col("row_total"), 6).as("prob"))
+        .orderBy("prev_type", "next_type")
+    }, Some("""WITH ordered AS (
+        SELECT event_type,
+          lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events),
+      cnt AS (
+        SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS cnt
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+      rt AS (SELECT prev_type, sum(cnt)::BIGINT AS row_total FROM cnt GROUP BY 1)
+      SELECT cnt.prev_type, next_type, cnt,
+        round(cnt::DOUBLE / row_total, 6) AS prob
+      FROM cnt JOIN rt USING (prev_type)
+      ORDER BY 1, 2"""))),
   )
 
   private def tmpDir(name: String, sfDir: String): String =

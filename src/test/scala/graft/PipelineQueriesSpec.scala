@@ -189,6 +189,51 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(curve.map(_.getLong(1)).sum === vocab)
   }
 
+  test("q_substring_trim: length bookkeeping is exact and untouched docs " +
+    "round-trip") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val trimmed = run("q_substring_trim")
+    // every cut removes exactly one 40-char window
+    val badLen = trimmed.join(docs, "doc_id")
+      .where(col("trimmed_len") =!=
+        length(col("text")) - col("dropped_windows") * 40)
+    assert(badLen.count() === 0L)
+    // docs with nothing cut are byte-identical
+    val changedClean = trimmed.join(docs, "doc_id")
+      .where(col("dropped_windows") === 0 && col("trimmed") =!= col("text"))
+    assert(changedClean.count() === 0L)
+    assert(trimmed.count() === docs.count())
+  }
+
+  test("q_ivfpq_refine: the query retrieves itself first at exact " +
+    "cosine 1 and the refined list is exact-sorted") {
+    val rows = run("q_ivfpq_refine").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) === 0L)
+    assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-6)
+    val cosines = rows.map(_.getDouble(2))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_weighted_sample: exactly 5 docs per source with negative keys") {
+    val sample = run("q_weighted_sample")
+    val counts = sample.groupBy("source").count().collect()
+    counts.foreach(r => assert(r.getLong(1) === 5L))
+    assert(sample.where(col("key") > 0).count() === 0L)
+  }
+
+  test("q_event_transitions: rows normalize to 1 and transitions total " +
+    "events minus users") {
+    val trans = run("q_event_transitions")
+    val rowSums = trans.groupBy("prev_type")
+      .agg(sum("prob").as("p"), sum("cnt").as("c")).collect()
+    rowSums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4))
+    val ev = Tables.load(spark, sfDir, "events")
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(trans.agg(sum("cnt")).head().getLong(0) === expected)
+  }
+
   test("q_expectations: clean synthetic data passes RI and null rules") {
     val rows = run("q_expectations").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
