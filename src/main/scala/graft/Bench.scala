@@ -1007,6 +1007,44 @@ object Bench {
       System.err.println(s"[bench] d15 failed: ${e.getMessage}")
     }
 
+    // d16: substring trim at 1x/10x in BOTH growth modes. Decorrelated
+    // (token-suffixed copies): windows and cross-doc dup windows grow ∝
+    // corpus at the 1x density — the honest-ingest trend. Raw
+    // replication (no suffix): EVERY window becomes cross-doc
+    // duplicated — the adversarial 100%-dup corpus — and the wall must
+    // STAY linear because the cut decision is a hash aggregate, never a
+    // pair join (the counters show dup share jumping to ~1 while the
+    // time tracks the window count, not the dup structure).
+    try {
+      def rawCopies(n: Int): DataFrame = docs1x
+        .crossJoin(spark.range(n).select(col("id").as("_k")))
+        .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
+        .drop("_k")
+      val raw10 = rawCopies(10)
+      measure("d16_substring_trim", ctlTimes)(exec(
+        Dedup.substringTrim(ampDocs(1))))
+      measure("d16_substring_trim", times)(exec(
+        Dedup.substringTrim(docs10x)))
+      measure("d16_substring_trim_raw", times)(exec(
+        Dedup.substringTrim(raw10)))
+      ctlTimes.get("d16_substring_trim")
+        .foreach(t => ctlTimes("d16_substring_trim_raw") = t)
+      def trimDiag(tag: String, docs: DataFrame): Unit = try {
+        val r = Dedup.substringTrim(docs)
+          .agg(coalesce(sum("n_windows"), lit(0L)).as("w"),
+            coalesce(sum("dropped_windows"), lit(0L)).as("d")).head()
+        scaleDiag(s"d16_${tag}_windows") = r.getLong(0)
+        scaleDiag(s"d16_${tag}_dropped") = r.getLong(1)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d16 diag $tag failed: ${e.getMessage}")
+      }
+      trimDiag("1x", ampDocs(1))
+      trimDiag("10x", docs10x)
+      trimDiag("10x_raw", raw10)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d16 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

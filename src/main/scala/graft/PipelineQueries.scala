@@ -704,36 +704,8 @@ object PipelineQueries {
     // reassembly aggregates each doc's OWN segments (array_sort over a
     // total order) — never doc pairs, never a corpus-wide sort.
     "q_substring_trim" -> (((s: SparkSession, dir: String) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val wins = docs.where(length(col("text")) >= 40)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text)-39, 40), " +
-            "i -> struct(i AS i, substring(text, i, 40) AS seg))")).as("w"))
-        .select(col("doc_id"), col("w.i").as("i"), col("w.seg").as("seg"))
-        .withColumn("h", md5(col("seg")))
-      val dup = wins.groupBy("h")
-        .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
-        .select(col("h"), lit(1).as("_dup"))
-      val body = wins.join(dup, Seq("h"), "left").where(col("_dup").isNull)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("kept_windows"),
-          array_join(transform(array_sort(collect_list(
-            struct(col("i"), col("seg")))), x => x.getField("seg")), "")
-            .as("body"))
-      docs.join(body, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(length(col("text")) >= 40,
-            expr("CAST(length(text) DIV 40 AS BIGINT)")).otherwise(0L)
-            .as("n_windows"),
-          (when(length(col("text")) >= 40,
-            expr("CAST(length(text) DIV 40 AS BIGINT)")).otherwise(0L) -
-            coalesce(col("kept_windows"), lit(0L))).as("dropped_windows"),
-          when(length(col("text")) >= 40,
-            concat(coalesce(col("body"), lit("")),
-              expr("substring(text, CAST(length(text) DIV 40 AS INT) * 40 + 1)")))
-            .otherwise(col("text")).as("trimmed"))
-        .withColumn("trimmed_len", length(col("trimmed")).cast("long"))
-        .orderBy("doc_id")
+      Dedup.substringTrim(t(s, dir, "documents").select("doc_id", "text"),
+        winLen = 40).orderBy("doc_id")
     }, Some("""WITH wins AS (
         SELECT doc_id, i, substr(text, i, 40) AS seg,
           md5(substr(text, i, 40)) AS h

@@ -798,4 +798,48 @@ object Dedup {
         round(col("dup_windows").cast("double") / col("total_windows"), 6)
           .as("dup_frac"))
   }
+
+  /** Substring TRIM — the removal step [[duplicateWindows]] only flags
+    * (Lee et al. 2022 ExactSubstr, reference has no counterpart):
+    * DISJOINT `winLen`-char windows (stride = winLen, so the surgery is
+    * unambiguous) whose hash appears in ≥2 docs are CUT, and each doc
+    * is reassembled from its kept segments plus the sub-window tail.
+    *
+    * Scale: windows ride the scan; one 16-byte-hash groupBy finds
+    * shared windows; reassembly aggregates each doc's OWN segments
+    * under an array_sort total order — never doc pairs, never a
+    * corpus-wide sort. A 100%-duplicated corpus changes the counts,
+    * not the shape (the cut decision is a hash aggregate, not a join).
+    */
+  def substringTrim(docs: DataFrame, winLen: Int = 40,
+                    text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(winLen >= 1, "winLen must be >= 1")
+    val wins = docs.where(length(col(text)) >= winLen)
+      .select(col(id).as("doc_id"), explode(expr(
+        s"transform(sequence(1, length($text)-${winLen - 1}, $winLen), " +
+          s"i -> struct(i AS i, substring($text, i, $winLen) AS seg))")).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.seg").as("seg"))
+      .withColumn("h", md5(col("seg")))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
+      .select(col("h"), lit(1).as("_dup"))
+    val body = wins.join(dup, Seq("h"), "left").where(col("_dup").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_windows"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("i"), col("seg")))), x => x.getField("seg")), "")
+          .as("body"))
+    val nWin = when(length(col(text)) >= winLen,
+      expr(s"CAST(length($text) DIV $winLen AS BIGINT)")).otherwise(0L)
+    docs.select(col(id).as("doc_id"), col(text))
+      .join(body, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nWin.as("n_windows"),
+        (nWin - coalesce(col("kept_windows"), lit(0L))).as("dropped_windows"),
+        when(length(col(text)) >= winLen,
+          concat(coalesce(col("body"), lit("")),
+            expr(s"substring($text, CAST(length($text) DIV $winLen AS INT) * $winLen + 1)")))
+          .otherwise(col(text)).as("trimmed"))
+      .withColumn("trimmed_len", length(col("trimmed")).cast("long"))
+  }
 }
