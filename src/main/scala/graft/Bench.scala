@@ -466,6 +466,13 @@ object Bench {
           t => concat(t, lit("~"), col("_k"))), " "))
       .drop("_k")
     val docs10x = ampDocs(10)
+    // plain row replication — every copy shares all tokens/windows with
+    // copy 0: the CORRELATED growth mode (d14 vocab, d16 dup structure).
+    // Same doc_id offset convention as ampDocs so copies never collide.
+    def rawCopies(n: Int): DataFrame = docs1x
+      .crossJoin(spark.range(n).select(col("id").as("_k")))
+      .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
+      .drop("_k")
     val emb10x = emb1x
       .crossJoin(spark.range(10).select(col("id").as("_k")))
       .withColumn("vec_id", col("vec_id") + col("_k") * lit(1000000000L))
@@ -923,10 +930,7 @@ object Bench {
     // corpus token volume.
     try {
       import graft.text.Bpe
-      val corrDocs10 = docs1x
-        .crossJoin(spark.range(10).select(col("id").as("_k")))
-        .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
-        .drop("_k")
+      val corrDocs10 = rawCopies(10)
       def bpeRun(docs: DataFrame): Unit = { Bpe.trainMerges(docs, steps = 4); () }
       measure("d14_bpe_train", ctlTimes)(bpeRun(ampDocs(1)))
       measure("d14_bpe_train", times)(bpeRun(docs10x))
@@ -1016,19 +1020,19 @@ object Bench {
     // pair join (the counters show dup share jumping to ~1 while the
     // time tracks the window count, not the dup structure).
     try {
-      def rawCopies(n: Int): DataFrame = docs1x
-        .crossJoin(spark.range(n).select(col("id").as("_k")))
-        .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
-        .drop("_k")
       val raw10 = rawCopies(10)
       measure("d16_substring_trim", ctlTimes)(exec(
         Dedup.substringTrim(ampDocs(1))))
       measure("d16_substring_trim", times)(exec(
         Dedup.substringTrim(docs10x)))
+      // the raw point gets its OWN matched control: the suffix transform
+      // adds ~30% characters (and windows), so sharing the ampDocs(1)
+      // reading would deflate the raw ratio by exactly the quantity the
+      // trend exists to test
+      measure("d16_substring_trim_raw", ctlTimes)(exec(
+        Dedup.substringTrim(docs1x)))
       measure("d16_substring_trim_raw", times)(exec(
         Dedup.substringTrim(raw10)))
-      ctlTimes.get("d16_substring_trim")
-        .foreach(t => ctlTimes("d16_substring_trim_raw") = t)
       def trimDiag(tag: String, docs: DataFrame): Unit = try {
         val r = Dedup.substringTrim(docs)
           .agg(coalesce(sum("n_windows"), lit(0L)).as("w"),
@@ -1040,6 +1044,7 @@ object Bench {
       }
       trimDiag("1x", ampDocs(1))
       trimDiag("10x", docs10x)
+      trimDiag("1x_raw", docs1x)
       trimDiag("10x_raw", raw10)
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d16 failed: ${e.getMessage}")

@@ -777,19 +777,37 @@ object Dedup {
     * text. The duplicated-hash side of the join is the (typically tiny)
     * duplicate set only.
     */
-  def duplicateWindows(docs: DataFrame, winLen: Int = 40, stride: Int = 20,
-                       text: String = "text", id: String = "doc_id"): DataFrame = {
+  /** (doc_id, i, seg, h): `winLen`-char windows of `text` at `stride`,
+    * with their md5 hash — the shared scan stage of [[duplicateWindows]]
+    * and [[substringTrim]]. The column name is backtick-quoted into the
+    * SQL lambda so non-plain identifiers resolve the same way they do in
+    * the Column-API parts.
+    */
+  private def charWindows(docs: DataFrame, winLen: Int, stride: Int,
+                          text: String, id: String): DataFrame = {
     require(winLen >= 1 && stride >= 1, s"winLen/stride must be >= 1")
-    val wins = docs.where(length(col(text)) >= winLen)
-      .select(col(id).as("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, length($text) - ${winLen - 1}, $stride), " +
-            s"i -> substring($text, i, $winLen))")).as("_win"))
-      .select(col("doc_id"), md5(col("_win")).as("h"))
-    val dup = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("_nd"))
+    val tq = s"`$text`"
+    docs.where(length(col(text)) >= winLen)
+      .select(col(id).as("doc_id"), explode(expr(
+        s"transform(sequence(1, length($tq)-${winLen - 1}, $stride), " +
+          s"i -> struct(i AS i, substring($tq, i, $winLen) AS seg))")).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.seg").as("seg"))
+      .withColumn("h", md5(col("seg")))
+  }
+
+  /** Window hashes appearing in ≥2 DISTINCT docs — the shared cut/flag
+    * rule (a hash aggregate, deliberately never a pair join).
+    */
+  private def sharedWindowHashes(wins: DataFrame): DataFrame =
+    wins.groupBy("h").agg(countDistinct(col("doc_id")).as("_nd"))
       .where(col("_nd") > 1)
       .select(col("h"), lit(1).as("_dup"))
+
+  def duplicateWindows(docs: DataFrame, winLen: Int = 40, stride: Int = 20,
+                       text: String = "text", id: String = "doc_id"): DataFrame = {
+    val wins = charWindows(docs, winLen, stride, text, id)
+      .select(col("doc_id"), col("h"))
+    val dup = sharedWindowHashes(wins)
     wins.join(dup, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("total_windows"),
@@ -813,24 +831,17 @@ object Dedup {
     */
   def substringTrim(docs: DataFrame, winLen: Int = 40,
                     text: String = "text", id: String = "doc_id"): DataFrame = {
-    require(winLen >= 1, "winLen must be >= 1")
-    val wins = docs.where(length(col(text)) >= winLen)
-      .select(col(id).as("doc_id"), explode(expr(
-        s"transform(sequence(1, length($text)-${winLen - 1}, $winLen), " +
-          s"i -> struct(i AS i, substring($text, i, $winLen) AS seg))")).as("w"))
-      .select(col("doc_id"), col("w.i").as("i"), col("w.seg").as("seg"))
-      .withColumn("h", md5(col("seg")))
-    val dup = wins.groupBy("h")
-      .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
-      .select(col("h"), lit(1).as("_dup"))
+    val wins = charWindows(docs, winLen, stride = winLen, text, id)
+    val dup = sharedWindowHashes(wins)
     val body = wins.join(dup, Seq("h"), "left").where(col("_dup").isNull)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("kept_windows"),
         array_join(transform(array_sort(collect_list(
           struct(col("i"), col("seg")))), x => x.getField("seg")), "")
           .as("body"))
+    val tq = s"`$text`"
     val nWin = when(length(col(text)) >= winLen,
-      expr(s"CAST(length($text) DIV $winLen AS BIGINT)")).otherwise(0L)
+      expr(s"CAST(length($tq) DIV $winLen AS BIGINT)")).otherwise(0L)
     docs.select(col(id).as("doc_id"), col(text))
       .join(body, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -838,7 +849,7 @@ object Dedup {
         (nWin - coalesce(col("kept_windows"), lit(0L))).as("dropped_windows"),
         when(length(col(text)) >= winLen,
           concat(coalesce(col("body"), lit("")),
-            expr(s"substring($text, CAST(length($text) DIV $winLen AS INT) * $winLen + 1)")))
+            expr(s"substring($tq, CAST(length($tq) DIV $winLen AS INT) * $winLen + 1)")))
           .otherwise(col(text)).as("trimmed"))
       .withColumn("trimmed_len", length(col("trimmed")).cast("long"))
   }
