@@ -873,6 +873,110 @@ object PipelineQueries {
         round(cnt::DOUBLE / row_total, 6) AS prob
       FROM cnt JOIN rt USING (prev_type)
       ORDER BY 1, 2"""))),
+
+    // Language-ID confusion matrix against the labeled lang column —
+    // the classifier-health eval a curation pipeline runs before
+    // trusting langId gates: (labeled, predicted, cnt) cells expose
+    // exactly which languages leak into which buckets (here: zh has no
+    // stopword list, so its row lands in 'und' — a visible, honest
+    // blind spot, not a silent one). Scale: the classifier is a pure
+    // codegen'd Column; the matrix is a |langs|² count agg.
+    "q_lang_confusion" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .select(col("lang").as("labeled"),
+          graft.text.TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("labeled", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("labeled", "predicted")
+    }, Some {
+      import graft.text.TextAnalysis
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      def hits(l: String) = {
+        val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
+      }
+      val scores = langs.map(l => s"${hits(l)} AS s_$l").mkString(", ")
+      val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+      val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'")
+        .mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+        b AS (SELECT doc_id, lang, ${langs.map(l => s"s_$l").mkString(", ")},
+                $best AS best FROM sc),
+        p AS (SELECT lang AS labeled,
+                CASE $cases ELSE 'und' END AS predicted FROM b)
+        SELECT labeled, predicted, count(*)::BIGINT AS cnt
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+    })),
+
+    // Jaccard + directional containment over the LSH candidate pairs —
+    // the asymmetric dedup gate: a small doc quoted whole inside a big
+    // one scores low Jaccard but containment ≈ 1, so recipes gate on
+    // max(containment) alongside Jaccard. Measures share one overlap
+    // pipeline (Dedup.ngramContainment).
+    "q_minhash_containment" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs,
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+      Dedup.ngramContainment(docs, pairs).orderBy("doc_a", "doc_b")
+    }, Some {
+      s"""WITH $minhashCtes,
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shd GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+        FROM cand c
+        JOIN shd x ON x.doc_id = c.doc_a
+        JOIN shd y ON y.doc_id = c.doc_b AND x.sh = y.sh
+        GROUP BY 1, 2)
+      SELECT c.doc_a, c.doc_b,
+        round(coalesce(i, 0)::DOUBLE
+          / (sa.sz + sb.sz - coalesce(i, 0)), 6) AS jaccard,
+        round(coalesce(i, 0)::DOUBLE / sa.sz, 6) AS cont_a_in_b,
+        round(coalesce(i, 0)::DOUBLE / sb.sz, 6) AS cont_b_in_a
+      FROM cand c
+      LEFT JOIN inter USING (doc_a, doc_b)
+      JOIN sz sa ON sa.doc_id = c.doc_a
+      JOIN sz sb ON sb.doc_id = c.doc_b
+      ORDER BY 1, 2"""
+    })),
+
+    // Tokenizer-vocabulary coverage: per-doc out-of-vocabulary fraction
+    // against the corpus top-10 vocabulary — the tokenizer-health metric
+    // (a vocab too small for the corpus shows up as a fat OOV tail
+    // BEFORE a training run wastes compute on <unk> soup). Scale: the
+    // vocabulary is a TakeOrderedAndProject over the word counts (k
+    // rows, broadcast back); the OOV decision rides the token scan.
+    "q_vocab_coverage" -> (((s: SparkSession, dir: String) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(10)
+        .select(col("w"), lit(1).as("_in"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+        .withColumn("oov_frac",
+          round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0),
+      vocab AS (
+        SELECT w FROM (
+          SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1
+          ORDER BY c DESC, w LIMIT 10)),
+      flag AS (
+        SELECT doc_id, (vocab.w IS NULL)::INT AS oov
+        FROM tok LEFT JOIN vocab USING (w))
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        sum(oov)::BIGINT AS oov_tokens,
+        round(sum(oov)::DOUBLE / count(*), 6) AS oov_frac
+      FROM flag GROUP BY 1 ORDER BY 1"""))),
   )
 
   private def tmpDir(name: String, sfDir: String): String =

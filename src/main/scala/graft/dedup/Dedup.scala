@@ -255,6 +255,21 @@ object Dedup {
   private[dedup] def ngramJaccardTracked(docs: DataFrame, pairs: DataFrame,
                                          shingleN: Int = 3, text: String = "text",
                                          id: String = "doc_id"): (DataFrame, () => Unit) = {
+    val (overlap, release) = ngramOverlapTracked(docs, pairs, shingleN, text, id)
+    val res = overlap
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (res, release)
+  }
+
+  /** Shared overlap pipeline behind [[ngramJaccard]] and
+    * [[ngramContainment]]: per candidate pair the exact distinct-shingle
+    * intersection and both set sizes — (doc_a, doc_b, inter, sz_a, sz_b).
+    */
+  private def ngramOverlapTracked(docs: DataFrame, pairs: DataFrame,
+                                  shingleN: Int, text: String,
+                                  id: String): (DataFrame, () => Unit) = {
     // the candidate pairs re-enter two subplans (intersection join and the
     // left join back) — deliberately NOT checkpointed: the subplans are
     // identical, so ReuseExchange deduplicates the LSH pipeline inside
@@ -277,10 +292,26 @@ object Dedup {
       .na.fill(0L, Seq("inter"))
       .join(sizes.withColumnRenamed(id, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed(id, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"))
     (res, shT.release)
+  }
+
+  /** Jaccard + DIRECTIONAL containment per candidate pair (Broder 1997):
+    * containment(a in b) = |A∩B| / |A|. A symmetric Jaccard gate misses
+    * a small doc quoted whole inside a large one (inter/union stays low
+    * however complete the inclusion); the directional measure catches
+    * exactly that superset/quotation case, which is why dedup recipes
+    * gate on max(containment) alongside Jaccard. Same cost as
+    * [[ngramJaccard]] — three divisions over one shared overlap pipeline.
+    */
+  def ngramContainment(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
+                       text: String = "text", id: String = "doc_id"): DataFrame = {
+    val (overlap, _) = ngramOverlapTracked(docs, pairs, shingleN, text, id)
+    overlap.select(col("doc_a"), col("doc_b"),
+      round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"),
+      round(col("inter").cast("double") / col("sz_a"), 6).as("cont_a_in_b"),
+      round(col("inter").cast("double") / col("sz_b"), 6).as("cont_b_in_a"))
   }
 
   /** Near-dup clusters → canonical representative: treat candidate pairs

@@ -234,6 +234,46 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(trans.agg(sum("cnt")).head().getLong(0) === expected)
   }
 
+  test("q_lang_confusion: cells cover every doc with valid labels") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cm = run("q_lang_confusion")
+    assert(cm.agg(sum("cnt")).head().getLong(0) === docs.count())
+    // predicted labels come only from the classifier's codomain: the
+    // stopword-list languages plus 'und' (zh has no list, so it can
+    // never be PREDICTED — only mispredicted into other buckets, which
+    // the matrix exists to expose)
+    val valid = graft.text.TextAnalysis.stopwords.keySet + "und"
+    val bad = cm.collect().map(_.getString(1)).filterNot(valid)
+    assert(bad.isEmpty, s"unexpected predicted labels: ${bad.mkString(",")}")
+    assert(cm.where(col("predicted") === "zh").count() === 0L)
+  }
+
+  test("q_minhash_containment: jaccard bounded by both containments and " +
+    "all measures in [0,1]") {
+    val rows = run("q_minhash_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, ca, cb) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(j >= -1e-9 && j <= 1 + 1e-9)
+      assert(ca >= -1e-9 && ca <= 1 + 1e-9)
+      assert(cb >= -1e-9 && cb <= 1 + 1e-9)
+      assert(j <= math.min(ca, cb) + 1e-6,
+        "jaccard can never exceed either containment")
+    }
+  }
+
+  test("q_vocab_coverage: token totals match the corpus and fractions " +
+    "are valid") {
+    val cov = run("q_vocab_coverage")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val totalTokens = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).count()
+    assert(cov.agg(sum("n_tokens")).head().getLong(0) === totalTokens)
+    assert(cov.where(col("oov_frac") < 0 || col("oov_frac") > 1).count() === 0L)
+    // a 10-word vocab over a larger vocabulary must leave some OOV mass
+    assert(cov.agg(sum("oov_tokens")).head().getLong(0) > 0L)
+  }
+
   test("q_expectations: clean synthetic data passes RI and null rules") {
     val rows = run("q_expectations").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
