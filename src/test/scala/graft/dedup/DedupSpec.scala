@@ -385,4 +385,21 @@ class DedupSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(run(1) == run(11))
   }
+
+  test("ngramContainment: a small doc quoted whole inside a big one " +
+    "scores containment ~1 while jaccard stays low") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 60).map(i => s"filler$i word$i").mkString(" ")
+    val d = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.ngramContainment(d, pairs).head()
+    assert(r.getDouble(3) === 1.0,
+      "every shingle of the small doc is in the big one")
+    assert(r.getDouble(2) < 0.1, "jaccard misses the inclusion")
+    assert(r.getDouble(4) < 0.1)
+    // the shared overlap pipeline gives jaccard the identical value
+    val j = Dedup.ngramJaccard(d, pairs).head().getDouble(2)
+    assert(math.abs(j - r.getDouble(2)) < 1e-6)
+  }
 }
