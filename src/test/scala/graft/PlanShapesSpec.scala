@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan shape assertions for the round-10 curation operators —
+  * the 100 TB design claims as executable checks, not prose: broadcasts
+  * where a model/weight table must never shuffle with the corpus,
+  * WindowGroupLimit where a per-group top-k must be bounded map-side,
+  * TakeOrderedAndProject where a top-k must never become a global sort,
+  * and no cartesian product anywhere in the layer.
+  */
+class PlanShapesSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.fullRegistry(name).fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_dsir_weights broadcasts the 64-row feature model, never " +
+    "shuffling it with the corpus") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (doc,bucket) partials must join the model via broadcast")
+  }
+
+  test("q_weighted_sample's per-source top-5 is WindowGroupLimit-bounded") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must prune map-side before the shuffle")
+  }
+
+  test("q_proj_topk stays TakeOrderedAndProject — no global sort") {
+    val p = plan("q_proj_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_zscore_outliers gates via a broadcast of the per-type moments") {
+    val p = plan("q_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_vocab_coverage broadcasts the vocabulary to the token scan") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_event_transitions windows by user and broadcasts the row totals") {
+    val p = plan("q_event_transitions")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no curation-layer operator plans a cartesian product over row data") {
+    // 1-row scalar cross joins (BroadcastNestedLoopJoin over a single
+    // aggregate row) are the repo's documented broadcast-scalar idiom;
+    // CartesianProduct over two row-data relations is the anti-pattern.
+    for (name <- Seq("q_dsir_weights", "q_alpha_mix", "q_expectations",
+      "q_source_kl", "q_novelty_curve", "q_substring_trim",
+      "q_weighted_sample", "q_minhash_containment", "q_vocab_coverage"))
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name must not plan a cartesian product")
+  }
+}
