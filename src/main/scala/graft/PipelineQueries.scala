@@ -578,8 +578,11 @@ object PipelineQueries {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
       val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
+      // floor, not DIV: Spark's DIV truncates toward zero while the
+      // oracle's // floors — identical on this data (values > 0) but
+      // floor keeps the bin math engine-consistent for any sign
       val q = graft.streaming.EventStreams.histogramCounts(stream,
-          expr("CAST(round(value * 100) AS BIGINT) DIV 2500"))
+          floor(round(col("value") * 100) / lit(2500.0)).cast("long"))
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
