@@ -55,10 +55,10 @@ object ExtraQueries {
     s"/tmp/graft_q/pid${ProcessHandle.current().pid()}"
   }
 
-  private def tmp(name: String, sfDir: String): String =
+  private[graft] def tmp(name: String, sfDir: String): String =
     s"$scratchRoot/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
-  private def rmrf(path: String): Unit = {
+  private[graft] def rmrf(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()

@@ -26,13 +26,8 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** First 8 md5 hex digits of `key` scaled to [0,1) — the repo's
-    * standard engine-portable uniform hash (same formula as
-    * [[graft.ops.Sampling.stratifiedSample]]).
-    */
-  private def hash01(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+  /** The repo-wide [0,1) md5 hash — one definition, in Sampling. */
+  private def hash01(key: Column): Column = graft.ops.Sampling.hash01(key)
 
   /** Shared DuckDB CTE prefix replaying the MinHash/LSH pipeline
     * (tokens → distinct 3-shingles → shingle hash → 8 signature mins →
@@ -316,6 +311,10 @@ object PipelineQueries {
       val stats = base.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("c").as("s1"),
           sum(col("c") * col("c")).as("s2"))
+        // a singleton group has no sample variance: stdc would be
+        // sqrt(0/0) = NaN and every z NaN, with engine-dependent NaN
+        // comparison semantics — drop such groups on BOTH sides
+        .where(col("n") > 1)
         .withColumn("stdc", sqrt(
           (col("s2").cast("double") * col("n") -
             col("s1").cast("double") * col("s1")) /
@@ -339,7 +338,7 @@ object PipelineQueries {
       stats AS (
         SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
           sum(c * c)::BIGINT AS s2
-        FROM base GROUP BY 1),
+        FROM base GROUP BY 1 HAVING count(*) > 1),
       st AS (
         SELECT *, sqrt((s2::DOUBLE * n - s1::DOUBLE * s1)
                        / (n::DOUBLE * (n - 1))) AS stdc
@@ -850,9 +849,12 @@ object PipelineQueries {
     // global sort), the count agg is map-side combinable, and the
     // normalization joins a |types|-row broadcast.
     "q_event_transitions" -> (((s: SparkSession, dir: String) => {
+      // order on µs, not raw ts_ns: the oracle orders by epoch_us(ts),
+      // and on the TIMESTAMP(NANOS) testdata vintage sub-µs precision
+      // would break ties differently than the µs+event_id order
       val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
-        col("ts_ns"), col("event_type"))
-      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        expr("ts_ns DIV 1000").as("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val pairs = ev.withColumn("prev_type", lag("event_type", 1).over(w))
         .where(col("prev_type").isNotNull)
       val cnt = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
@@ -983,15 +985,9 @@ object PipelineQueries {
   )
 
   private def tmpDir(name: String, sfDir: String): String =
-    s"${ExtraQueries.scratchRoot}/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+    ExtraQueries.tmp(name, sfDir)
 
-  private def rmrf(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(path))
-  }
+  private def rmrf(path: String): Unit = ExtraQueries.rmrf(path)
 
   /** Deterministic ±1 JL projection row i: component j is +1 iff the
     * top bit of md5("p<i>|<j>") is set — the [[graft.sim.Similarity

@@ -305,13 +305,24 @@ object Dedup {
     * [[ngramJaccard]] — three divisions over one shared overlap pipeline.
     */
   def ngramContainment(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
-                       text: String = "text", id: String = "doc_id"): DataFrame = {
-    val (overlap, _) = ngramOverlapTracked(docs, pairs, shingleN, text, id)
-    overlap.select(col("doc_a"), col("doc_b"),
+                       text: String = "text", id: String = "doc_id"): DataFrame =
+    ngramContainmentTracked(docs, pairs, shingleN, text, id)._1
+
+  /** [[ngramContainment]] plus the shingle checkpoint's release() — the
+    * same contract as [[ngramJaccardTracked]]: callers that fully
+    * materialize the result free the pinned shingle copy instead of
+    * carrying it to session end.
+    */
+  private[dedup] def ngramContainmentTracked(
+      docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
+      text: String = "text", id: String = "doc_id"): (DataFrame, () => Unit) = {
+    val (overlap, release) = ngramOverlapTracked(docs, pairs, shingleN, text, id)
+    val res = overlap.select(col("doc_a"), col("doc_b"),
       round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"),
       round(col("inter").cast("double") / col("sz_a"), 6).as("cont_a_in_b"),
       round(col("inter").cast("double") / col("sz_b"), 6).as("cont_b_in_a"))
+    (res, release)
   }
 
   /** Near-dup clusters → canonical representative: treat candidate pairs

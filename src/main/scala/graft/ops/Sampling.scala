@@ -26,6 +26,16 @@ object Sampling {
     * Uses md5 hex so any engine (Spark, DuckDB, Python) reproduces the
     * same sample — important for cross-system test oracles.
     */
+  /** First 8 md5 hex digits of `key` scaled to [0,1) — THE repo-wide
+    * engine-portable uniform hash. Every sampler, mixer, and split gate
+    * derives from this one definition so the cross-engine contract
+    * (`('0x' || substr(md5(k),1,8))::BIGINT / 4294967296.0` in DuckDB)
+    * lives in exactly one place.
+    */
+  def hash01(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
   def md5Filter(key: Column, f: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % f === 0
 
@@ -55,11 +65,10 @@ object Sampling {
     */
   def stratifiedSample(key: Column, stratum: Column,
                        rates: Map[String, Double]): Column = {
-    val hash01 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    val h01 = hash01(key)
     rates.toSeq.sortBy(_._1).foldLeft(lit(1.0)) { case (acc, (s, r)) =>
       when(stratum === s, lit(r)).otherwise(acc)
-    } > hash01
+    } > h01
   }
 
   /** Deterministic weighted repetition — the corpus-MIXING primitive
@@ -129,20 +138,18 @@ object Sampling {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0)
       && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must be positive and sum to 1: $fractions")
-    val hash01 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    val h01 = hash01(key)
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
     fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
-      case (((label, _), hi), acc) => when(hash01 < hi, lit(label)).otherwise(acc)
+      case (((label, _), hi), acc) => when(h01 < hi, lit(label)).otherwise(acc)
     }
   }
 
   def weightedRepeat(df: org.apache.spark.sql.DataFrame, key: Column,
                      weight: Column): org.apache.spark.sql.DataFrame = {
-    val hash01 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    val h01 = hash01(key)
     val copies = floor(weight).cast("long") +
-      when(hash01 < weight - floor(weight), lit(1L)).otherwise(lit(0L))
+      when(h01 < weight - floor(weight), lit(1L)).otherwise(lit(0L))
     df.withColumn("_n", copies)
       .where(col("_n") > 0)
       .select(col("*"), explode(sequence(lit(0L), col("_n") - 1)).as("copy_id"))

@@ -40,21 +40,37 @@ class PipelineQueriesSpec extends SparkSpec {
   }
 
   test("q_zscore_outliers is invariant to input partitioning") {
-    val a = run("q_zscore_outliers").collect().map(_.toSeq)
-    val ev = Tables.load(spark, sfDir, "events")
-    // same computation over a shuffled, repartitioned input
-    val base = ev.repartition(17, col("user_id")).select(col("event_type"),
+    val reference = run("q_zscore_outliers").collect().map(_.toSeq).toSeq
+    // the FULL pipeline recomputed over a shuffled, repartitioned input —
+    // not the same plan twice
+    val ev = Tables.load(spark, sfDir, "events").repartition(17, col("user_id"))
+    val base = ev.select(col("event_type"),
       round(col("value") * 100).cast("long").as("c"))
     val stats = base.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("c").as("s1"),
         sum(col("c") * col("c")).as("s2"))
-    val expected = run("q_zscore_outliers").collect().map(_.toSeq)
-    assert(a.toSeq === expected.toSeq)
-    // exact integer moments: recompute s1/s2 under the new partitioning
-    val s2a = stats.agg(sum("s2")).head().getLong(0)
-    val s2b = ev.select(round(col("value") * 100).cast("long").as("c"))
-      .agg(sum(col("c") * col("c"))).head().getLong(0)
-    assert(s2a === s2b, "integer moments must not depend on partitioning")
+      .where(col("n") > 1)
+      .withColumn("stdc", sqrt(
+        (col("s2").cast("double") * col("n") -
+          col("s1").cast("double") * col("s1")) /
+        (col("n").cast("double") * (col("n") - 1))))
+    val outl = base.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        (col("c").cast("double") - col("s1").cast("double") / col("n")) /
+          col("stdc"))
+      .groupBy("event_type")
+      .agg(sum(when(abs(col("z")) > 1.5, 1L).otherwise(0L)).as("n_outliers"),
+        max(round(abs(col("z")), 6)).as("max_abs_z"))
+    val recomputed = stats.join(outl, "event_type")
+      .select(col("event_type"), col("n"),
+        round(col("s1").cast("double") / col("n") / lit(100.0), 6)
+          .as("mean_value"),
+        round(col("stdc") / lit(100.0), 6).as("std_value"),
+        col("n_outliers"), col("max_abs_z"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(recomputed === reference,
+      "the full z-score output must not depend on input partitioning")
   }
 
   test("q_alpha_mix output size is exactly the deterministic copy count " +
