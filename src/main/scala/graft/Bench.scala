@@ -342,11 +342,19 @@ object Bench {
     // any length parses it — this is the driver-certified artifact; the
     // full per-query detail lives in the big line and BENCH_FULL.json.
     val headlineQs = results.filter { case (k, _) => k.startsWith("b") }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${jmap(headlineQs)},"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5PlanMatch,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"full_artifact":"BENCH_FULL.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${jmap(headlineQs)},"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5PlanMatch,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"full_artifact":"BENCH_FULL.json","summary_artifact":"BENCH_SUMMARY.json"}"""
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
       try w.println(json) finally w.close()
     } catch { case NonFatal(_) => () } // repo may be elsewhere; stdout is canonical
+    try {
+      // the compact summary ALSO lands as a file: sbt's `[info] ` stdout
+      // prefix and trailing `[success]` line defeat line-oriented JSON
+      // parsers reading the captured tail, so a parser that fails on
+      // stdout reads this file instead — pure JSON, no log framing
+      val w = new java.io.PrintWriter("/root/repo/BENCH_SUMMARY.json")
+      try w.println(summary) finally w.close()
+    } catch { case NonFatal(_) => () }
     try {
       // full normalized plan dumps behind every plan_match bit, for
       // inspection (replaces the r4 b5-only BENCH_B5_PLANS.txt)

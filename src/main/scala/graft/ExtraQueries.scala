@@ -1075,8 +1075,8 @@ object ExtraQueries {
         JOIN sizes sa ON sa.doc_id = p.doc_a
         JOIN sizes sb ON sb.doc_id = p.doc_b
         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-        WHERE coalesce(i.inter, 0)::DOUBLE
-          / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.8),
+        WHERE round(coalesce(i.inter, 0)::DOUBLE
+          / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) >= 0.8),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
                 UNION ALL SELECT doc_b, doc_a FROM verified),
       reach AS (

@@ -311,10 +311,14 @@ object PipelineQueries {
       val stats = base.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("c").as("s1"),
           sum(col("c") * col("c")).as("s2"))
-        // a singleton group has no sample variance: stdc would be
-        // sqrt(0/0) = NaN and every z NaN, with engine-dependent NaN
-        // comparison semantics — drop such groups on BOTH sides
-        .where(col("n") > 1)
+        // a singleton group has no sample variance (stdc = sqrt(0/0))
+        // and a zero-variance group divides by stdc = 0: either way
+        // every z is NaN, with engine-dependent NaN comparison
+        // semantics — drop both classes on BOTH sides, testing the
+        // stdc numerator in the SAME double expression stdc uses
+        .where(col("n") > 1 &&
+          col("s2").cast("double") * col("n") >
+            col("s1").cast("double") * col("s1"))
         .withColumn("stdc", sqrt(
           (col("s2").cast("double") * col("n") -
             col("s1").cast("double") * col("s1")) /
@@ -338,7 +342,9 @@ object PipelineQueries {
       stats AS (
         SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
           sum(c * c)::BIGINT AS s2
-        FROM base GROUP BY 1 HAVING count(*) > 1),
+        FROM base GROUP BY 1
+        HAVING count(*) > 1
+           AND sum(c * c)::DOUBLE * count(*) > sum(c)::DOUBLE * sum(c)),
       st AS (
         SELECT *, sqrt((s2::DOUBLE * n - s1::DOUBLE * s1)
                        / (n::DOUBLE * (n - 1))) AS stdc
@@ -820,8 +826,7 @@ object PipelineQueries {
     // the order replays across libms.
     "q_weighted_sample" -> (((s: SparkSession, dir: String) => {
       val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
-      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      val u = graft.ops.Sampling.hash01Centered(col("doc_id"))
       val key = round(log(u) / col("n_chars"), 9)
       val w = Window.partitionBy("source")
         .orderBy(col("key").desc, col("doc_id"))

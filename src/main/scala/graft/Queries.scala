@@ -2237,8 +2237,7 @@ object Queries {
         val docs = t(s, dir, "documents")
         val pairs = Dedup.minhashCandidates(docs, numPerms = 8, rowsPerBand = 2,
           maxBucket = 1000000)
-        Dedup.ngramJaccard(docs, pairs)
-          .withColumn("jaccard", round(col("jaccard"), 6))
+        Dedup.ngramJaccard(docs, pairs) // jaccard pre-rounded at 6 digits
       },
       Some {
         val bandSelects = (0 until 4).map { b =>
@@ -2295,8 +2294,7 @@ object Queries {
         val batch = docs.where(col("doc_id") % 3 =!= 0)
           .select("doc_id", "text").unionByName(recrawl)
         Dedup.incrementalNearDups(batch, history, threshold = 0.8,
-            maxBucket = 1000000)
-          .withColumn("jaccard", round(col("jaccard"), 6))
+            maxBucket = 1000000) // jaccard pre-rounded at 6 digits
           .withColumn("batch_id", col("batch_id").cast("long"))
           .withColumn("hist_id", col("hist_id").cast("long"))
       },
@@ -2347,7 +2345,7 @@ object Queries {
           JOIN sizes sb ON sb.did = p.db)
         SELECT substr(da, 3)::BIGINT AS batch_id, substr(db, 3)::BIGINT AS hist_id,
           round(jac, 6) AS jaccard
-        FROM j WHERE jac >= 0.8"""
+        FROM j WHERE round(jac, 6) >= 0.8"""
       }),
 
     "q_kv_parse" -> Q(

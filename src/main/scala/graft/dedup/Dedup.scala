@@ -256,9 +256,13 @@ object Dedup {
                                          shingleN: Int = 3, text: String = "text",
                                          id: String = "doc_id"): (DataFrame, () => Unit) = {
     val (overlap, release) = ngramOverlapTracked(docs, pairs, shingleN, text, id)
+    // round(…, 6) to match [[ngramContainmentTracked]]'s jaccard exactly —
+    // the two public views of the shared overlap pipeline must return
+    // bit-identical jaccard for the same pair
     val res = overlap
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     (res, release)
   }

@@ -22,22 +22,33 @@ object Sampling {
   def regexFilter(key: Column, pattern: String): Column =
     key.rlike(pattern)
 
-  /** Deterministic 1-in-f sample on a stable key hash (MD5Filter analog).
-    * Uses md5 hex so any engine (Spark, DuckDB, Python) reproduces the
-    * same sample — important for cross-system test oracles.
+  /** First 8 md5 hex digits of `key` as a uniform integer in [0, 2^32) —
+    * THE repo-wide engine-portable hash primitive. Every sampler, mixer,
+    * and split gate derives from this one definition (directly or via
+    * [[hash01]]/[[hash01Centered]]/[[md5Filter]]) so the cross-engine
+    * contract (`('0x' || substr(md5(k),1,8))::BIGINT` in DuckDB) lives in
+    * exactly one place.
     */
-  /** First 8 md5 hex digits of `key` scaled to [0,1) — THE repo-wide
-    * engine-portable uniform hash. Every sampler, mixer, and split gate
-    * derives from this one definition so the cross-engine contract
-    * (`('0x' || substr(md5(k),1,8))::BIGINT / 4294967296.0` in DuckDB)
-    * lives in exactly one place.
-    */
-  def hash01(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+  def hashBits32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** [[hashBits32]] scaled to [0,1) — the repo's uniform [0,1) hash. */
+  def hash01(key: Column): Column =
+    hashBits32(key).cast("double") / lit(4294967296.0)
+
+  /** [[hashBits32]] shifted off zero and scaled — uniform on
+    * (0,1), midpoints of the 2^32 lattice cells. The form priority-key
+    * samplers need: `ln(u)` must never see u = 0.
+    */
+  def hash01Centered(key: Column): Column =
+    (hashBits32(key).cast("double") + lit(0.5)) / lit(4294967296.0)
+
+  /** Deterministic 1-in-f sample on the stable key hash (MD5Filter
+    * analog). Md5-derived so any engine (Spark, DuckDB, Python)
+    * reproduces the same sample — important for cross-system oracles.
+    */
   def md5Filter(key: Column, f: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % f === 0
+    hashBits32(key) % f === 0
 
   /** Hex-prefix variant: keep keys whose md5 starts with `prefix` —
     * a 16^-len(prefix) sample, trivially expressible in any SQL dialect.

@@ -398,8 +398,9 @@ class DedupSpec extends SparkSpec {
       "every shingle of the small doc is in the big one")
     assert(r.getDouble(2) < 0.1, "jaccard misses the inclusion")
     assert(r.getDouble(4) < 0.1)
-    // the shared overlap pipeline gives jaccard the identical value
+    // the shared overlap pipeline gives jaccard the BIT-identical value —
+    // both views round at 6 digits
     val j = Dedup.ngramJaccard(d, pairs).head().getDouble(2)
-    assert(math.abs(j - r.getDouble(2)) < 1e-6)
+    assert(j === r.getDouble(2))
   }
 }
