@@ -702,6 +702,21 @@ object Bench {
         width = hhW * 10)))
     ctlTimes.get("d7_heavy_hitters").foreach(v =>
       ctlTimes("d7w_heavy_hitters_wprop") = v)
+    // d7a: the AUTO-sized path (r11) — the pre-pass + derived width at
+    // both scales, so the trend includes the sizing cost it claims is
+    // cheap. Its own 1x denominator: auto-vs-auto, apples to apples.
+    measure("d7a_heavy_hitters_auto", ctlTimes)(exec(
+      graft.agg.CountMin.heavyHittersAuto(li1x, col("l_partkey"), 42)))
+    measure("d7a_heavy_hitters_auto", times)(exec(
+      graft.agg.CountMin.heavyHittersAuto(li10xKeys, col("l_partkey"), 42)))
+    try {
+      scaleDiag("d7a_1x_auto_width") =
+        graft.agg.CountMin.autoWidth(li1x, col("l_partkey"), 42).toLong
+      scaleDiag("d7a_10x_auto_width") =
+        graft.agg.CountMin.autoWidth(li10xKeys, col("l_partkey"), 42).toLong
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d7a width diag failed: ${e.getMessage}")
+    }
     def hhDiag(tag: String, occ: DataFrame, width: Int): Unit = try {
       val bm = graft.agg.CountMin.hotCellBitmaps(occ, col("l_partkey"), 42, 4, width)
       scaleDiag(s"d7_${tag}_hot_cells") = bm.map(_.map(java.lang.Long.bitCount(_).toLong).sum).min
@@ -721,6 +736,12 @@ object Bench {
     hhDiag("1x", li1x, hhW)
     hhDiag("10x", li10xKeys, hhW)
     hhDiag("10x_wprop", li10xKeys, hhW * 10)
+    try {
+      hhDiag("10x_auto", li10xKeys,
+        graft.agg.CountMin.autoWidth(li10xKeys, col("l_partkey"), 42))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d7a survivor diag failed: ${e.getMessage}")
+    }
 
     // d8: PageRank trend — 10 DISJOINT graph copies (per-copy node-id
     // suffix): nodes/edges grow 10x, graph structure per copy unchanged,

@@ -2100,12 +2100,14 @@ object ExtraQueries {
     // only ones that reach the shuffle. The oracle is the plain HAVING
     // query: the gate's no-false-negative guarantee is exactly what the
     // hash compare checks.
-    // width 65536 keeps the gate unsaturated through sf0.1 (600k
-    // occurrences -> mean cell ~9, threshold 42): the result is exact at
-    // ANY width, but a saturated gate prunes nothing (CountMin scaladoc)
+    // AUTO-sized width (r11): a one-agg pre-pass (exact N + HLL distinct)
+    // derives width = min(8N/T, 16D), so the gate stays ~8x subcritical
+    // at any scale without caller tuning — the knob whose mis-setting d7
+    // measured as a superlinear 10x trend. The result is exact at ANY
+    // width; sizing only decides how much the gate prunes.
     "q_heavy_hitters" -> (((s: SparkSession, dir: String) => {
-      graft.agg.CountMin.heavyHitters(
-        t(s, dir, "lineitem"), col("l_partkey"), threshold = 42, width = 65536)
+      graft.agg.CountMin.heavyHittersAuto(
+        t(s, dir, "lineitem"), col("l_partkey"), threshold = 42)
     }, Some("""SELECT l_partkey AS k, count(*) AS cnt
       FROM lineitem GROUP BY l_partkey HAVING count(*) >= 42"""))),
 

@@ -151,4 +151,75 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
   }
+
+  /** Hard ceiling on auto-sized width: 2^22 cells keep the per-depth
+    * hot-cell bitmap at 64K longs (512 KB) — still comfortably a codegen
+    * literal. Past the cap the gate saturates gracefully (prunes less,
+    * stays exact) rather than shipping megabyte literals into every task.
+    */
+  val MaxAutoWidth: Int = 1 << 22
+
+  /** Width floor for the auto path — below this the bitmap is noise-level
+    * cheap anyway, so there is nothing to save by going smaller.
+    */
+  val MinAutoWidth: Int = 1024
+
+  /** Sketch width derived from the data, closing the one knob
+    * [[heavyHitters]] leaves to the caller. The d7/d7w bench pair
+    * measures the failure mode this removes: at a FIXED width, growing
+    * occurrences saturate the cells (mean cell count `N/width` clears the
+    * threshold, the gate stops pruning, and the "gated" shuffle degrades
+    * toward the plain `GROUP BY key` it was built to avoid — superlinear
+    * 13.9x at 10x input vs 9.2x with width ∝ N).
+    *
+    * Sizing rule, from the scaladoc discipline made executable:
+    * `width = min(8·N/T, 16·D̂)` clamped to [[[MinAutoWidth]],
+    * [[MaxAutoWidth]]] and rounded up to a power of two —
+    *  - `8·N/T` keeps the mean COLLISION mass per cell (`≈ N/width`) at
+    *    T/8: a key only passes falsely when its own count is within that
+    *    margin of T at EVERY depth, so the false-positive tail stays a
+    *    sliver of the near-hitters;
+    *  - `16·D̂` caps pointless width: at 16 cells per distinct key the
+    *    per-depth collision probability is ≤ 1/16, and the min over 4
+    *    depths makes a 4-way collision (the only way an estimate
+    *    inflates) a ~1e-5 event — the gate is already effectively exact,
+    *    so more width only fattens the bitmaps.
+    *
+    * The pre-pass is ONE map-side-combined aggregation over the
+    * occurrences computing the exact total `N` and an HLL++ distinct
+    * estimate `D̂` (`approx_count_distinct`, rsd 5%) — constant state per
+    * partition, a few-KB shuffle. Deliberately NOT
+    * [[Sketches.kmvDistinct]]: KMV's bottom-k needs a `distinct()` of the
+    * key hashes first, and that ~D-row distinct shuffle is the very
+    * shuffle this gate exists to avoid — the pre-pass must stay
+    * sketch-sized or the auto path costs what it saves. HLL is the
+    * mergeable constant-state way to ask the same question. Both inputs
+    * are deterministic, so the derived width (and hence the whole gate)
+    * replays identically run to run.
+    */
+  def autoWidth(occurrences: DataFrame, key: Column, threshold: Long): Int = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val r = occurrences.agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(key, 0.05).as("d")).head()
+    val (n, d) = (r.getLong(0), r.getLong(1))
+    val target = math.min(8.0 * n / threshold, 16.0 * d)
+    val clamped =
+      math.min(MaxAutoWidth.toDouble, math.max(MinAutoWidth.toDouble, target))
+    Integer.highestOneBit(math.ceil(clamped).toInt - 1) << 1 match {
+      case w if w >= MinAutoWidth => math.min(w, MaxAutoWidth)
+      case _ => MinAutoWidth
+    }
+  }
+
+  /** [[heavyHitters]] with the width derived by [[autoWidth]] — the
+    * no-tuning form. Three passes over the occurrences (size pre-pass,
+    * sketch build, gated exact count), each map-side combined with a
+    * sketch-sized shuffle; the extra pre-pass scan is what buys immunity
+    * to the fixed-width saturation knee at any input size.
+    */
+  def heavyHittersAuto(occurrences: DataFrame, key: Column, threshold: Long,
+                       depth: Int = 4): DataFrame =
+    heavyHitters(occurrences, key, threshold, depth,
+      autoWidth(occurrences, key, threshold))
 }

@@ -62,6 +62,30 @@ class CountMinSpec extends SparkSpec {
     assert(gated < 20, s"gate should prune ~196 of 200 keys, kept $gated")
   }
 
+  test("autoWidth: subcritical vs N/T, capped by distinct count, clamped") {
+    // small-everything regime: 80 keys, ~400 occurrences, T=10 —
+    // 8N/T ≈ 320 and 16D = 1280, both at or under the floor → floor
+    assert(CountMin.autoWidth(occurrences(80), col("v"), 10)
+      == CountMin.MinAutoWidth)
+    // huge threshold shrinks 8N/T to ~3 → floor wins
+    assert(CountMin.autoWidth(occurrences(80), col("v"), 1000)
+      == CountMin.MinAutoWidth)
+    // growth regime: 3000 keys, ~24k occurrences, T=4 — 8N/T ≈ 48.6k
+    // and 16D̂ ≈ 48k ± HLL rsd; either way the min lands in
+    // (32768, 65536] so the power-of-two round-up is exactly 65536
+    val w = CountMin.autoWidth(occurrences(3000), col("v"), 4)
+    assert(w == 65536, s"expected 65536, got $w")
+    assert(w >= CountMin.MinAutoWidth && w <= CountMin.MaxAutoWidth)
+  }
+
+  test("heavyHittersAuto matches GROUP BY HAVING with no width knob") {
+    val occ = occurrences(120)
+    val truth = exact(occ).filter(_._2 >= 12)
+    val auto = CountMin.heavyHittersAuto(occ, col("v"), 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == truth)
+  }
+
   test("deterministic and partitioning-independent") {
     val occ = occurrences(50)
     def run(parts: Int) =
