@@ -677,6 +677,25 @@ object ExtraQueries {
         XmlRecords.tagText(col("record"), "nm").as("name"))
     }, Some("SELECT n_nationkey AS id, n_name AS name FROM nation"))),
 
+    // StreamXmlRecordReader's boundary-scan split path: ONE single
+    // pattern-delimited file (coalesce(1)) read through byte-range
+    // splits — 64 KB ranges slice the file into many parallel scan
+    // tasks (the giant-file case the per-file q_xml_records cannot
+    // parallelize), and the oracle proves no record is lost, duplicated,
+    // or torn at any range boundary.
+    "q_xml_records_split" -> (((s: SparkSession, dir: String) => {
+      val out = tmp("xml_split", dir)
+      t(s, dir, "orders").select(concat(
+          lit("<rec><k>"), col("o_orderkey"), lit("</k><p>"),
+          col("o_orderpriority"), lit("</p></rec>")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      XmlRecords.readSplittable(s, out, "<rec>", "</rec>",
+          splitBytes = 64 * 1024)
+        .select(
+          XmlRecords.tagText(col("record"), "k").cast("long").as("k"),
+          XmlRecords.tagText(col("record"), "p").as("priority"))
+    }, Some("SELECT o_orderkey AS k, o_orderpriority AS priority FROM orders"))),
+
     // MultipleOutputs: one pass routed to N named parquet sinks, each
     // side output read back independently and recombined.
     "q_multi_output" -> (((s: SparkSession, dir: String) => {
