@@ -25,15 +25,45 @@ object MoreQueries {
     * same trajectory-unrolling discipline as the kmeans oracle. The
     * caller appends the final SELECT over `b0..b{steps-1}` / `s{steps}`.
     */
-  private def bpeCtes(steps: Int): String = {
-    val sb = new StringBuilder
-    sb ++= """WITH w AS (
+  private def bpeCtes(steps: Int): String =
+    """WITH w AS (
         SELECT word, count(*)::BIGINT AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE len(word) > 0 GROUP BY 1),
       s0 AS (SELECT word, cnt,
         list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
-        FROM w)"""
+        FROM w)""" + bpeStepCtes(steps)
+
+  /** The DuckDB lossless pre-token list of GPT-2-style byte-level BPE:
+    * every word after the first carries its leading space (runs of
+    * spaces → bare " " tokens) — concatenation reproduces `text`.
+    */
+  private val byteTokensSql: String =
+    """unnest(list_transform(range(len(ws)),
+        i -> CASE WHEN i = 0 THEN ws[i+1] ELSE ' ' || ws[i+1] END))"""
+
+  /** DuckDB replay of [[graft.text.Bpe.trainByteMerges]]: same unrolled
+    * trajectory as [[bpeCtes]], seeded from space-carrying pre-tokens
+    * split into 2-hex-digit UTF-8 byte symbols (`hex(encode(word))` is
+    * identical uppercase hex in both engines).
+    */
+  private def bpeBytesCtes(steps: Int): String =
+    s"""WITH w AS (
+        SELECT word, count(*)::BIGINT AS cnt
+        FROM (SELECT $byteTokensSql AS word
+              FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+        WHERE len(word) > 0 GROUP BY 1),
+      s0 AS (SELECT word, cnt,
+        list_transform(range(1, len(h) // 2 + 1), i -> substr(h, 2*i - 1, 2)) AS syms
+        FROM (SELECT word, cnt, hex(encode(word)) AS h FROM w))""" +
+      bpeStepCtes(steps)
+
+  /** The shared per-step (pair-count → best-pair → greedy rewrite) CTE
+    * rounds — identical for the char and byte alphabets; only the `s0`
+    * seed differs.
+    */
+  private def bpeStepCtes(steps: Int): String = {
+    val sb = new StringBuilder
     for (k <- 0 until steps) {
       sb ++= s""",
       pc$k AS (
@@ -314,6 +344,45 @@ object MoreQueries {
       }.mkString(" UNION ALL ")
       bpeCtes(6) + s" SELECT * FROM ($union) ORDER BY step"
     })),
+
+    // BYTE-level BPE training (GPT-2-style): the same merge loop seeded
+    // from space-carrying pre-tokens split into UTF-8 byte symbols
+    // (2-hex-digit rendering), so merges can cross the space boundary
+    // and cover any byte — no unknown symbol exists. The oracle unrolls
+    // the same 6 rounds over the identical hex alphabet.
+    "q_bpe_bytes" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.text.Bpe.trainByteMerges(t(s, dir, "documents"), steps = 6)
+        .toDF().orderBy("step")
+    }, Some {
+      val union = (0 until 6).map { k =>
+        s"SELECT ${k + 1}::BIGINT AS step, a AS pair_left, b AS pair_right, a || b AS merged, c AS pair_count FROM b$k"
+      }.mkString(" UNION ALL ")
+      bpeBytesCtes(6) + s" SELECT * FROM ($union) ORDER BY step"
+    })),
+
+    // BYTE-level BPE encode: per-doc pre-token/byte/BPE-token counts
+    // under the learned byte merges. As with q_bpe_encode, the oracle
+    // routes through the final symbol table s6 (an independent join, not
+    // a fold replay), so a fold/training divergence cannot cancel out.
+    // `bytes` doubles as a losslessness check: Σ octet_length(pre-token)
+    // must equal each document's exact UTF-8 length.
+    "q_bpe_bytes_encode" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.trainByteMerges(docs, steps = 6)
+      graft.text.Bpe.byteEncodeCounts(docs, merges).orderBy("doc_id")
+    }, Some(bpeBytesCtes(6) + s""",
+      dw AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, $byteTokensSql AS word
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents))
+        WHERE len(word) > 0)
+      SELECT doc_id, count(*)::BIGINT AS pretokens,
+        sum(octet_length(encode(dw.word)))::BIGINT AS bytes,
+        sum(len(s6.syms))::BIGINT AS bpe_tokens
+      FROM dw JOIN s6 ON dw.word = s6.word
+      GROUP BY 1 ORDER BY 1"""))),
 
     // BPE ENCODE under the learned merges: per-doc word/char/BPE-token
     // counts — the number a token-budgeted batcher consumes. The Spark

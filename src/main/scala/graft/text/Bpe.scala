@@ -46,6 +46,34 @@ object Bpe {
     words.withColumn("syms",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
 
+  /** GPT-2-style byte-level pre-tokens with frequencies: split on single
+    * spaces, and every word after the first CARRIES ITS LEADING SPACE
+    * (" world"), so concatenating a document's pre-tokens reproduces its
+    * text byte-for-byte (runs of spaces become bare " " pre-tokens) and
+    * learned merges can contain the space byte — the space-prefixed
+    * vocabulary (" the") word-level BPE cannot express.
+    */
+  def byteWordCounts(docs: DataFrame, text: String = "text"): DataFrame =
+    docs.select(posexplode(split(col(text), " ")))
+      .select(when(col("pos") === 0, col("col"))
+        .otherwise(concat(lit(" "), col("col"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Byte-split start state: each UTF-8 byte of the pre-token as a
+    * 2-hex-digit symbol ("C3","A9" for "é"). Hex pairs are the
+    * engine-portable rendering of GPT-2's byte alphabet (both Spark and
+    * DuckDB produce identical uppercase `hex(encode(word))`), merges
+    * concatenate to longer hex strings, and there is no unknown symbol
+    * by construction — every input is SOME byte sequence.
+    */
+  def byteSymbols(words: DataFrame): DataFrame =
+    words
+      .withColumn("_h", hex(encode(col("word"), "UTF-8")))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(_h) DIV 2), i -> substring(_h, 2*i - 1, 2))"))
+      .drop("_h")
+
   /** Adjacent-pair frequencies of the current symbol table:
     * (a, b, c = Σ word cnt). One explode + one partial-agg shuffle,
     * both vocab-sized.
@@ -73,14 +101,31 @@ object Bpe {
   final case class Merge(step: Long, pair_left: String, pair_right: String,
                          merged: String, pair_count: Long)
 
-  /** Train `steps` merges. Stops early if no pair remains (vocabulary of
-    * single-symbol words). Returns the ordered merge table.
+  /** Train `steps` merges from the character-split word vocabulary
+    * (Sennrich). Stops early if no pair remains. Returns the ordered
+    * merge table.
     */
   def trainMerges(docs: DataFrame, steps: Int,
-                  text: String = "text"): Seq[Merge] = {
+                  text: String = "text"): Seq[Merge] =
+    trainFromInit(initSymbols(wordCounts(docs, text)), steps)
+
+  /** Train `steps` merges from the BYTE-split pre-token vocabulary
+    * (GPT-2-style byte-level BPE): same driver-metadata merge loop as
+    * [[trainMerges]] — only the seed symbols change, to the hex-pair
+    * byte alphabet of [[byteSymbols]]. Merge pairs and merged symbols
+    * are hex strings ("20","74" → "2074" = " t").
+    */
+  def trainByteMerges(docs: DataFrame, steps: Int,
+                      text: String = "text"): Seq[Merge] =
+    trainFromInit(byteSymbols(byteWordCounts(docs, text)), steps)
+
+  /** The shared merge-training loop over any (word, cnt, syms) start
+    * state — vocabulary-sized work per step, 1-row argmax collects,
+    * O(1) plan depth via superseded-generation checkpoints.
+    */
+  private def trainFromInit(init: DataFrame, steps: Int): Seq[Merge] = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
-    var cur = Checkpoints.truncateTracked(
-      initSymbols(wordCounts(docs, text)), eager = true)
+    var cur = Checkpoints.truncateTracked(init, eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 0
     var done = false
@@ -129,4 +174,28 @@ object Bpe {
         sum(col("_len")).cast("long").as("chars"),
         sum(col("_n")).cast("long").as("bpe_tokens"))
   }
+
+  /** Per-document BYTE-level BPE token counts under a learned byte merge
+    * list: (doc_id, pretokens, bytes, bpe_tokens). Same scan-stage fold
+    * shape as [[encodeCounts]], over space-carrying pre-tokens and the
+    * hex byte alphabet; `bytes` is the document's exact UTF-8 length
+    * (pre-tokens are lossless), the ceiling `bpe_tokens` converges down
+    * from as merges are learned.
+    */
+  def byteEncodeCounts(docs: DataFrame, merges: Seq[Merge],
+                       text: String = "text", id: String = "doc_id"): DataFrame =
+    docs.select(col(id), posexplode(split(col(text), " ")))
+      .select(col(id), when(col("pos") === 0, col("col"))
+        .otherwise(concat(lit(" "), col("col"))).as("_w"))
+      .where(length(col("_w")) > 0)
+      .withColumn("_h", hex(encode(col("_w"), "UTF-8")))
+      .select(col(id),
+        size(applyMerges(expr(
+          "transform(sequence(1, length(_h) DIV 2), i -> substring(_h, 2*i - 1, 2))"),
+          merges)).as("_n"),
+        expr("length(_h) DIV 2").as("_len"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("pretokens"),
+        sum(col("_len")).cast("long").as("bytes"),
+        sum(col("_n")).cast("long").as("bpe_tokens"))
 }

@@ -56,6 +56,53 @@ class BpeSpec extends SparkSpec {
     assert(r.getLong(1) == 2 && r.getLong(2) == 5 && r.getLong(3) == 5)
   }
 
+  test("byteWordCounts pre-tokens are lossless, spaces carried") {
+    val docs = corpus("d1" -> "to be  or", "d2" -> "to")
+    val got = Bpe.byteWordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "to be  or": ["to", " be", " ", " or"] — the double space becomes
+    // a bare " " token; concatenation reproduces the text exactly
+    assert(got == Map("to" -> 2L, " be" -> 1L, " " -> 1L, " or" -> 1L))
+  }
+
+  test("byteSymbols splits multi-byte UTF-8 into per-byte hex symbols") {
+    import spark.implicits._
+    // "é" = C3 A9 (2 bytes), "€" = E2 82 AC (3 bytes), "你" = E4 BD A0
+    val words = Seq(("café", 1L), ("€", 1L), (" 你", 1L)).toDF("word", "cnt")
+    val syms = Bpe.byteSymbols(words).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(syms("café") == Seq("63", "61", "66", "C3", "A9"))
+    assert(syms("€") == Seq("E2", "82", "AC"))
+    assert(syms(" 你") == Seq("20", "E4", "BD", "A0"))
+  }
+
+  test("trainByteMerges learns space-crossing and multi-byte merges") {
+    // " é" (20 C3 A9) dominates: (C3,A9) has 5 occurrences (4 in the
+    // " é" pre-token + 1 in "éz"), then (20, C3A9) has 4 — a merge
+    // CONTAINING the space byte, which the word-level path cannot express
+    val docs = corpus(
+      "d1" -> "x é é é é",
+      "d2" -> "éz x")
+    val m = Bpe.trainByteMerges(docs, steps = 2)
+    assert(m(0).pair_left == "C3" && m(0).pair_right == "A9" &&
+      m(0).merged == "C3A9" && m(0).pair_count == 5)
+    assert(m(1).pair_left == "20" && m(1).pair_right == "C3A9" &&
+      m(1).merged == "20C3A9" && m(1).pair_count == 4)
+  }
+
+  test("byteEncodeCounts: bytes are exact UTF-8 lengths, tokens shrink") {
+    val docs = corpus("d1" -> "é é", "d2" -> "ab")
+    val m = Bpe.trainByteMerges(docs, steps = 1) // (C3,A9) → C3A9
+    val rows = Bpe.byteEncodeCounts(docs, m).orderBy("doc_id").collect()
+    // d1 "é é": pre-tokens ["é", " é"] = 2+3 bytes; post-merge
+    // symbols [C3A9] + [20, C3A9] = 3 tokens
+    assert(rows(0).getLong(1) == 2 && rows(0).getLong(2) == 5 &&
+      rows(0).getLong(3) == 3)
+    // d2 "ab": 1 pre-token, 2 bytes, no merge applies → 2 tokens
+    assert(rows(1).getLong(1) == 1 && rows(1).getLong(2) == 2 &&
+      rows(1).getLong(3) == 2)
+  }
+
   test("training plan never re-touches the corpus after the first pass") {
     // initSymbols(wordCounts) is checkpointed eagerly; per-step plans
     // must read the truncated vocab table, not re-scan documents.
