@@ -103,6 +103,26 @@ class BpeSpec extends SparkSpec {
       rows(1).getLong(3) == 2)
   }
 
+  test("encode dispatches to the broadcast fold past MaxLiteralMerges") {
+    val docs = corpus("d1" -> "low lowest", "d2" -> "low")
+    val real = Bpe.trainMerges(docs, steps = 2)
+    // pad with no-op merges to force the >MaxLiteralMerges broadcast
+    // path; results must be identical to the literal-fold path
+    val padded = real ++ (1 to Bpe.MaxLiteralMerges + 10).map(i =>
+      Bpe.Merge(real.size + i.toLong, s"zz$i", s"qq$i", s"zz${i}qq$i", 0L))
+    assert(padded.size > Bpe.MaxLiteralMerges)
+    val lit = Bpe.encodeCounts(docs, real).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val bc = Bpe.encodeCounts(docs, padded).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(lit == bc)
+    val litB = Bpe.byteEncodeCounts(docs, real).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val bcB = Bpe.byteEncodeCounts(docs, padded).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(litB == bcB)
+  }
+
   test("training plan never re-touches the corpus after the first pass") {
     // initSymbols(wordCounts) is checkpointed eagerly; per-step plans
     // must read the truncated vocab table, not re-scan documents.
