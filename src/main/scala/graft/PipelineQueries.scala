@@ -742,6 +742,54 @@ object PipelineQueries {
         len(trimmed)::BIGINT AS trimmed_len
       FROM res ORDER BY doc_id"""))),
 
+    // ALIGNMENT-ROBUST substring trim: detection at stride 1 (a window
+    // hash at every char position), so a span copied at ANY offset
+    // shift is caught — the recall hole q_substring_trim's
+    // stride-aligned windows have (a copy shifted by a non-multiple of
+    // the stride produces zero matching hashes; DedupSpec measures
+    // recall 1/stride on planted shifted duplicates). Flagged positions
+    // map onto the same disjoint cut segments; the oracle replays the
+    // stride-1 detection, the segment overlap mapping, and the
+    // reassembly independently.
+    "q_substring_trim_exact" -> (((s: SparkSession, dir: String) => {
+      Dedup.substringTrimExact(t(s, dir, "documents").select("doc_id", "text"),
+        winLen = 40).orderBy("doc_id")
+    }, Some("""WITH w1 AS (
+        SELECT doc_id, i, md5(substr(text, i, 40)) AS h
+        FROM (SELECT doc_id, text, unnest(range(1, len(text) - 38, 1)) AS i
+              FROM documents WHERE len(text) >= 40)),
+      dup AS (
+        SELECT h FROM (
+          SELECT h, count(DISTINCT doc_id) AS nd FROM w1 GROUP BY 1)
+        WHERE nd > 1),
+      cut AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(range((i - 1) // 40, (i + 38) // 40 + 1)) AS s
+          FROM w1 WHERE h IN (SELECT h FROM dup))),
+      wins AS (
+        SELECT doc_id, i, (i - 1) // 40 AS s, substr(text, i, 40) AS seg
+        FROM (SELECT doc_id, text, unnest(range(1, len(text) - 38, 40)) AS i
+              FROM documents WHERE len(text) >= 40)),
+      body AS (
+        SELECT w.doc_id, count(*)::BIGINT AS kept_windows,
+          string_agg(seg, '' ORDER BY i) AS body
+        FROM wins w LEFT JOIN cut ON w.doc_id = cut.doc_id AND w.s = cut.s
+        WHERE cut.s IS NULL
+        GROUP BY 1),
+      res AS (
+        SELECT d.doc_id,
+          CASE WHEN len(text) >= 40 THEN len(text) // 40 ELSE 0 END::BIGINT
+            AS n_windows,
+          CASE WHEN len(text) >= 40 THEN len(text) // 40 ELSE 0 END::BIGINT
+            - coalesce(kept_windows, 0) AS dropped_windows,
+          CASE WHEN len(text) >= 40
+            THEN coalesce(body, '') || substr(text, (len(text) // 40) * 40 + 1)
+            ELSE text END AS trimmed
+        FROM documents d LEFT JOIN body USING (doc_id))
+      SELECT doc_id, n_windows, dropped_windows, trimmed,
+        len(trimmed)::BIGINT AS trimmed_len
+      FROM res ORDER BY doc_id"""))),
+
     // IVFPQ + exact refine — the standard two-stage production
     // retrieval: the compressed index proposes 50 candidates by ADC
     // (probing 2 cells), then ONLY those 50 are re-ranked by exact

@@ -885,6 +885,62 @@ object Dedup {
         array_join(transform(array_sort(collect_list(
           struct(col("i"), col("seg")))), x => x.getField("seg")), "")
           .as("body"))
+    assembleTrimmed(docs, body, winLen, text, id)
+  }
+
+  /** Alignment-robust substring TRIM — full-recall detection
+    * (Lee et al. 2022 ExactSubstr): [[substringTrim]]'s stride-aligned
+    * windows can only see a copied span when both copies start at the
+    * same offset mod stride — a copy shifted by any other amount
+    * produces ZERO matching hashes (recall 1/stride for random shifts;
+    * DedupSpec measures exactly this with planted offset-shifted
+    * duplicates). Here detection runs at stride 1 — a window hash at
+    * EVERY character position — so any shared `winLen`-char span
+    * matches at some position regardless of alignment. Flagged
+    * positions then map onto the same disjoint cut segments the trim
+    * surgery already uses (a shared span straddling a segment boundary
+    * cuts both segments it touches).
+    *
+    * Scale: still never a doc pair — detection is the same 16-byte-hash
+    * groupBy, just over ~length(text) windows per doc instead of
+    * length/stride, i.e. a winLen× increase in bytes hashed (md5 input
+    * is winLen chars per position) and a stride× increase in shuffled
+    * hashes. That linear constant is the honest price of full recall;
+    * the sub-linear alternative (winnowed fingerprints, q_winnow_fp)
+    * buys back the shuffle volume but detects only spans of length
+    * ≥ winLen + w - 1 and does not localize the cut. The tail beyond
+    * the last full segment is kept verbatim, as in [[substringTrim]].
+    */
+  def substringTrimExact(docs: DataFrame, winLen: Int = 40,
+                         text: String = "text", id: String = "doc_id"): DataFrame = {
+    val wins1 = charWindows(docs, winLen, stride = 1, text, id)
+    val dup = sharedWindowHashes(wins1)
+    // flagged stride-1 positions → the disjoint segment indexes their
+    // [i, i+winLen) span overlaps (0-based; DIV on 1-based positions)
+    val cut = wins1.join(dup, Seq("h"))
+      .select(col("doc_id"), explode(expr(
+        s"sequence((i - 1) DIV $winLen, (i + ${winLen - 2}) DIV $winLen)"))
+        .as("_s"))
+      .distinct()
+      .withColumn("_cut", lit(1))
+    val winsD = charWindows(docs, winLen, stride = winLen, text, id)
+      .withColumn("_s", expr(s"(i - 1) DIV $winLen"))
+    val body = winsD.join(cut, Seq("doc_id", "_s"), "left")
+      .where(col("_cut").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_windows"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("i"), col("seg")))), x => x.getField("seg")), "")
+          .as("body"))
+    assembleTrimmed(docs, body, winLen, text, id)
+  }
+
+  /** Shared reassembly of [[substringTrim]]/[[substringTrimExact]]:
+    * kept segments + the verbatim sub-window tail, with window/drop
+    * counts. `body` is (doc_id, kept_windows, body).
+    */
+  private def assembleTrimmed(docs: DataFrame, body: DataFrame, winLen: Int,
+                              text: String, id: String): DataFrame = {
     val tq = s"`$text`"
     val nWin = when(length(col(text)) >= winLen,
       expr(s"CAST(length($tq) DIV $winLen AS BIGINT)")).otherwise(0L)

@@ -403,4 +403,64 @@ class DedupSpec extends SparkSpec {
     val j = Dedup.ngramJaccard(d, pairs).head().getDouble(2)
     assert(j === r.getDouble(2))
   }
+
+  /** Deterministic aperiodic char soup (seeded PRNG) — aperiodic so a
+    * copied span can only hash-match at its true alignment, never via
+    * periodicity. (A polynomial-mod-26 generator is NOT enough: its
+    * constant second difference makes it periodic with period 13.)
+    */
+  private def soup(seed: Int, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  }
+
+  test("ExactSubstr recall vs stride: stride-aligned windows recall " +
+    "1/stride on offset-shifted copies; stride-1 recalls all") {
+    import spark.implicits._
+    // 20 planted pairs: pair k shares a 120-char aperiodic span placed
+    // at position 41 in doc 2k and position 41+k in doc 2k+1 (shift k).
+    // Window starts are ≡ 1 (mod stride) in BOTH docs, so a shared span
+    // hash-matches iff its two placements agree mod stride: at
+    // stride 20 only k = 0 — measured recall 1/20 = 0.05 — while
+    // stride-1 detection catches every shift (recall 1.0). This is the
+    // quantified bound behind substringTrimExact.
+    val docs = (0 until 20).flatMap { k =>
+      val span = soup(500 + k, 120)
+      Seq(
+        (2L * k, soup(1000 + k, 40) + span + soup(2000 + k, 37)),
+        (2L * k + 1, soup(3000 + k, 40 + k) + span + soup(4000 + k, 23)))
+    }.toDF("doc_id", "text")
+    def detected(stride: Int): Set[Long] =
+      Dedup.duplicateWindows(docs, winLen = 40, stride = stride)
+        .where(col("dup_windows") > 0)
+        .collect().map(_.getLong(0)).toSet
+    val s20 = detected(20)
+    assert(s20 == Set(0L, 1L),
+      s"stride 20 must see exactly the aligned pair (k=0), got $s20")
+    assert(s20.size / 2.0 / 20.0 == 0.05) // the measured recall bound
+    val s1 = detected(1)
+    assert(s1 == (0L until 40L).toSet, "stride 1 must recall every pair")
+  }
+
+  test("substringTrimExact cuts shifted copies substringTrim misses") {
+    import spark.implicits._
+    val span = soup(7, 120)
+    // copy shifted by 7 — not a multiple of the 40-char segment length
+    val docs = Seq(
+      (1L, soup(11, 40) + span + soup(12, 40)),
+      (2L, soup(13, 47) + span + soup(14, 33))).toDF("doc_id", "text")
+    // stride-aligned trim sees nothing (shift 7 ≢ 0 mod 40)
+    val aligned = Dedup.substringTrim(docs, winLen = 40)
+      .select(sum("dropped_windows")).head().getLong(0)
+    assert(aligned == 0, s"stride-aligned trim should miss the shift, cut $aligned")
+    // exact trim cuts every segment the span touches, in both docs
+    val exact = Dedup.substringTrimExact(docs, winLen = 40)
+      .orderBy("doc_id").collect()
+    assert(exact.forall(_.getLong(2) > 0), "both docs must lose segments")
+    // doc 1 (len 200 = 5 segments, no tail): span covers chars
+    // [41,160] → segments 1..3 cut, segments 0 and 4 reassembled
+    val d1 = exact(0)
+    assert(d1.getLong(1) == 5 && d1.getLong(2) == 3)
+    assert(d1.getString(3) == soup(11, 40) + soup(12, 40))
+  }
 }
