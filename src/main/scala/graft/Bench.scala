@@ -1079,6 +1079,48 @@ object Bench {
       System.err.println(s"[bench] d16 failed: ${e.getMessage}")
     }
 
+    // d17: fuzzy-decontamination trend (q_decontam_fuzzy's operator)
+    // with the two growth axes ISOLATED. Train raw-replicates 10x
+    // against the FIXED eval set: every copy re-hits the same benchmark
+    // docs, so probe-join output and verified pairs grow ∝ the probe
+    // side — the bigger-crawl case. Eval raw-replicates 10x against
+    // FIXED train: band fan-out — each contaminated train doc now
+    // collides with 10 eval copies, growing candidates and the
+    // Jaccard-verify join on the eval axis. RAW (unsuffixed) copies on
+    // purpose here: decorrelating the copies would erase the very
+    // contamination signal the operator exists to find, and neither
+    // axis self-joins (train bands only ever probe eval bands), so raw
+    // replication cannot go quadratic.
+    try {
+      val train1x = docs1x.where(col("doc_id") % 10 =!= 0)
+      val eval1x = docs1x.where(col("doc_id") % 10 === 0)
+      def raw10Of(df: DataFrame): DataFrame = df
+        .crossJoin(spark.range(10).select(col("id").as("_k")))
+        .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
+        .drop("_k")
+      def decontam(tr: DataFrame, ev: DataFrame): DataFrame =
+        Dedup.incrementalNearDups(tr, ev, threshold = 0.3, numPerms = 8,
+          rowsPerBand = 2, shingleN = 3, maxBucket = 1000000)
+      measure("d17_decontam_train10x", ctlTimes)(exec(decontam(train1x, eval1x)))
+      measure("d17_decontam_train10x", times)(exec(decontam(raw10Of(train1x), eval1x)))
+      measure("d17_decontam_eval10x", times)(exec(decontam(train1x, raw10Of(eval1x))))
+      ctlTimes.get("d17_decontam_train10x").foreach(v =>
+        ctlTimes("d17_decontam_eval10x") = v)
+      def dcDiag(tag: String, tr: DataFrame, ev: DataFrame): Unit = try {
+        val r = decontam(tr, ev).agg(count(lit(1)).as("pairs"),
+          countDistinct(col("batch_id")).as("contaminated")).head()
+        scaleDiag(s"d17_${tag}_pairs") = r.getLong(0)
+        scaleDiag(s"d17_${tag}_contaminated") = r.getLong(1)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d17 diag $tag failed: ${e.getMessage}")
+      }
+      dcDiag("1x", train1x, eval1x)
+      dcDiag("10x_train", raw10Of(train1x), eval1x)
+      dcDiag("10x_eval", train1x, raw10Of(eval1x))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d17 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

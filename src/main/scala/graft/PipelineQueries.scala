@@ -407,7 +407,8 @@ object PipelineQueries {
         GROUP BY 1, 2),
       j AS (
         SELECT c.train_id, c.eval_id,
-          coalesce(i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i, 0)) AS jaccard
+          round(coalesce(i, 0)::DOUBLE
+            / (sa.sz + sb.sz - coalesce(i, 0)), 6) AS jaccard
         FROM cand c
         LEFT JOIN inter USING (train_id, eval_id)
         JOIN sz sa ON sa.doc_id = c.train_id
