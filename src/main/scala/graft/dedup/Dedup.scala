@@ -833,10 +833,36 @@ object Dedup {
                           text: String, id: String): DataFrame = {
     require(winLen >= 1 && stride >= 1, s"winLen/stride must be >= 1")
     val tq = s"`$text`"
-    docs.where(length(col(text)) >= winLen)
-      .select(col(id).as("doc_id"), explode(expr(
-        s"transform(sequence(1, length($tq)-${winLen - 1}, $stride), " +
-          s"i -> struct(i AS i, substring($tq, i, $winLen) AS seg))")).as("w"))
+    // The transform materializes one in-memory array of numPos
+    // (winLen + i + struct overhead)-byte structs PER ROW before explode
+    // streams it — a winLen/stride x blow-up over the text itself, which
+    // at stride 1 turns a 16 MB document into a gigabyte-class
+    // intermediate. Dense strides therefore take a TWO-LEVEL expansion
+    // (outer explode over fixed-size position chunks bounds every
+    // intermediate at `chunk` structs); sparse strides (winLen/stride
+    // ≤ 4: the array is at most ~4x the text, the shape the measured-
+    // fast disjoint/stride-20 paths always had) keep the single
+    // transform — identical window positions either way.
+    val windows =
+      if (stride * 4 >= winLen)
+        docs.where(length(col(text)) >= winLen)
+          .select(col(id).as("doc_id"), explode(expr(
+            s"transform(sequence(1, length($tq)-${winLen - 1}, $stride), " +
+              s"i -> struct(i AS i, substring($tq, i, $winLen) AS seg))")).as("w"))
+      else {
+        val chunk = 4096
+        val numPos = s"((length($tq) - $winLen) DIV $stride + 1)"
+        docs.where(length(col(text)) >= winLen)
+          .select(col(id).as("doc_id"), col(text),
+            explode(expr(s"sequence(0, CAST(($numPos - 1) DIV $chunk AS INT))"))
+              .as("_c"))
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, CAST(least($chunk - 1, $numPos - 1 - _c * $chunk) AS INT)), " +
+              s"j -> struct(CAST(1 + (_c * $chunk + j) * $stride AS INT) AS i, " +
+              s"substring($tq, 1 + (_c * $chunk + j) * $stride, $winLen) AS seg))"))
+            .as("w"))
+      }
+    windows
       .select(col("doc_id"), col("w.i").as("i"), col("w.seg").as("seg"))
       .withColumn("h", md5(col("seg")))
   }

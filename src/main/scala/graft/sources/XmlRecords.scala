@@ -161,16 +161,47 @@ object XmlRecords {
     * lost end tag (which would otherwise silently swallow input to EOF)
     * into a loud failure.
     */
+  /** A pattern's longest proper border (prefix that is also a suffix).
+    * Two occurrences of a pattern can overlap iff it has a nonempty
+    * border, so a borderless begin pattern has unambiguous,
+    * non-overlapping occurrence starts — the property range ownership
+    * needs (each task claims occurrences starting in its range; an
+    * overlapping pair straddling a boundary would be claimed by BOTH
+    * sides' scans).
+    */
+  private def longestBorder(p: Array[Byte]): Int = {
+    if (p.isEmpty) return 0
+    val f = new Array[Int](p.length)
+    var k = 0
+    for (i <- 1 until p.length) {
+      while (k > 0 && p(k) != p(i)) k = f(k - 1)
+      if (p(k) == p(i)) k += 1
+      f(i) = k
+    }
+    f(p.length - 1)
+  }
+
   def readSplittable(spark: SparkSession, path: String,
                      begin: String, end: String,
                      splitBytes: Long = 16L * 1024 * 1024,
                      maxRecordBytes: Int = 64 * 1024 * 1024): DataFrame = {
     import spark.implicits._
     require(splitBytes >= 1, s"splitBytes must be >= 1, got $splitBytes")
+    require(begin.nonEmpty && end.nonEmpty,
+      "begin and end patterns must be non-empty")
+    val beginBytes = begin.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(longestBorder(beginBytes) == 0,
+      s"begin pattern '$begin' overlaps itself (a proper prefix equals a " +
+        "suffix), so occurrences can straddle a range boundary ambiguously " +
+        "and two tasks would claim overlapping records — use a borderless " +
+        "begin pattern (an XML tag like <rec> always is)")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val files = fs.globStatus(root).toSeq.flatMap { st =>
+    val statuses = Option(fs.globStatus(root)).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"readSplittable: input path does not exist: $path"))
+    val files = statuses.toSeq.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq.filter { f =>
           val n = f.getPath.getName

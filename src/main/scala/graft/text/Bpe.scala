@@ -46,18 +46,35 @@ object Bpe {
     words.withColumn("syms",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
 
-  /** GPT-2-style byte-level pre-tokens with frequencies: split on single
-    * spaces, and every word after the first CARRIES ITS LEADING SPACE
-    * (" world"), so concatenating a document's pre-tokens reproduces its
-    * text byte-for-byte (runs of spaces become bare " " pre-tokens) and
-    * learned merges can contain the space byte — the space-prefixed
-    * vocabulary (" the") word-level BPE cannot express.
+  /** The space-carrying pre-token stream, ONE definition for training
+    * and encode (a divergence here is exactly the train/encode
+    * vocabulary mismatch q_bpe_bytes_encode's oracle exists to catch):
+    * split on single spaces, every word after the first CARRIES ITS
+    * LEADING SPACE (" world"), empties dropped — so concatenating a
+    * document's pre-tokens reproduces its text byte-for-byte (runs of
+    * spaces become bare " " pre-tokens). `keep` columns (e.g. the doc
+    * id) ride along; output column is `word`.
+    */
+  private def byteTokens(docs: DataFrame, text: String,
+                         keep: Seq[Column]): DataFrame =
+    docs.select(keep :+ posexplode(split(col(text), " ")): _*)
+      .select(keep :+ when(col("pos") === 0, col("col"))
+        .otherwise(concat(lit(" "), col("col"))).as("word"): _*)
+      .where(length(col("word")) > 0)
+
+  /** The 2-hex-digit byte-symbol split of hex column `_h` — shared by
+    * [[byteSymbols]] and [[byteEncodeCounts]].
+    */
+  private val hexSymsSql =
+    "transform(sequence(1, length(_h) DIV 2), i -> substring(_h, 2*i - 1, 2))"
+
+  /** GPT-2-style byte-level pre-tokens with frequencies — see
+    * [[byteTokens]] for the (lossless) pre-token rule; learned merges
+    * can contain the space byte, the space-prefixed vocabulary (" the")
+    * word-level BPE cannot express.
     */
   def byteWordCounts(docs: DataFrame, text: String = "text"): DataFrame =
-    docs.select(posexplode(split(col(text), " ")))
-      .select(when(col("pos") === 0, col("col"))
-        .otherwise(concat(lit(" "), col("col"))).as("word"))
-      .where(length(col("word")) > 0)
+    byteTokens(docs, text, Nil)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Byte-split start state: each UTF-8 byte of the pre-token as a
@@ -70,8 +87,7 @@ object Bpe {
   def byteSymbols(words: DataFrame): DataFrame =
     words
       .withColumn("_h", hex(encode(col("word"), "UTF-8")))
-      .withColumn("syms", expr(
-        "transform(sequence(1, length(_h) DIV 2), i -> substring(_h, 2*i - 1, 2))"))
+      .withColumn("syms", expr(hexSymsSql))
       .drop("_h")
 
   /** Adjacent-pair frequencies of the current symbol table:
@@ -228,15 +244,11 @@ object Bpe {
     */
   def byteEncodeCounts(docs: DataFrame, merges: Seq[Merge],
                        text: String = "text", id: String = "doc_id"): DataFrame = {
-    val occ = docs.select(col(id), posexplode(split(col(text), " ")))
-      .select(col(id), when(col("pos") === 0, col("col"))
-        .otherwise(concat(lit(" "), col("col"))).as("_w"))
-      .where(length(col("_w")) > 0)
+    val occ = byteTokens(docs, text, Seq(col(id)))
+      .withColumnRenamed("word", "_w")
     val vocab = occ.select("_w").distinct()
       .withColumn("_h", hex(encode(col("_w"), "UTF-8")))
-    val bytes = expr(
-      "transform(sequence(1, length(_h) DIV 2), i -> substring(_h, 2*i - 1, 2))")
-    val enc = encodedVocab(vocab, bytes, merges)
+    val enc = encodedVocab(vocab, expr(hexSymsSql), merges)
       .select(col("_w"), col("_n"), expr("length(_h) DIV 2").cast("long").as("_len"))
     occ.join(broadcast(enc), "_w")
       .groupBy(col(id))

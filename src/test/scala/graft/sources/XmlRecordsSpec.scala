@@ -64,6 +64,33 @@ class XmlRecordsSpec extends SparkSpec {
     }
   }
 
+  test("readSplittable fails fast on bad inputs: self-overlapping begin, " +
+    "empty patterns, missing path") {
+    val dir = Files.createTempDirectory("xmlval")
+    Files.writeString(dir.resolve("a.xml"), "<doc>x</doc>")
+    val path = dir.toString + "/*.xml"
+    // "aa" has a border (prefix "a" == suffix "a"): occurrences can
+    // overlap, so range ownership would be ambiguous — rejected on the
+    // driver with the reason, not silently duplicated across tasks
+    val e1 = intercept[IllegalArgumentException] {
+      XmlRecords.readSplittable(spark, path, "aa", "zz")
+    }
+    assert(e1.getMessage.contains("overlaps itself"))
+    intercept[IllegalArgumentException] {
+      XmlRecords.readSplittable(spark, path, "", "</doc>")
+    }
+    intercept[IllegalArgumentException] {
+      XmlRecords.readSplittable(spark, path, "<doc>", "")
+    }
+    // nonexistent non-glob path: a named error, not a bare NPE
+    val e2 = intercept[java.io.FileNotFoundException] {
+      XmlRecords.readSplittable(spark, dir.toString + "/nope-dir", "<doc>", "</doc>")
+    }
+    assert(e2.getMessage.contains("nope-dir"))
+    // real XML tags are borderless: accepted
+    assert(XmlRecords.readSplittable(spark, path, "<doc>", "</doc>").count() == 1)
+  }
+
   test("readSplittable: a lost end tag fails loudly, not silently") {
     val dir = Files.createTempDirectory("xmlbad")
     Files.writeString(dir.resolve("bad.xml"),
