@@ -48,12 +48,29 @@ class PlanShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_bpe_bytes_encode joins occurrences to the encoded vocabulary " +
+    "via broadcast — the fold must run per distinct word, not per row") {
+    val p = plan("q_bpe_bytes_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "the encoded-vocab join must broadcast, not shuffle the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_substring_trim_exact stays a hash aggregate over window " +
+    "hashes — no doc-pair join, no cartesian") {
+    val p = plan("q_substring_trim_exact")
+    assert(p.contains("HashAggregate"),
+      "the cross-doc cut decision must be an aggregate over hashes")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no curation-layer operator plans a cartesian product over row data") {
     // 1-row scalar cross joins (BroadcastNestedLoopJoin over a single
     // aggregate row) are the repo's documented broadcast-scalar idiom;
     // CartesianProduct over two row-data relations is the anti-pattern.
     for (name <- Seq("q_dsir_weights", "q_alpha_mix", "q_expectations",
       "q_source_kl", "q_novelty_curve", "q_substring_trim",
+      "q_substring_trim_exact", "q_bpe_bytes_encode", "q_xml_records_split",
       "q_weighted_sample", "q_minhash_containment", "q_vocab_coverage"))
       assert(!plan(name).contains("CartesianProduct"),
         s"$name must not plan a cartesian product")
