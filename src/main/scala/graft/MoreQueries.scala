@@ -384,6 +384,62 @@ object MoreQueries {
       FROM dw JOIN s6 ON dw.word = s6.word
       GROUP BY 1 ORDER BY 1"""))),
 
+    // Tokenizer fertility by language — the tokenizer-fairness metric
+    // (how many bytes one BPE token covers, per detected language): a
+    // byte-trained vocabulary compresses its dominant language best, and
+    // this per-language bytes/token table is the standard evidence.
+    // Composes the langId gate with byte-level BPE encode; the oracle
+    // composes the two queries' independent routes (stopword-argmax CTE
+    // + the s6 symbol-table join) and reduces to a 5-row group-by —
+    // metadata-sized output from two corpus passes + vocab-sized
+    // training, whatever the corpus size.
+    "q_tokenizer_fertility" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.trainByteMerges(docs, steps = 6)
+      val counts = graft.text.Bpe.byteEncodeCounts(docs, merges)
+      val langs = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))
+      counts.join(langs, "doc_id")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("docs"),
+          sum("bytes").as("bytes"),
+          sum("bpe_tokens").as("bpe_tokens"))
+        .withColumn("bytes_per_token",
+          round(col("bytes").cast("double") / col("bpe_tokens"), 6))
+        .orderBy("lang_pred")
+    }, Some {
+      val langs = graft.text.TextAnalysis.stopwords.keys.toSeq.sorted
+      def hits(l: String) = {
+        val words = graft.text.TextAnalysis.stopwords(l)
+          .map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
+      }
+      val scores = langs.map(l => s"${hits(l)} AS s_$l").mkString(", ")
+      val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+      val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'")
+        .mkString(" ")
+      bpeBytesCtes(6) + s""",
+      dw AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, $byteTokensSql AS word
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents))
+        WHERE len(word) > 0),
+      pc AS (
+        SELECT doc_id,
+          sum(octet_length(encode(dw.word)))::BIGINT AS bytes,
+          sum(len(s6.syms))::BIGINT AS bpe_tokens
+        FROM dw JOIN s6 ON dw.word = s6.word GROUP BY 1),
+      sc AS (SELECT doc_id, $scores FROM documents),
+      b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $best AS best FROM sc),
+      lp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b)
+      SELECT lang_pred, count(*)::BIGINT AS docs,
+        sum(bytes)::BIGINT AS bytes, sum(bpe_tokens)::BIGINT AS bpe_tokens,
+        round(sum(bytes)::DOUBLE / sum(bpe_tokens), 6) AS bytes_per_token
+      FROM pc JOIN lp USING (doc_id)
+      GROUP BY 1 ORDER BY 1"""
+    })),
+
     // BPE ENCODE under the learned merges: per-doc word/char/BPE-token
     // counts — the number a token-budgeted batcher consumes. The Spark
     // side applies the merge list as nested scan-stage folds per word;
