@@ -1036,7 +1036,152 @@ object PipelineQueries {
         sum(oov)::BIGINT AS oov_tokens,
         round(sum(oov)::DOUBLE / count(*), 6) AS oov_frac
       FROM flag GROUP BY 1 ORDER BY 1"""))),
+
+    // Per-doc unigram Shannon entropy — the repetitiveness signal
+    // orthogonal to the Gopher n-gram fractions: a doc cycling a tiny
+    // vocabulary scores low even when no single n-gram dominates.
+    // Oracle replays the exact H = log2(n) − (Σ c·log2 c)/n form with
+    // the same per-term round-9 / final round-6 discipline. Scale: two
+    // map-side-combined aggregates, no join — see
+    // TextAnalysis.unigramEntropy.
+    "q_doc_entropy" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.unigramEntropy(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }, Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      c AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        count(*)::BIGINT AS n_distinct,
+        round(log2(sum(c)) - sum(round(c * log2(c), 9)) / sum(c), 6) AS entropy
+      FROM c GROUP BY 1 ORDER BY 1"""))),
+
+    // Sequence-length bucketing + padding-waste audit: docs land in the
+    // smallest power-of-two rung ≥ token count (overflow clamps to the
+    // top rung), per rung the report gives docs/real tokens/pad tokens
+    // and the fraction of fixed-shape batch compute burned on pad.
+    // All-integer until the one final ratio. Scale: scan-side when-chain
+    // + a |ladder|-row aggregate — see TextAnalysis.lengthBuckets.
+    "q_length_buckets" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.lengthBuckets(t(s, dir, "documents"))
+        .orderBy("bucket")
+    }, Some("""WITH tok AS (
+        SELECT doc_id, len(list_filter(string_split(text, ' '),
+          x -> len(x) > 0))::BIGINT AS n
+        FROM documents),
+      b AS (
+        SELECT doc_id, n,
+          (CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                WHEN n <= 256 THEN 256 ELSE 512 END)::BIGINT AS bucket
+        FROM tok)
+      SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+        sum(bucket - least(n, bucket))::BIGINT AS pad_tokens,
+        round(sum(bucket - least(n, bucket))::DOUBLE
+          / (count(*) * bucket), 6) AS pad_frac
+      FROM b GROUP BY 1 ORDER BY 1"""))),
+
+    // FastText-style hashed-feature Naive Bayes language classifier
+    // (Joulin et al. 2016 + the Weinberger hashing trick): md5 token
+    // buckets → closed-form multinomial NB weights → per-doc argmax.
+    // The oracle replays priors, smoothed bucket weights, the
+    // unseen-bucket default, and the round-6-before-argmax window
+    // verbatim. Scale: the model is ≤ nBuckets·|classes| rows BY
+    // CONSTRUCTION (broadcast); the corpus never shuffles on a
+    // vocabulary key — see text/Classifier.nbPredict.
+    "q_nb_lang" -> (((s: SparkSession, dir: String) => {
+      graft.text.Classifier.nbPredict(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }, Some(nbOracle + " SELECT doc_id, lang, pred, score FROM win WHERE rn = 1 ORDER BY doc_id"))),
+
+    // Confusion matrix of the NB classifier against the true labels —
+    // the evaluation row a labeling pass ships with (compare with
+    // q_lang_confusion, the stopword heuristic's matrix: the learned
+    // model also covers zh, which has no stopword list).
+    "q_nb_confusion" -> (((s: SparkSession, dir: String) => {
+      graft.text.Classifier.nbPredict(t(s, dir, "documents"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }, Some(nbOracle +
+      """ SELECT lang, pred, count(*)::BIGINT AS n FROM win
+      WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // Confidence-margin gate over the NB predictions — the
+    // self-training / auto-labeling filter (keep a machine label only
+    // when best − runner-up ≥ τ nats). Margin is a difference of two
+    // round-6 scores that are themselves exact-integer-derived, so it
+    // is bit-stable on any engine. Same plan as q_nb_lang plus one
+    // lead over the already-present ranking window — no extra shuffle.
+    "q_nb_margin" -> (((s: SparkSession, dir: String) => {
+      graft.text.Classifier.nbMargin(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }, Some(nbOracle +
+      """ SELECT doc_id, lang, pred, score, round(score - nxt, 6) AS margin,
+        (round(score - nxt, 6) >= 2.0) AS confident
+      FROM win WHERE rn = 1 ORDER BY doc_id"""))),
+
+    // Reliability curve: accuracy per integer margin bin (top bin
+    // collects the saturated tail) — the artifact that decides where
+    // the q_nb_margin threshold sits. Metadata-sized output.
+    "q_nb_calibration" -> (((s: SparkSession, dir: String) => {
+      graft.text.Classifier.nbCalibration(t(s, dir, "documents"))
+        .orderBy("margin_bin")
+    }, Some(nbOracle +
+      """ SELECT least(floor(round(score - nxt, 6)), 20.0)::BIGINT AS margin_bin,
+        count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+        round(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE
+          / count(*), 6) AS accuracy
+      FROM win WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))),
   )
+
+  /** Shared DuckDB CTE chain replaying [[graft.text.Classifier
+    * .nbPredict]] on the documents table (nBuckets = 64, label =
+    * lang): tokenize+hash, class priors/totals, smoothed bucket
+    * weights, unseen-bucket default, per-doc per-class scores, and the
+    * score-desc/pred-asc argmax window. Callers append their final
+    * SELECT over the `win` CTE.
+    */
+  private def nbOracle: String =
+    """WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      bkt AS (
+        SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b
+        FROM tok WHERE len(w) > 0),
+      nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+      cls AS (SELECT lang AS label, count(*)::BIGINT AS ndl
+              FROM documents GROUP BY 1),
+      ct AS (
+        SELECT c.label,
+          round(ln(c.ndl::DOUBLE / nd.nd) * 1e9)::BIGINT AS logprior, t.totl
+        FROM cls c
+        JOIN (SELECT lang AS label, count(*)::BIGINT AS totl
+              FROM bkt GROUP BY 1) t USING (label), nd),
+      wt AS (
+        SELECT cw.b, cw.label,
+          round(ln((cw.c + 1.0) / (ct.totl + 64.0)) * 1e9)::BIGINT AS w
+        FROM (SELECT b, lang AS label, count(*)::BIGINT AS c
+              FROM bkt GROUP BY 1, 2) cw
+        JOIN ct USING (label)),
+      w0 AS (SELECT label, logprior,
+               round(ln(1.0 / (totl + 64.0)) * 1e9)::BIGINT AS w0 FROM ct),
+      pd AS (SELECT doc_id, lang, b, count(*)::BIGINT AS n
+             FROM bkt GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT pd.doc_id, pd.lang, w0.label AS pred,
+          round((w0.logprior + sum(pd.n * coalesce(wt.w, w0.w0)))::DOUBLE
+            / 1e9, 6) AS score
+        FROM pd CROSS JOIN w0
+        LEFT JOIN wt ON wt.b = pd.b AND wt.label = w0.label
+        GROUP BY 1, 2, 3, w0.logprior),
+      win AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, pred) AS rn,
+          lead(score) OVER (
+            PARTITION BY doc_id ORDER BY score DESC, pred) AS nxt
+        FROM sc)"""
 
   private def tmpDir(name: String, sfDir: String): String =
     ExtraQueries.tmp(name, sfDir)

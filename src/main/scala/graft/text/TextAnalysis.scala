@@ -533,6 +533,65 @@ object TextAnalysis {
           .as("dup_ngram_char_frac"))
   }
 
+  /** Per-document unigram Shannon entropy (bits) over the doc's OWN
+    * token distribution — the repetitiveness signal orthogonal to
+    * [[repetitionRatio]]: a doc that cycles a small vocabulary scores
+    * low entropy even when no single n-gram dominates. Computed in the
+    * `H = log2(n) − (Σ c·log2 c)/n` form so everything before the final
+    * subtraction is exact integers plus one per-term double rounded at
+    * 9 (hapax terms contribute exactly 0); the result rounds at 6.
+    * Plan shape: one (doc, term) partial-agg shuffle then a per-doc
+    * aggregate — no vocabulary table, no join at all, so the operator
+    * is two map-side-combined passes regardless of corpus size. Docs
+    * with zero tokens yield no row (the [[unigramLogProb]] contract).
+    */
+  def unigramEntropy(docs: org.apache.spark.sql.DataFrame,
+                     text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    docs.select(col(id), explode(toks(col(text))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c") * log2(col("c")), 9)).as("_clc"))
+      .select(col(id), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens")) - col("_clc") / col("n_tokens"), 6)
+          .as("entropy"))
+  }
+
+  /** Sequence-length bucketing with padding-waste accounting — the
+    * fixed-shape-batch packing audit every training pipeline runs:
+    * each doc lands in the smallest `ladder` rung ≥ its token count
+    * (docs beyond the top rung clamp to it — their surplus is the
+    * chunker's job, see [[chunk]]), and per rung the report gives doc
+    * count, real tokens, padding tokens (`rung − min(len, rung)` summed)
+    * and `pad_frac` = padding / (n_docs·rung) — the fraction of batch
+    * compute a fixed-shape trainer would burn on pad. All-integer until
+    * the single final ratio (round 6), so the result is bit-stable on
+    * any engine. Plan shape: the bucket decision is a scan-side
+    * when-chain; the only shuffle is the |ladder|-row aggregate —
+    * embarrassingly scalable.
+    */
+  def lengthBuckets(docs: org.apache.spark.sql.DataFrame,
+                    ladder: Seq[Int] = Seq(16, 32, 64, 128, 256, 512),
+                    text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.sorted && ladder.head >= 1,
+      "ladder must be ascending positive rungs")
+    val bucket = ladder.init.foldRight(lit(ladder.last.toLong): Column) {
+      case (b, acc) => when(col("_n") <= b, lit(b.toLong)).otherwise(acc)
+    }
+    docs.select(size(toks(col(text))).cast("long").as("_n"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n")).as("n_tokens"),
+        sum(col("bucket") - least(col("_n"), col("bucket"))).as("pad_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("pad_tokens"),
+        round(col("pad_tokens").cast("double") /
+          (col("n_docs") * col("bucket")), 6).as("pad_frac"))
+  }
+
   /** Repetition ratio (Gopher-style): fraction of word n-gram occurrences
     * taken by the single most frequent n-gram — boilerplate/spam detector.
     * Computed distributively (explode + per-(doc, gram) partial counts,

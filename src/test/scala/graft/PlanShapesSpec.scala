@@ -64,6 +64,14 @@ class PlanShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_nb_lang joins the hashed NB model via broadcast — the corpus " +
+    "never shuffles on a vocabulary key") {
+    val p = plan("q_nb_lang")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded (bucket,class) weight table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no curation-layer operator plans a cartesian product over row data") {
     // 1-row scalar cross joins (BroadcastNestedLoopJoin over a single
     // aggregate row) are the repo's documented broadcast-scalar idiom;
@@ -71,7 +79,9 @@ class PlanShapesSpec extends SparkSpec {
     for (name <- Seq("q_dsir_weights", "q_alpha_mix", "q_expectations",
       "q_source_kl", "q_novelty_curve", "q_substring_trim",
       "q_substring_trim_exact", "q_bpe_bytes_encode", "q_xml_records_split",
-      "q_weighted_sample", "q_minhash_containment", "q_vocab_coverage"))
+      "q_weighted_sample", "q_minhash_containment", "q_vocab_coverage",
+      "q_doc_entropy", "q_length_buckets", "q_nb_lang", "q_nb_confusion",
+      "q_nb_margin", "q_nb_calibration"))
       assert(!plan(name).contains("CartesianProduct"),
         s"$name must not plan a cartesian product")
   }

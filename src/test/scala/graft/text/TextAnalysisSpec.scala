@@ -53,6 +53,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrub("a@b.co at 8.8.8.8 tel 5551234567") == "<EMAIL> at <IP> tel <PHONE>")
   }
 
+  test("unigramEntropy: 0 for constant docs, log2(n) for all-distinct, " +
+    "1 bit for a 50/50 split; empty docs yield no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"), (4L, "  "),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramEntropy(docs).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Double]("entropy") == 0.0)
+    assert(out(0).getAs[Long]("n_tokens") == 4L)
+    assert(out(0).getAs[Long]("n_distinct") == 1L)
+    assert(out(1).getAs[Double]("entropy") == 2.0)
+    assert(out(2).getAs[Double]("entropy") == 1.0)
+  }
+
+  test("lengthBuckets: smallest rung >= len, overflow clamps to top rung, " +
+    "pad accounting is exact") {
+    import spark.implicits._
+    // len 3 → rung 16 (pad 13); len 17 → rung 32 (pad 15);
+    // len 16 → rung 16 (pad 0); 600 tokens → clamp 512, pad 0
+    val docs = Seq(
+      (1L, Seq.fill(3)("w").mkString(" ")),
+      (2L, Seq.fill(17)("w").mkString(" ")),
+      (3L, Seq.fill(16)("w").mkString(" ")),
+      (4L, Seq.fill(600)("w").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBuckets(docs).orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("pad_tokens"),
+        r.getAs[Double]("pad_frac")))
+    assert(out.toSeq == Seq(
+      (16L, 2L, 19L, 13L, math.rint(13.0 / 32 * 1e6) / 1e6),
+      (32L, 1L, 17L, 15L, math.rint(15.0 / 32 * 1e6) / 1e6),
+      (512L, 1L, 600L, 0L, 0.0)))
+  }
+
   test("tfidf ranks rare terms above common ones; topK truncates by score then term") {
     import spark.implicits._
     val df = Seq(
