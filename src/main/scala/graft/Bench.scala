@@ -1121,6 +1121,23 @@ object Bench {
       System.err.println(s"[bench] d17 failed: ${e.getMessage}")
     }
 
+    // d18: hashed NB classifier trend (q_nb_lang's operator) under
+    // DECORRELATED 10x growth (ampDocs token suffixing): the raw
+    // vocabulary grows 10x but the hashed feature space stays 64
+    // buckets BY CONSTRUCTION — the trend certifies the hashing-trick
+    // bound: training aggregates and the broadcast model are
+    // scale-invariant, so wall tracks token count (linear), never the
+    // vocabulary. Compare d14 (BPE), where vocabulary growth IS the
+    // cost driver — this operator is the designed escape from that.
+    try {
+      measure("d18_nb_classifier", ctlTimes)(exec(
+        graft.text.Classifier.nbPredict(docs1x)))
+      measure("d18_nb_classifier", times)(exec(
+        graft.text.Classifier.nbPredict(docs10x)))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d18 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each
