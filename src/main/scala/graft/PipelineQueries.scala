@@ -1134,6 +1134,47 @@ object PipelineQueries {
         round(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE
           / count(*), 6) AS accuracy
       FROM win WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))),
+
+    // Hard-negative mining (DPR/SimCSE recipe): for each anchor vector
+    // (every 50th), the 5 most cosine-similar vectors with a DIFFERENT
+    // label, from one LSH-bucket equi-join with the label-inequality
+    // predicate riding the join. The oracle replays the identical
+    // md5-seeded hyperplanes on both sides — same plane family as
+    // q_ann_batch (table 0, seeds "h<b>|<j>").
+    "q_hard_negatives" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("label"), col("embedding"))
+      graft.sim.Similarity.hardNegatives(emb, anchors, k = 5, dim = 64, nBits = 4)
+        .orderBy("query_id", "vec_id")
+    }, Some {
+      val planes = (0 until 4).map { b =>
+        (0 until 64).map { j =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(graft.sim.Similarity.planeSeed(0, b, j).getBytes("UTF-8"))
+          if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
+        }.mkString("[", ", ", "]")
+      }
+      val bucket = planes.map(p =>
+        s"CASE WHEN list_dot_product(embedding::DOUBLE[], $p) >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH idx AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e, $bucket AS bucket
+        FROM embeddings),
+      a AS (SELECT vec_id AS query_id, label AS alabel, e, bucket
+            FROM idx WHERE vec_id % 25 = 0),
+      cand AS (
+        SELECT a.query_id, i.vec_id, i.label AS neg_label,
+          round(list_dot_product(i.e, a.e)
+            / (sqrt(list_dot_product(i.e, i.e)) * sqrt(list_dot_product(a.e, a.e))), 6) AS cosine_sim
+        FROM idx i JOIN a ON i.bucket = a.bucket
+        WHERE i.label <> a.alabel)
+      SELECT query_id, vec_id, neg_label, cosine_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn <= 5 ORDER BY query_id, vec_id"""
+    })),
   )
 
   /** Shared DuckDB CTE chain replaying [[graft.text.Classifier

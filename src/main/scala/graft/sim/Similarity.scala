@@ -222,6 +222,37 @@ object Similarity {
       .select(col(qid), col(id), col("cosine_sim"))
   }
 
+  /** Hard-negative mining for contrastive training (the in-corpus
+    * retrieval step of DPR/SimCSE-style recipes): for each anchor, the
+    * k most cosine-similar vectors whose label DIFFERS from the
+    * anchor's — the pairs a bi-encoder most needs to separate. Same
+    * physical shape as [[annTopKBatch]] — one LSH-bucket equi-join +
+    * per-anchor ranking window — with the label-inequality predicate
+    * riding the join, so the anchor itself (same label by definition)
+    * never surfaces and no post-hoc filtering rescans candidates. At
+    * warehouse scale `vectors` is written bucketed by the LSH bucket
+    * column and anchors co-locate; anchor cardinality scales freely
+    * because there is no driver-side collect anywhere in the plan.
+    */
+  def hardNegatives(vectors: DataFrame, anchors: DataFrame, k: Int, dim: Int,
+                    nBits: Int = 8, qid: String = "query_id",
+                    id: String = "vec_id", label: String = "label",
+                    emb: String = "embedding"): DataFrame = {
+    val idx = vectors.select(lshBucket(col(emb), dim, nBits).as("bucket"),
+      col(id), col(label), col(emb))
+    val q = anchors.select(col(qid), col(label).as("_alabel"),
+      lshBucket(col(emb), dim, nBits).as("bucket"),
+      col(emb).cast("array<double>").as("_q"))
+    val cand = q.join(idx, "bucket")
+      .where(col(label) =!= col("_alabel"))
+      .select(col(qid), col(id), col(label).as("neg_label"),
+        round(cosine(col(emb), col("_q")), 6).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid)).orderBy(col("cosine_sim").desc, col(id))
+    cand.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .select(col(qid), col(id), col("neg_label"), col("cosine_sim"))
+  }
+
   /** IVF (inverted-file) index: vectors assigned to their nearest
     * centroid by cosine; queries probe only the `nprobe` nearest
     * centroids' cells. Centroids here are caller-provided (id, vector)

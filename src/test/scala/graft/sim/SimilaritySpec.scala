@@ -246,6 +246,32 @@ class SimilaritySpec extends SparkSpec {
     assert(quant.contains(0L)) // self survives quantization at rank ~1
   }
 
+  test("hardNegatives: cross-label only, k bound, scores match brute force") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val anchors = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label"), col("embedding"))
+    val negs = Similarity.hardNegatives(emb, anchors, k = 5, dim = 64, nBits = 4)
+      .collect()
+    assert(negs.nonEmpty)
+    val anchorRows = anchors.collect()
+    val anchorLabel = anchorRows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val anchorVec = anchorRows
+      .map(r => r.getLong(0) -> r.getSeq[Float](2).map(_.toDouble)).toMap
+    negs.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length <= 5)
+      // the defining constraint: no negative shares the anchor's label —
+      // which also means the anchor itself can never be its own result
+      rows.foreach(r => assert(r.getInt(2) != anchorLabel(qid)))
+      val sims = rows.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+      // scores are true cosines: each matches brute force for that id
+      val bf = Similarity.topKCosine(emb, anchorVec(qid), 500).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.foreach(r =>
+        assert(math.abs(bf(r.getLong(1)) - r.getDouble(3)) < 1e-9))
+    }
+  }
+
   test("rrfFuse matches the hand-computed two-list formula") {
     import spark.implicits._
     val lex = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
