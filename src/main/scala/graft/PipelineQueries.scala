@@ -1175,6 +1175,28 @@ object PipelineQueries {
         FROM cand)
       WHERE rn <= 5 ORDER BY query_id, vec_id"""
     })),
+
+    // Cross-source near-dup leakage matrix: MinHash/LSH candidate pairs
+    // rolled up into unordered source×source counts — the pre-mixing
+    // audit of how much of each source already circulates in the others
+    // (diagonal = within-source duplication). Metadata-sized output; the
+    // oracle replays the shared MinHash CTE chain and the same
+    // least/greatest pair normalization.
+    "q_cross_source_dups" -> (((s: SparkSession, dir: String) => {
+      Dedup.crossSourceDupMatrix(t(s, dir, "documents"))
+        .orderBy("source_a", "source_b")
+    }, Some(s"""WITH $minhashCtes,
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id)
+      SELECT least(da.source, db.source) AS source_a,
+        greatest(da.source, db.source) AS source_b,
+        count(*)::BIGINT AS n_pairs
+      FROM cand
+      JOIN documents da ON cand.doc_a = da.doc_id
+      JOIN documents db ON cand.doc_b = db.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))),
   )
 
   /** Shared DuckDB CTE chain replaying [[graft.text.Classifier

@@ -238,6 +238,33 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Cross-source near-duplicate leakage matrix: [[minhashCandidates]]
+    * pairs rolled up into unordered source×source counts — the audit a
+    * multi-source corpus runs before mixing (how much of source B
+    * already circulates in source A, and how much of each source is
+    * internally duplicated on the diagonal). The output is at most
+    * |sources|² rows — metadata-sized — while all heavy lifting stays
+    * in the banded candidate join, which never materializes all pairs
+    * (same `maxBucket` degenerate-bucket guard as every LSH path).
+    * The two source-attachment joins shuffle on doc id, proportional
+    * to the CANDIDATE count, not the corpus pair count.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, numPerms: Int = 8,
+                           rowsPerBand: Int = 2, shingleN: Int = 3,
+                           maxBucket: Int = 1000000,
+                           source: String = "source",
+                           id: String = "doc_id"): DataFrame = {
+    val pairs = minhashCandidates(docs, numPerms, rowsPerBand, shingleN,
+      maxBucket, id = id)
+    val src = docs.select(col(id), col(source))
+    pairs
+      .join(src.select(col(id).as("doc_a"), col(source).as("_sa")), "doc_a")
+      .join(src.select(col(id).as("doc_b"), col(source).as("_sb")), "doc_b")
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (doc_a, doc_b): |A ∩ B| / |A ∪ B| over distinct shingle sets.
     * Computed distributively: explode both sides' shingles, count

@@ -78,6 +78,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("crossSourceDupMatrix counts planted leakage under unordered source pairs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val intra = (200 to 260).map(i => s"u$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    // leak: srcB's doc 2 near-duplicates srcA's doc 1; srcB also has an
+    // internal exact pair (4, 5); doc 3 is unrelated noise in srcA
+    val df = Seq(
+      (1L, base, "srcA"), (2L, nearDup, "srcB"), (3L, other, "srcA"),
+      (4L, intra, "srcB"), (5L, intra, "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("srcA", "srcB") -> 1L, ("srcB", "srcB") -> 1L))
+  }
+
   test("dedupCorpus keeps one canonical doc per near-dup cluster") {
     // three near-identical docs (one cluster) + one unrelated
     val base = (1 to 60).map(i => s"w$i")
