@@ -1197,7 +1197,65 @@ object PipelineQueries {
       JOIN documents da ON cand.doc_a = da.doc_id
       JOIN documents db ON cand.doc_b = db.doc_id
       GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // Zipf-law fit per language: OLS of ln(count) on ln(rank) over the
+    // frequency-ranked vocabulary (slope ≈ −1 for natural text; flat =
+    // synthetic/templated, cliff = boilerplate). Logs quantized to 1e-9
+    // integers and moments summed in exact decimal/HUGEINT so both
+    // engines reduce identical integers; doubles only in the final
+    // ratios with identical association.
+    "q_zipf_fit" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.zipfFit(t(s, dir, "documents")).orderBy("lang")
+    }, Some(s"""WITH $termCountCtes,
+      q AS (SELECT lang, round(ln(r::DOUBLE) * 1e9)::HUGEINT AS x,
+              round(ln(c::DOUBLE) * 1e9)::HUGEINT AS y FROM rk),
+      a AS (SELECT lang, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+            FROM q GROUP BY 1 HAVING count(*) > 1)
+      SELECT lang, n::BIGINT AS n_terms,
+        round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) AS slope,
+        round((sy::DOUBLE
+            - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE) * sx::DOUBLE)
+          / n::DOUBLE / 1e9, 6) AS intercept,
+        CASE WHEN n*syy - sy*sy = 0 THEN 0.0
+          ELSE round(((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE)
+            / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) END AS r2
+      FROM a ORDER BY lang"""))),
+
+    // Gini coefficient of token usage per language — the
+    // inequality/diversity audit (0 = uniform, →1 = few tokens
+    // dominate). Closed form over ascending-ranked counts keeps every
+    // term an exact integer until the final ratio.
+    "q_token_gini" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.tokenGini(t(s, dir, "documents")).orderBy("lang")
+    }, Some(s"""WITH $termCountCtes,
+      g AS (SELECT lang, c,
+              row_number() OVER (PARTITION BY lang ORDER BY c ASC, term) AS i
+            FROM cnt),
+      a AS (SELECT lang, count(*)::HUGEINT AS n, sum(c::HUGEINT) AS s,
+              sum(i::HUGEINT * c::HUGEINT) AS sic
+            FROM g GROUP BY 1)
+      SELECT lang, n::BIGINT AS n_terms,
+        round((2*sic - (n+1)*s)::DOUBLE / (n*s)::DOUBLE, 6) AS gini
+      FROM a ORDER BY lang"""))),
   )
+
+  /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the
+    * per-language term count table with its descending frequency rank —
+    * the base both corpus-statistics oracles (Zipf, Gini) build on,
+    * replaying [[graft.text.TextAnalysis]]'s tokenizer verbatim.
+    * Emits CTEs `cnt` (lang, term, c) and `rk` (cnt + rank `r`).
+    */
+  private def termCountCtes: String =
+    """tokz AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      cnt AS (SELECT lang, term, count(*)::BIGINT AS c
+              FROM tokz GROUP BY 1, 2),
+      rk AS (SELECT lang, term, c,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) AS r
+             FROM cnt)"""
 
   /** Shared DuckDB CTE chain replaying [[graft.text.Classifier
     * .nbPredict]] on the documents table (nBuckets = 64, label =

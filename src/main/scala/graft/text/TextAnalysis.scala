@@ -608,4 +608,89 @@ object TextAnalysis {
         round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
           .as("rep_ratio"))
   }
+
+  /** Per-label token frequency table with both rank directions — the
+    * shared base of [[zipfFit]] and [[tokenGini]]: one explode + one
+    * (label, term) count, then vocabulary-keyed ranking windows.
+    * Everything downstream of the count is vocabulary-sized, so the
+    * corpus is scanned once and never re-shuffled.
+    */
+  private def termRanks(docs: org.apache.spark.sql.DataFrame,
+                        label: String, text: String)
+      : org.apache.spark.sql.DataFrame = {
+    val cnt = docs
+      .select(col(label), explode(toks(col(text))).as("term"))
+      .groupBy(col(label), col("term")).agg(count(lit(1)).as("c"))
+    val desc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(label)).orderBy(col("c").desc, col("term"))
+    val asc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(label)).orderBy(col("c").asc, col("term"))
+    cnt.withColumn("r", row_number().over(desc))
+      .withColumn("i", row_number().over(asc))
+  }
+
+  /** Zipf-law fit per label: OLS of ln(count) on ln(rank) over the
+    * frequency-ranked vocabulary — slope ≈ −1 is the natural-language
+    * signature; a flat slope flags synthetic/templated data, a cliff
+    * flags boilerplate domination. Corpus-health audit row, one per
+    * label, alongside the entropy/fertility family.
+    *
+    * Determinism: logs are quantized to 1e-9 integers (the repo's
+    * round(ln·1e9) discipline) and ALL moment sums run in exact
+    * decimal(38,0) — a long would overflow Σx·y once the vocabulary
+    * passes ~1e8 terms — so both engines reduce identical integers in
+    * any order; doubles appear only in the final ratio, written with
+    * identical association and rounded at 6. Labels with a single
+    * distinct term are dropped (the fit is undefined: zero rank
+    * variance). Scale: the OLS runs entirely on the vocabulary-keyed
+    * count table; the output is one row per label.
+    */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, label: String = "lang",
+              text: String = "text"): org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = termRanks(docs, label, text).select(col(label),
+      round(log(col("r").cast("double")) * lit(1e9), 0).cast(dec).as("x"),
+      round(log(col("c").cast("double")) * lit(1e9), 0).cast(dec).as("y"))
+    val a = q.groupBy(col(label)).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .where(col("n") > 1)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val dny = col("n") * col("syy") - col("sy") * col("sy")
+    a.select(col(label), col("n").cast("long").as("n_terms"),
+      round(num.cast("double") / den.cast("double"), 6).as("slope"),
+      round((col("sy").cast("double")
+          - (num.cast("double") / den.cast("double")) * col("sx").cast("double"))
+        / col("n").cast("double") / lit(1e9), 6).as("intercept"),
+      when(dny === lit(0), lit(0.0)).otherwise(
+        round((num.cast("double") * num.cast("double"))
+          / (den.cast("double") * dny.cast("double")), 6)).as("r2"))
+  }
+
+  /** Gini coefficient of the token-frequency distribution per label —
+    * the inequality/diversity audit (0 = uniform usage, →1 = a few
+    * tokens dominate). Uses the closed form over ascending-sorted
+    * counts, G = (2·Σi·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ), so everything is an
+    * exact integer until the final ratio (decimal(38,0) sums — rank ×
+    * count products pass a long near 1e9-term vocabularies). Same
+    * vocabulary-sized shape as [[zipfFit]]; one row per label.
+    */
+  def tokenGini(docs: org.apache.spark.sql.DataFrame, label: String = "lang",
+                text: String = "text"): org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = termRanks(docs, label, text)
+      .select(col(label), col("i").cast(dec).as("i"), col("c").cast(dec).as("c"))
+      .groupBy(col(label)).agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("i") * col("c")).as("sic"))
+    a.select(col(label), col("n").cast("long").as("n_terms"),
+      round((lit(2).cast(dec) * col("sic")
+          - (col("n") + lit(1).cast(dec)) * col("s")).cast("double")
+        / (col("n") * col("s")).cast("double"), 6).as("gini"))
+  }
 }

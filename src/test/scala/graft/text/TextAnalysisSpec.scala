@@ -299,4 +299,31 @@ class TextAnalysisSpec extends SparkSpec {
       .where(!col("eq")).count()
     assert(n == 0)
   }
+
+  test("zipfFit recovers slope -1, r2 1 on an exact power law") {
+    import spark.implicits._
+    // term i appears exactly 60/i times for i = 1..6, so
+    // ln(c) = ln(60) - ln(rank) exactly: slope -1, intercept ln(60)
+    val text = (1 to 6).flatMap(i => Seq.fill(60 / i)(s"t$i")).mkString(" ")
+    val df = Seq((1L, text, "xx")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.zipfFit(df).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 6L)
+    assert(math.abs(r.head.getDouble(2) - (-1.0)) < 1e-3)
+    assert(math.abs(r.head.getDouble(3) - math.log(60.0)) < 1e-3)
+    assert(r.head.getDouble(4) > 0.999)
+  }
+
+  test("tokenGini: uniform counts give 0; hand-computed skew gives 0.5") {
+    import spark.implicits._
+    val uniform = Seq.fill(2)(Seq("a", "b", "c", "d")).flatten.mkString(" ")
+    // ascending counts (1,1,1,9): G = (2*42 - 5*12) / (4*12) = 0.5
+    val skew = (Seq("w", "x", "y") ++ Seq.fill(9)("z")).mkString(" ")
+    val df = Seq((1L, uniform, "uni"), (2L, skew, "skw"))
+      .toDF("doc_id", "text", "lang")
+    val g = TextAnalysis.tokenGini(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g("uni") == ((4L, 0.0)))
+    assert(g("skw") == ((4L, 0.5)))
+  }
 }
