@@ -1238,6 +1238,34 @@ object PipelineQueries {
       SELECT lang, n::BIGINT AS n_terms,
         round((2*sic - (n+1)*s)::DOUBLE / (n*s)::DOUBLE, 6) AS gini
       FROM a ORDER BY lang"""))),
+
+    // Exact interpolated length quantiles per language (percentile_cont
+    // definition) through the distributed GlobalRank total order — the
+    // length-distribution audit read before fixing packing block sizes.
+    // The oracle replays position arithmetic and interpolation verbatim
+    // over a per-language row_number (values at a sorted position are
+    // tie-permutation invariant, so the two rankings agree).
+    "q_length_quantiles" -> (((s: SparkSession, dir: String) => {
+      graft.ops.GlobalRank.interpolatedQuantiles(
+        t(s, dir, "documents"), Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+        group = "lang", value = "n_chars", id = "doc_id")
+        .orderBy("lang", "p")
+    }, Some("""WITH ranked AS (
+        SELECT lang, n_chars::DOUBLE AS v,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS idx
+        FROM documents),
+      np AS (SELECT lang, max(idx) AS n FROM ranked GROUP BY 1),
+      ps AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p),
+      tgt AS (SELECT lang, p, p * (n - 1)::DOUBLE AS pos,
+          floor(p * (n - 1)::DOUBLE)::BIGINT + 1 AS lo,
+          ceil(p * (n - 1)::DOUBLE)::BIGINT + 1 AS hi
+        FROM np CROSS JOIN ps)
+      SELECT t.lang, t.p,
+        round(rl.v + (t.pos - floor(t.pos)) * (rh.v - rl.v), 6) AS quantile
+      FROM tgt t
+      JOIN ranked rl ON rl.lang = t.lang AND rl.idx = t.lo
+      JOIN ranked rh ON rh.lang = t.lang AND rh.idx = t.hi
+      ORDER BY t.lang, t.p"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

@@ -149,4 +149,52 @@ object GlobalRank {
       }
     Checkpoints.Truncated(result.drop("_pid"), tracked.release)
   }
+
+  /** Exact linearly-interpolated quantiles (the percentile_cont /
+    * NumPy-default definition: value at fractional position p·(n−1) of
+    * the sorted-ascending list) per group — the length-distribution
+    * audit a packing/chunking stage reads before fixing block sizes.
+    *
+    * The sort runs through [[withGlobalRank]] on (group, value, id), so
+    * no group ever collapses into one task the way a
+    * `row_number() OVER (PARTITION BY group)` window would when one
+    * group is most of the corpus; per-group positions are the global
+    * rank minus the group's broadcast rank base. The (group, p) target
+    * table is groups×|ps| rows — tiny — and each quantile touches
+    * exactly the two bracketing ranked rows via an equi-join.
+    *
+    * Determinism: values at a sorted position are unique regardless of
+    * how ties ordered (equal values), `pos = p·(n−1)` and the
+    * interpolation `v_lo + (pos−floor(pos))·(v_hi−v_lo)` are written
+    * with identical association in the DuckDB oracles, and the result
+    * rounds at 6.
+    */
+  def interpolatedQuantiles(df: DataFrame, ps: Seq[Double],
+                            group: String, value: String, id: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = withGlobalRank(
+      df.select(col(group), col(value).cast("double").as("_v"), col(id)),
+      Seq(col(group), col("_v"), col(id)), "_grank")
+    val base = ranked.groupBy(col(group))
+      .agg(min(col("_grank")).as("_base"), count(lit(1)).as("_n"))
+    val idxd = ranked.join(broadcast(base), group)
+      .select(col(group), col("_v"), (col("_grank") - col("_base") + 1).as("_idx"))
+    val tgt = base.crossJoin(broadcast(ps.toDF("p")))
+      .select(col(group), col("p"),
+        (col("p") * (col("_n") - lit(1)).cast("double")).as("pos"))
+      .select(col(group), col("p"), col("pos"),
+        (floor(col("pos")).cast("long") + 1).as("_lo"),
+        (ceil(col("pos")).cast("long") + 1).as("_hi"))
+    tgt
+      .join(idxd.select(col(group), col("_idx").as("_lo"), col("_v").as("_vlo")),
+        Seq(group, "_lo"))
+      .join(idxd.select(col(group), col("_idx").as("_hi"), col("_v").as("_vhi")),
+        Seq(group, "_hi"))
+      .select(col(group), col("p"),
+        round(col("_vlo") + (col("pos") - floor(col("pos")))
+          * (col("_vhi") - col("_vlo")), 6).as("quantile"))
+  }
 }

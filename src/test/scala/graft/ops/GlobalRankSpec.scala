@@ -82,4 +82,29 @@ class GlobalRankSpec extends SparkSpec {
     val m2 = r2.select("doc_id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m1 == m2)
   }
+
+  test("interpolatedQuantiles matches hand math and the built-in percentile") {
+    import spark.implicits._
+    // group a: sorted (1,2,3,4,5) → p .5 = 3, p .25 = 2; group b: (10,20)
+    // → p .75 = 10 + .75*10 = 17.5
+    val df = (Seq((1, "a"), (4, "a"), (2, "a"), (5, "a"), (3, "a"),
+      (20, "b"), (10, "b"))).zipWithIndex
+      .map { case ((v, g), i) => (i.toLong, g, v) }
+      .toDF("doc_id", "grp", "v")
+    val got = GlobalRank.interpolatedQuantiles(df, Seq(0.25, 0.5, 0.75),
+        group = "grp", value = "v", id = "doc_id")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", 0.5)) == 3.0 && got(("a", 0.25)) == 2.0)
+    assert(got(("b", 0.75)) == 17.5)
+    // cross-check vs Spark's exact percentile (same interpolation family)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val mine = GlobalRank.interpolatedQuantiles(docs, Seq(0.1, 0.5, 0.9),
+        group = "lang", value = "n_chars", id = "doc_id")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val builtin = docs.groupBy("lang")
+      .agg(percentile(col("n_chars"), lit(Array(0.1, 0.5, 0.9))).as("q"))
+      .collect().flatMap(r => Seq(0.1, 0.5, 0.9).zip(r.getSeq[Double](1))
+        .map { case (p, v) => (r.getString(0), p) -> v }).toMap
+    mine.foreach { case (k, v) => assert(math.abs(v - builtin(k)) < 1e-6, k) }
+  }
 }
