@@ -72,6 +72,24 @@ class PlanShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_hard_negatives ranks candidates from the bucket equi-join — " +
+    "never a label-pair cartesian") {
+    val p = plan("q_hard_negatives")
+    assert(!p.contains("CartesianProduct"),
+      "anchor×corpus must stay a bucket equi-join")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-anchor top-k must prune map-side before the shuffle")
+  }
+
+  test("q_length_quantiles never plans a single-partition window") {
+    // the whole point of routing through GlobalRank: exact quantiles
+    // without `row_number() OVER (ORDER BY ...)`'s one-task sort, and
+    // without a per-group window that serializes a dominant group
+    val p = plan("q_length_quantiles")
+    assert(!p.contains("SinglePartition"),
+      "quantile ranking must stay range-partitioned")
+  }
+
   test("no curation-layer operator plans a cartesian product over row data") {
     // 1-row scalar cross joins (BroadcastNestedLoopJoin over a single
     // aggregate row) are the repo's documented broadcast-scalar idiom;
@@ -81,7 +99,9 @@ class PlanShapesSpec extends SparkSpec {
       "q_substring_trim_exact", "q_bpe_bytes_encode", "q_xml_records_split",
       "q_weighted_sample", "q_minhash_containment", "q_vocab_coverage",
       "q_doc_entropy", "q_length_buckets", "q_nb_lang", "q_nb_confusion",
-      "q_nb_margin", "q_nb_calibration"))
+      "q_nb_margin", "q_nb_calibration", "q_hard_negatives",
+      "q_cross_source_dups", "q_zipf_fit", "q_token_gini",
+      "q_length_quantiles"))
       assert(!plan(name).contains("CartesianProduct"),
         s"$name must not plan a cartesian product")
   }
