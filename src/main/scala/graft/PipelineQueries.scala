@@ -1266,6 +1266,37 @@ object PipelineQueries {
       JOIN ranked rl ON rl.lang = t.lang AND rl.idx = t.lo
       JOIN ranked rh ON rh.lang = t.lang AND rh.idx = t.hi
       ORDER BY t.lang, t.p"""))),
+
+    // Embedding-space outlier gate: assign every vector to its nearest
+    // centroid (IVF argmax, ties to the smaller cid) and flag vectors
+    // whose cosine to their OWN cell centroid is below 0.1 — the
+    // curation filter that drops mis-embedded/off-manifold samples
+    // before contrastive training. Centroids follow the q_ivf_topk
+    // convention (vec_id < 8) so the oracle replays assignment exactly.
+    "q_cell_outliers" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .toSeq
+      graft.sim.Similarity.cellOutliers(emb, centroids, threshold = 0.1)
+        .orderBy("vec_id")
+    }, Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, c.cid,
+          list_dot_product(e.v, c.cv)
+            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+        FROM e CROSS JOIN c),
+      assign AS (
+        SELECT vec_id, cid AS cell, round(s, 6) AS cell_cos FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+          FROM scored)
+        WHERE rn = 1)
+      SELECT vec_id, cell, cell_cos, (cell_cos < 0.1) AS is_outlier
+      FROM assign ORDER BY vec_id"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

@@ -375,6 +375,29 @@ object Similarity {
     }
   }
 
+  /** Embedding-space outlier gate: assign every vector to its nearest
+    * centroid (the [[buildIvfIndex]] argmax, identical tie-break) and
+    * flag vectors whose cosine to their OWN cell centroid falls below
+    * `threshold` — the curation filter that drops mis-embedded /
+    * off-manifold samples before contrastive or retrieval training
+    * (the quality-gate sibling of SemDeDup's within-cell dedup).
+    * One broadcast assignment pass + one broadcast join back to the
+    * tiny centroid table for the own-cell cosine: the corpus is
+    * scanned once and never shuffles on anything.
+    */
+  def cellOutliers(vectors: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                   threshold: Double, id: String = "vec_id",
+                   emb: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val assigned = buildIvfIndex(vectors, centroids, id, emb)
+    val centDf = broadcast(centroids.toDF("cell", "_cv"))
+    assigned.join(centDf, "cell")
+      .select(col(id), col("cell").cast("long").as("cell"),
+        round(cosine(col(emb), col("_cv")), 6).as("cell_cos"))
+      .withColumn("is_outlier", col("cell_cos") < lit(threshold))
+  }
+
   /** IVF ANN top-k: score the query against every centroid, probe the
     * best `nprobe` cells, brute-force within them.
     */

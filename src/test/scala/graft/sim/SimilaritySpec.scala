@@ -272,6 +272,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cellOutliers: on-centroid vectors pass, off-manifold ones flag") {
+    import spark.implicits._
+    val c0 = Seq(1.0, 0.0, 0.0, 0.0)
+    val c1 = Seq(0.0, 1.0, 0.0, 0.0)
+    val df = Seq(
+      (10L, Seq(2.0, 0.1, 0.0, 0.0)),  // near c0 → high cosine, kept
+      (11L, Seq(0.1, 3.0, 0.0, 0.0)),  // near c1 → high cosine, kept
+      (12L, Seq(0.0, 0.0, 5.0, 0.0))   // orthogonal to both → outlier
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cellOutliers(df, Seq(0 -> c0, 1 -> c1), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got(10L) == ((0L, false)))
+    assert(got(11L) == ((1L, false)))
+    assert(got(12L)._2, "orthogonal vector must be flagged")
+    // ties in the assignment argmax break to the smaller cid (vector 12
+    // has cosine 0 to both centroids)
+    assert(got(12L)._1 == 0L)
+  }
+
   test("rrfFuse matches the hand-computed two-list formula") {
     import spark.implicits._
     val lex = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
