@@ -1297,6 +1297,41 @@ object PipelineQueries {
         WHERE rn = 1)
       SELECT vec_id, cell, cell_cos, (cell_cos < 0.1) AS is_outlier
       FROM assign ORDER BY vec_id"""))),
+
+    // Split-leakage audit: near-dup candidate pairs rolled up by the
+    // DOC-HASH train/val/test assignment of their endpoints — the
+    // measurement of exactly the boundary-crossing leakage
+    // q_cluster_split prevents (off-diagonal mass = eval answers
+    // circulating in train). Pure reuse: crossSourceDupMatrix over the
+    // splitAssign column instead of the source column.
+    "q_split_leakage" -> (((s: SparkSession, dir: String) => {
+      val withSplit = t(s, dir, "documents").withColumn("split",
+        graft.ops.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      Dedup.crossSourceDupMatrix(withSplit, source = "split")
+        .withColumnRenamed("source_a", "split_a")
+        .withColumnRenamed("source_b", "split_b")
+        .orderBy("split_a", "split_b")
+    }, Some(s"""WITH $minhashCtes,
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      sp AS (
+        SELECT doc_id,
+          CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 AS h
+          FROM documents))
+      SELECT least(sa.split, sb.split) AS split_a,
+        greatest(sa.split, sb.split) AS split_b,
+        count(*)::BIGINT AS n_pairs
+      FROM cand
+      JOIN sp sa ON cand.doc_a = sa.doc_id
+      JOIN sp sb ON cand.doc_b = sb.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the
