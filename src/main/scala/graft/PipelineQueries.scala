@@ -1332,6 +1332,68 @@ object PipelineQueries {
       JOIN sp sa ON cand.doc_a = sa.doc_id
       JOIN sp sb ON cand.doc_b = sb.doc_id
       GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // Index-tuning audit: recall@10 + a true-top-1 hit flag for the LSH
+    // index against exact brute force, per sampled query — the artifact
+    // that decides nBits before an index ships. Exact side is one
+    // corpus pass over the broadcast (metadata-sized) query sample;
+    // the ANN side is the production bucket join. The oracle replays
+    // both rankings off the same hyperplane family.
+    "q_ann_recall" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.sim.Similarity.annRecall(emb, queries, k = 10, dim = 64, nBits = 4)
+        .orderBy("query_id")
+    }, Some {
+      val planes = (0 until 4).map { b =>
+        (0 until 64).map { j =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(graft.sim.Similarity.planeSeed(0, b, j).getBytes("UTF-8"))
+          if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
+        }.mkString("[", ", ", "]")
+      }
+      val bucket = planes.map(p =>
+        s"CASE WHEN list_dot_product(embedding::DOUBLE[], $p) >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH idx AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e, $bucket AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, e, bucket
+            FROM idx WHERE vec_id % 25 = 0),
+      acand AS (
+        SELECT q.query_id, i.vec_id,
+          round(list_dot_product(i.e, q.e)
+            / (sqrt(list_dot_product(i.e, i.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS s
+        FROM idx i JOIN q ON i.bucket = q.bucket),
+      ann AS (
+        SELECT query_id, vec_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+          FROM acand)
+        WHERE rn <= 10),
+      ecand AS (
+        SELECT q.query_id, i.vec_id,
+          round(list_dot_product(i.e, q.e)
+            / (sqrt(list_dot_product(i.e, i.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS s
+        FROM idx i CROSS JOIN q),
+      exact AS (
+        SELECT query_id, vec_id, rn AS rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+          FROM ecand)
+        WHERE rn <= 10),
+      hits AS (
+        SELECT e.query_id, count(*)::BIGINT AS n_hits,
+          max(CASE WHEN e.rank = 1 THEN 1.0 ELSE 0.0 END) AS rr
+        FROM exact e
+        JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY 1)
+      SELECT q.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        round(coalesce(h.n_hits, 0)::DOUBLE / 10, 6) AS recall_at_k,
+        coalesce(h.rr, 0.0) AS top1_hit
+      FROM q LEFT JOIN hits h USING (query_id) ORDER BY q.query_id"""
+    })),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

@@ -375,6 +375,57 @@ object Similarity {
     }
   }
 
+  /** Exact top-k for a SAMPLED query table — the ground-truth side of
+    * [[annRecall]]: broadcast the (metadata-sized) query set against
+    * the full corpus and keep k per query via the ranking window. The
+    * per-query cost is one corpus pass — this is the standard
+    * recall-eval shape (ground truth on a sampled query set), never
+    * the production retrieval path.
+    */
+  def exactTopKBatch(vectors: DataFrame, queries: DataFrame, k: Int,
+                     qid: String = "query_id", id: String = "vec_id",
+                     emb: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(qid),
+      col(emb).cast("array<double>").as("_q")))
+    val cand = vectors.select(col(id), col(emb)).crossJoin(q)
+      .select(col(qid), col(id),
+        round(cosine(col(emb), col("_q")), 6).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid)).orderBy(col("cosine_sim").desc, col(id))
+    cand.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .select(col(qid), col(id), col("_rn").as("rank"), col("cosine_sim"))
+  }
+
+  /** Index-tuning audit: recall@k and the reciprocal rank of the true
+    * nearest neighbor for the LSH index against exact brute force, per
+    * sampled query — the artifact that decides nBits/nprobe before an
+    * index ships. Both rankings use the library's round-6 cosine with
+    * the id tie-break, so the comparison is engine-replayable. Scale:
+    * the query set is a SAMPLE (metadata-sized, broadcast); the exact
+    * side is one corpus pass with a WindowGroupLimit-bounded window;
+    * the ANN side is the production bucket join.
+    */
+  def annRecall(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nBits: Int = 8, qid: String = "query_id",
+                id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val ann = annTopKBatch(buildLshIndex(vectors, dim, nBits, id, emb),
+      queries, k, dim, nBits, qid, id, emb)
+      .select(col(qid), col(id))
+    val exact = exactTopKBatch(vectors, queries, k, qid, id, emb)
+    val hits = exact.join(ann, Seq(qid, id), "left_semi")
+      .groupBy(col(qid)).agg(count(lit(1)).as("n_hits"),
+        // reciprocal rank of the TRUE top-1: 1/1 if the ANN list holds
+        // it (it can only appear at its exact rank's position or not at
+        // all — both lists share the total order), else 0
+        max(when(col("rank") === 1, lit(1.0)).otherwise(lit(0.0))).as("rr"))
+    queries.select(col(qid)).join(hits, Seq(qid), "left")
+      .select(col(qid),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k), 6)
+          .as("recall_at_k"),
+        coalesce(col("rr"), lit(0.0)).as("top1_hit"))
+  }
+
   /** Embedding-space outlier gate: assign every vector to its nearest
     * centroid (the [[buildIvfIndex]] argmax, identical tie-break) and
     * flag vectors whose cosine to their OWN cell centroid falls below

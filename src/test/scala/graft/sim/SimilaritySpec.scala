@@ -272,6 +272,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRecall: self always hits (top1_hit 1), recall bounded, " +
+    "exact side agrees with topKCosine") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val rec = Similarity.annRecall(emb, queries, k = 10, dim = 64, nBits = 4)
+      .collect()
+    assert(rec.length == queries.count())
+    rec.foreach { r =>
+      // the query vector is in its own probe bucket, so the true top-1
+      // (itself, cosine 1.0) is always retrieved
+      assert(r.getDouble(3) == 1.0, s"query ${r.getLong(0)} missed itself")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 10)
+      assert(r.getDouble(2) == r.getLong(1) / 10.0)
+    }
+    // ground truth side is the brute-force ordering
+    val q0 = queries.orderBy("query_id").head()
+    val qvec = q0.getSeq[Float](1).map(_.toDouble)
+    val exact = Similarity.exactTopKBatch(emb,
+        queries.where(col("query_id") === q0.getLong(0)), k = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val brute = Similarity.topKCosine(emb, qvec, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == brute)
+  }
+
   test("cellOutliers: on-centroid vectors pass, off-manifold ones flag") {
     import spark.implicits._
     val c0 = Seq(1.0, 0.0, 0.0, 0.0)
