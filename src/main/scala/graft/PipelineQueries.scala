@@ -1394,6 +1394,42 @@ object PipelineQueries {
         coalesce(h.rr, 0.0) AS top1_hit
       FROM q LEFT JOIN hits h USING (query_id) ORDER BY q.query_id"""
     })),
+
+    // Near-dup cluster size distribution: connected components over the
+    // LSH candidate graph (singletons = their own component) rolled up
+    // into (cluster_size, n_clusters) — the dedup report that shows
+    // whether duplication is a long tail of pairs or a few mega
+    // clusters, and sizes the survivor count before the canonical pick
+    // runs. Metadata-sized output; the oracle walks reachability with
+    // the same independent recursive CTE as q_cluster_split.
+    "q_dup_cluster_stats" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs,
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+      val comp = Dedup.dedupClusters(pairs)
+      docs.select("doc_id").join(comp, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster"), col("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }, Some(s"""WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id <> b.doc_id),
+      walk(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, wk.comp FROM walk wk JOIN edges e ON e.src = wk.node),
+      comp AS (SELECT node AS doc_id, min(comp)::BIGINT AS component
+               FROM walk GROUP BY 1),
+      allc AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id)::BIGINT AS component
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      szs AS (SELECT component, count(*)::BIGINT AS cluster_size
+              FROM allc GROUP BY 1)
+      SELECT cluster_size, count(*)::BIGINT AS n_clusters
+      FROM szs GROUP BY 1 ORDER BY 1"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

@@ -95,6 +95,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(("srcA", "srcB") -> 1L, ("srcB", "srcB") -> 1L))
   }
 
+  test("cluster size distribution: planted chain of 3 plus singletons") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nd1 = (1 to 60).map(i => if (i == 30) "X" else s"w$i").mkString(" ")
+    val nd2 = (1 to 60).map(i => if (i == 5) "Y" else s"w$i").mkString(" ")
+    val solo1 = (100 to 160).map(i => s"v$i").mkString(" ")
+    val solo2 = (300 to 360).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nd1), (3L, nd2), (4L, solo1), (5L, solo2))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, numPerms = 8, rowsPerBand = 2)
+    val comp = Dedup.dedupClusters(pairs)
+    val dist = df.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id")).as("component"))
+      .groupBy("component").count()
+      .groupBy("count").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == Map(3L -> 1L, 1L -> 2L))
+  }
+
   test("dedupCorpus keeps one canonical doc per near-dup cluster") {
     // three near-identical docs (one cluster) + one unrelated
     val base = (1 to 60).map(i => s"w$i")
