@@ -1430,6 +1430,39 @@ object PipelineQueries {
               FROM allc GROUP BY 1)
       SELECT cluster_size, count(*)::BIGINT AS n_clusters
       FROM szs GROUP BY 1 ORDER BY 1"""))),
+
+    // Source profiling: top-5 most distinctive terms per source by the
+    // Dirichlet-prior log-odds z-score (Monroe et al. 2008), flat
+    // prior 1/2 — corpus-common words cancel, so the list answers
+    // "what is peculiar to this source". z is a pure per-row scalar
+    // over integer-plus-half values (no cross-row double sums); the
+    // ranking cuts on the rounded z with a term tie-break.
+    "q_source_logodds" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.sourceLogOdds(t(s, dir, "documents"), topK = 5)
+        .orderBy("source", "rank")
+    }, Some("""WITH tokz AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      csw AS (SELECT source, term, count(*)::BIGINT AS csw
+              FROM tokz GROUP BY 1, 2),
+      cw AS (SELECT term, sum(csw)::BIGINT AS cw FROM csw GROUP BY 1),
+      ns AS (SELECT source, sum(csw)::BIGINT AS ns FROM csw GROUP BY 1),
+      tot AS (SELECT sum(cw)::BIGINT AS n, count(*)::BIGINT AS v FROM cw),
+      sc AS (
+        SELECT csw.source, csw.term,
+          round((ln((csw::DOUBLE + 0.5)
+                / (ns::DOUBLE + v::DOUBLE / 2.0 - csw::DOUBLE - 0.5))
+             - ln(((cw - csw)::DOUBLE + 0.5)
+                / ((n - ns)::DOUBLE + v::DOUBLE / 2.0 - (cw - csw)::DOUBLE - 0.5)))
+            / sqrt(1.0 / (csw::DOUBLE + 0.5)
+                 + 1.0 / ((cw - csw)::DOUBLE + 0.5)), 6) AS z_score
+        FROM csw JOIN cw USING (term) JOIN ns USING (source), tot)
+      SELECT source, term, z_score, rn AS rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY z_score DESC, term) AS rn
+        FROM sc)
+      WHERE rn <= 5 ORDER BY source, rank"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

@@ -609,6 +609,50 @@ object TextAnalysis {
           .as("rep_ratio"))
   }
 
+  /** Source-profiling audit: the topK most DISTINCTIVE terms per source
+    * by the Dirichlet-prior log-odds z-score of Monroe et al. 2008
+    * ("Fightin' Words"), flat prior α=1/2 — what a raw frequency top-k
+    * cannot answer because corpus-common words dominate every source.
+    * δ = ln[(c_sw+α)/(n_s+α₀−c_sw−α)] − ln[(c_rw+α)/(n_r+α₀−c_rw−α)]
+    * (r = rest of corpus, α₀ = V/2), z = δ/√(1/(c_sw+α)+1/(c_rw+α)).
+    *
+    * Scale: one tokenize pass → (source, term) counts; term totals are
+    * a vocabulary-keyed rollup of those counts (shuffles vocabulary,
+    * never broadcast — the tfidf df discipline); source totals and the
+    * (N, V) scalars broadcast. z is a pure per-row scalar over exact
+    * integer-plus-half values — no cross-row double summation — so it
+    * is engine-replayable with one round at 6; ranking cuts on the
+    * rounded z with a term tie-break via the WindowGroupLimit-bounded
+    * per-source window.
+    */
+  def sourceLogOdds(docs: org.apache.spark.sql.DataFrame, topK: Int = 5,
+                    source: String = "source", text: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val csw = docs.select(col(source), explode(toks(col(text))).as("term"))
+      .groupBy(col(source), col("term")).agg(count(lit(1)).as("csw"))
+    val cw = csw.groupBy("term").agg(sum("csw").as("cw"))
+    val ns = csw.groupBy(source).agg(sum("csw").as("ns"))
+    val tot = cw.agg(sum("cw").as("n"), count(lit(1)).as("v"))
+    val j = csw.join(cw, "term").join(broadcast(ns), source)
+      .crossJoin(broadcast(tot))
+    val a0 = col("v").cast("double") / lit(2.0)
+    val sW = col("csw").cast("double")
+    val rW = (col("cw") - col("csw")).cast("double")
+    val nS = col("ns").cast("double")
+    val nR = (col("n") - col("ns")).cast("double")
+    val delta =
+      log((sW + lit(0.5)) / (nS + a0 - sW - lit(0.5))) -
+      log((rW + lit(0.5)) / (nR + a0 - rW - lit(0.5)))
+    val z = round(delta / sqrt(lit(1.0) / (sW + lit(0.5))
+      + lit(1.0) / (rW + lit(0.5))), 6)
+    val scored = j.select(col(source), col("term"), z.as("z_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(source)).orderBy(col("z_score").desc, col("term"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= topK)
+      .select(col(source), col("term"), col("z_score"),
+        col("_rn").cast("long").as("rank"))
+  }
+
   /** Per-label token frequency table with both rank directions — the
     * shared base of [[zipfFit]] and [[tokenGini]]: one explode + one
     * (label, term) count, then vocabulary-keyed ranking windows.

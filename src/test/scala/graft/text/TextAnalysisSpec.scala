@@ -300,6 +300,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("sourceLogOdds: exclusive terms outrank shared ones, z sign tracks side") {
+    import spark.implicits._
+    val shared = Seq.fill(20)("the common words here").mkString(" ")
+    val df = Seq(
+      (1L, shared + " alpha alpha alpha alpha", "srcA"),
+      (2L, shared + " beta beta beta beta", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val top = TextAnalysis.sourceLogOdds(df, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    // each source's most distinctive term is its exclusive word, z > 0
+    assert(top(("srcA", 1L))._1 == "alpha" && top(("srcA", 1L))._2 > 0)
+    assert(top(("srcB", 1L))._1 == "beta" && top(("srcB", 1L))._2 > 0)
+    // the other side's exclusive word never enters a source's top list
+    assert(!top.exists { case ((s, _), (t, _)) => s == "srcA" && t == "beta" })
+    // shared words carry strictly smaller z than the exclusive word
+    assert(top(("srcA", 2L))._2 < top(("srcA", 1L))._2)
+  }
+
   test("zipfFit recovers slope -1, r2 1 on an exact power law") {
     import spark.implicits._
     // term i appears exactly 60/i times for i = 1..6, so
