@@ -101,8 +101,25 @@ class PlanShapesSpec extends SparkSpec {
       "q_doc_entropy", "q_length_buckets", "q_nb_lang", "q_nb_confusion",
       "q_nb_margin", "q_nb_calibration", "q_hard_negatives",
       "q_cross_source_dups", "q_zipf_fit", "q_token_gini",
-      "q_length_quantiles"))
+      "q_length_quantiles", "q_ann_recall", "q_dup_cluster_stats",
+      "q_source_logodds", "q_split_leakage", "q_cell_outliers"))
       assert(!plan(name).contains("CartesianProduct"),
         s"$name must not plan a cartesian product")
+  }
+
+  test("q_source_logodds bounds the per-source top-k map-side and " +
+    "broadcasts only the source totals") {
+    val p = plan("q_source_logodds")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must prune before the window shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ann_recall's exact side is a broadcast of the query sample, " +
+    "not a row-data cartesian") {
+    val p = plan("q_ann_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the sampled query set must broadcast against the corpus scan")
+    assert(!p.contains("CartesianProduct"))
   }
 }

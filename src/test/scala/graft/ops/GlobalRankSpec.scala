@@ -107,4 +107,22 @@ class GlobalRankSpec extends SparkSpec {
         .map { case (p, v) => (r.getString(0), p) -> v }).toMap
     mine.foreach { case (k, v) => assert(math.abs(v - builtin(k)) < 1e-6, k) }
   }
+
+  test("interpolatedQuantiles: p=0 is min, p=1 is max, monotone in p") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val qs = GlobalRank.interpolatedQuantiles(docs,
+        Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        group = "lang", value = "n_chars", id = "doc_id")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val ext = docs.groupBy("lang")
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1).toDouble, r.getLong(2).toDouble)))
+      .toMap
+    ext.foreach { case (lang, (mn, mx)) =>
+      assert(qs((lang, 0.0)) == mn && qs((lang, 1.0)) == mx)
+      val series = Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0).map(p => qs((lang, p)))
+      assert(series == series.sorted, s"$lang quantiles not monotone")
+    }
+  }
 }
