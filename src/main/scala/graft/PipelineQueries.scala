@@ -1463,6 +1463,94 @@ object PipelineQueries {
           PARTITION BY source ORDER BY z_score DESC, term) AS rn
         FROM sc)
       WHERE rn <= 5 ORDER BY source, rank"""))),
+
+    // LSH banding precision audit — the MinHash twin of q_ann_recall:
+    // what fraction of candidate pairs survive exact Jaccard
+    // verification at τ=0.5. The tuning artifact for
+    // numPerms/rowsPerBand before a dedup config ships; one summary
+    // row, all pair work inside the existing banded candidate +
+    // verification pipeline. The τ compare uses the ROUNDED jaccard on
+    // both engines.
+    "q_lsh_precision" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs,
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+      Dedup.ngramJaccard(docs, pairs)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard") >= 0.5, lit(1L)).otherwise(lit(0L)))
+            .as("n_verified"))
+        .select(col("n_candidates"), col("n_verified"),
+          round(col("n_verified").cast("double")
+            / col("n_candidates").cast("double"), 6).as("precision"))
+    }, Some(s"""WITH $minhashCtes,
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shd GROUP BY 1),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS inter
+        FROM pairs p
+        JOIN shd a ON a.doc_id = p.doc_a
+        JOIN shd b ON b.doc_id = p.doc_b AND a.sh = b.sh
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT p.doc_a, p.doc_b,
+          round(coalesce(i.inter, 0)::DOUBLE
+            / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b)
+      SELECT count(*)::BIGINT AS n_candidates,
+        sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_verified,
+        round(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE, 6) AS precision
+      FROM jac"""))),
+
+    // Pearson chi-square independence test of language vs source over
+    // the full contingency table (zero-observed cells included — they
+    // still contribute E) — the "is the language mix uniform across
+    // sources" expectation a mixing stage checks. Per-cell terms
+    // quantize to integer nano-units before the sum (the repo's
+    // partition-order-proof discipline); the table itself is
+    // |langs|×|sources| rows, metadata-sized, built from broadcast
+    // marginals.
+    "q_lang_source_chi2" -> (((s: SparkSession, dir: String) => {
+      val o = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val r = o.groupBy("lang").agg(sum("o").as("r"))
+      val c = o.groupBy("source").agg(sum("o").as("c"))
+      val n = o.agg(sum("o").as("n"))
+      val cells = r.crossJoin(broadcast(c))
+        .join(o, Seq("lang", "source"), "left")
+        .crossJoin(broadcast(n))
+        .withColumn("e", col("r").cast("double") * col("c").cast("double")
+          / col("n").cast("double"))
+        .withColumn("oo", coalesce(col("o"), lit(0L)).cast("double"))
+        .withColumn("t", round((col("oo") - col("e")) * (col("oo") - col("e"))
+          / col("e") * lit(1e9), 0).cast("long"))
+      cells.agg(count(lit(1)).as("n_cells"),
+        ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"),
+        round(sum(col("t")).cast("double") / lit(1e9), 6).as("chi2"))
+    }, Some("""WITH o AS (
+        SELECT lang, source, count(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, sum(o)::BIGINT AS r FROM o GROUP BY 1),
+      c AS (SELECT source, sum(o)::BIGINT AS c FROM o GROUP BY 1),
+      n AS (SELECT sum(o)::BIGINT AS n FROM o),
+      cells AS (
+        SELECT r.lang, c.source, coalesce(o.o, 0)::DOUBLE AS oo,
+          r.r::DOUBLE * c.c::DOUBLE / n.n::DOUBLE AS e
+        FROM r CROSS JOIN c
+        LEFT JOIN o USING (lang, source), n),
+      tt AS (SELECT lang, source,
+               round((oo - e) * (oo - e) / e * 1e9)::BIGINT AS t
+             FROM cells)
+      SELECT count(*)::BIGINT AS n_cells,
+        (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+        round(sum(t)::DOUBLE / 1e9, 6) AS chi2
+      FROM tt"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

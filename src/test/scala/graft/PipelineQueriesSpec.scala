@@ -300,4 +300,61 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(rows(rule)._1 === 0L, s"$rule should have zero violations")
     rows.values.foreach { case (v, pass) => assert(pass === (v == 0L)) }
   }
+
+  test("q_lsh_precision: verified count bounded and ratio consistent; " +
+    "a planted high-jaccard corpus reads precision 1") {
+    val r = run("q_lsh_precision").head()
+    val (cand, ver, prec) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(cand > 0 && ver >= 0 && ver <= cand)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(prec == r6(ver.toDouble / cand.toDouble))
+    // planted: one near-identical pair and an unrelated doc — the only
+    // candidate verifies, precision exactly 1
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nd = (1 to 60).map(i => if (i == 30) "X" else s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nd), (3L, other)).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.minhashCandidates(df,
+      numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+    val p = graft.dedup.Dedup.ngramJaccard(df, pairs)
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("jaccard") >= 0.5, lit(1L)).otherwise(lit(0L))).as("v"))
+      .head()
+    assert(p.getLong(0) == 1L && p.getLong(1) == 1L)
+  }
+
+  test("q_lang_source_chi2: independent table reads 0, perfect " +
+    "association reads n") {
+    val r = run("q_lang_source_chi2").head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getDouble(2) >= 0.0)
+    import spark.implicits._
+    def chi2Of(rows: Seq[(String, String)]): (Long, Long, Double) = {
+      val df = rows.zipWithIndex
+        .map { case ((l, s), i) => (i.toLong, l, s) }
+        .toDF("doc_id", "lang", "source")
+      val o = df.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rr = o.groupBy("lang").agg(sum("o").as("r"))
+      val cc = o.groupBy("source").agg(sum("o").as("c"))
+      val nn = o.agg(sum("o").as("n"))
+      val cells = rr.crossJoin(broadcast(cc))
+        .join(o, Seq("lang", "source"), "left").crossJoin(broadcast(nn))
+        .withColumn("e", col("r").cast("double") * col("c").cast("double")
+          / col("n").cast("double"))
+        .withColumn("oo", coalesce(col("o"), lit(0L)).cast("double"))
+        .withColumn("t", round((col("oo") - col("e")) * (col("oo") - col("e"))
+          / col("e") * lit(1e9), 0).cast("long"))
+      val a = cells.agg(count(lit(1)),
+        ((countDistinct("lang") - 1) * (countDistinct("source") - 1)),
+        round(sum(col("t")).cast("double") / lit(1e9), 6)).head()
+      (a.getLong(0), a.getLong(1), a.getDouble(2))
+    }
+    // independent 2x2: every (lang, source) cell holds 5 docs → chi2 0
+    val ind = (for (l <- Seq("a", "b"); s <- Seq("x", "y"); _ <- 1 to 5)
+      yield (l, s))
+    assert(chi2Of(ind) == ((4L, 1L, 0.0)))
+    // perfect 2x2 association with 10 docs → chi2 = n = 10
+    val dep = (1 to 5).flatMap(_ => Seq(("a", "x"), ("b", "y")))
+    assert(chi2Of(dep) == ((4L, 1L, 10.0)))
+  }
 }
