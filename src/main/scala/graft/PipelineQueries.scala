@@ -1551,6 +1551,56 @@ object PipelineQueries {
         (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
         round(sum(t)::DOUBLE / 1e9, 6) AS chi2
       FROM tt"""))),
+
+    // Robust per-language length profile: median, MAD, 5/95-winsorized
+    // mean — the outlier-resistant location/scale gate when raw moments
+    // are skew-dominated. Two range-partitioned quantile passes plus a
+    // 1e-6-quantized clip aggregate; the oracle replays both ranked
+    // interpolations and the identical clip arithmetic.
+    "q_robust_stats" -> (((s: SparkSession, dir: String) => {
+      graft.ops.GlobalRank.robustStats(t(s, dir, "documents"),
+        group = "lang", value = "n_chars", id = "doc_id").orderBy("lang")
+    }, Some("""WITH ranked AS (
+        SELECT lang, n_chars::DOUBLE AS v, doc_id,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS idx
+        FROM documents),
+      np AS (SELECT lang, max(idx) AS n FROM ranked GROUP BY 1),
+      ps AS (SELECT unnest([0.05, 0.5, 0.95]) AS p),
+      tgt AS (SELECT lang, p, p * (n - 1)::DOUBLE AS pos,
+          floor(p * (n - 1)::DOUBLE)::BIGINT + 1 AS lo,
+          ceil(p * (n - 1)::DOUBLE)::BIGINT + 1 AS hi
+        FROM np CROSS JOIN ps),
+      q AS (SELECT t.lang, t.p,
+          round(rl.v + (t.pos - floor(t.pos)) * (rh.v - rl.v), 6) AS quantile
+        FROM tgt t
+        JOIN ranked rl ON rl.lang = t.lang AND rl.idx = t.lo
+        JOIN ranked rh ON rh.lang = t.lang AND rh.idx = t.hi),
+      wide AS (SELECT lang,
+          max(CASE WHEN p = 0.05 THEN quantile END) AS p05,
+          max(CASE WHEN p = 0.5 THEN quantile END) AS med,
+          max(CASE WHEN p = 0.95 THEN quantile END) AS p95
+        FROM q GROUP BY 1),
+      j AS (SELECT r.lang, r.v, r.doc_id, w.p05, w.med, w.p95
+            FROM ranked r JOIN wide w USING (lang)),
+      dr AS (SELECT lang, abs(v - med) AS d, doc_id,
+          row_number() OVER (
+            PARTITION BY lang ORDER BY abs(v - med), doc_id) AS idx
+        FROM j),
+      mt AS (SELECT lang, 0.5 * (n - 1)::DOUBLE AS pos,
+          floor(0.5 * (n - 1)::DOUBLE)::BIGINT + 1 AS lo,
+          ceil(0.5 * (n - 1)::DOUBLE)::BIGINT + 1 AS hi
+        FROM np),
+      mad AS (SELECT m.lang,
+          round(dl.d + (m.pos - floor(m.pos)) * (dh.d - dl.d), 6) AS mad
+        FROM mt m
+        JOIN dr dl ON dl.lang = m.lang AND dl.idx = m.lo
+        JOIN dr dh ON dh.lang = m.lang AND dh.idx = m.hi),
+      win AS (SELECT lang, count(*)::BIGINT AS n, max(med) AS median,
+          round((sum(round(greatest(least(v, p95), p05) * 1e6)::BIGINT)::DOUBLE
+              / 1e6) / count(*)::DOUBLE, 6) AS winsorized_mean
+        FROM j GROUP BY 1)
+      SELECT w.lang, w.n, w.median, m.mad, w.winsorized_mean
+      FROM win w JOIN mad m USING (lang) ORDER BY lang"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

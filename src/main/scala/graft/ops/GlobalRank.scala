@@ -197,4 +197,42 @@ object GlobalRank {
         round(col("_vlo") + (col("pos") - floor(col("pos")))
           * (col("_vhi") - col("_vlo")), 6).as("quantile"))
   }
+
+  /** Robust per-group statistics — median, MAD (median absolute
+    * deviation), and the 5/95-winsorized mean — the outlier-resistant
+    * location/scale profile a gating stage trusts when raw moments are
+    * skew-dominated. Two [[interpolatedQuantiles]] passes (values, then
+    * absolute deviations from the group median) plus one clip
+    * aggregate; every pass stays range-partitioned, so a dominant group
+    * never serializes. Determinism: quantiles are round-6 by contract;
+    * deviations |x − median| are exact (integer minus 6-decimal);
+    * winsorized values quantize to 1e-6 integers before the sum, so the
+    * mean is partition-order-proof.
+    */
+  def robustStats(df: DataFrame, group: String, value: String, id: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qs = interpolatedQuantiles(df, Seq(0.05, 0.5, 0.95), group, value, id)
+    val wide = qs.groupBy(col(group)).agg(
+      max(when(col("p") === 0.05, col("quantile"))).as("_p05"),
+      max(when(col("p") === 0.5, col("quantile"))).as("_med"),
+      max(when(col("p") === 0.95, col("quantile"))).as("_p95"))
+    val joined = df.select(col(group), col(value).cast("double").as("_v"),
+        col(id))
+      .join(broadcast(wide), group)
+    val dev = joined.select(col(group),
+      abs(col("_v") - col("_med")).as("_d"), col(id))
+    val mad = interpolatedQuantiles(dev, Seq(0.5), group, "_d", id)
+      .select(col(group), col("quantile").as("mad"))
+    val win = joined
+      .withColumn("_w", round(greatest(least(col("_v"), col("_p95")),
+        col("_p05")) * lit(1e6), 0).cast("long"))
+      .groupBy(col(group)).agg(count(lit(1)).as("n"),
+        max(col("_med")).as("median"),
+        round((sum(col("_w")).cast("double") / lit(1e6))
+          / count(lit(1)).cast("double"), 6).as("winsorized_mean"))
+    win.join(mad, group)
+      .select(col(group), col("n"), col("median"), col("mad"),
+        col("winsorized_mean"))
+  }
 }

@@ -108,6 +108,22 @@ class GlobalRankSpec extends SparkSpec {
     mine.foreach { case (k, v) => assert(math.abs(v - builtin(k)) < 1e-6, k) }
   }
 
+  test("robustStats: hand-computed median/MAD/winsorized mean with an outlier") {
+    import spark.implicits._
+    // values 1..9 plus outlier 1000: median 5.5; p05 = 1.45, p95 = 554.05
+    // → winsorized sum 1.45 + (2+..+9) + 554.05 = 599.5, mean 59.95;
+    // |x−5.5| sorted gives MAD 2.5. The raw mean (105.4) is outlier-blown —
+    // the robust profile is not.
+    val df = ((1 to 9).map(_.toLong) :+ 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("doc_id", "grp", "v")
+    val r = GlobalRank.robustStats(df, group = "grp", value = "v",
+      id = "doc_id").head()
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 5.5)
+    assert(r.getDouble(3) == 2.5)
+    assert(r.getDouble(4) == 59.95)
+  }
+
   test("interpolatedQuantiles: p=0 is min, p=1 is max, monotone in p") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val qs = GlobalRank.interpolatedQuantiles(docs,
