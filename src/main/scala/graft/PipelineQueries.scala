@@ -1601,6 +1601,205 @@ object PipelineQueries {
         FROM j GROUP BY 1)
       SELECT w.lang, w.n, w.median, m.mad, w.winsorized_mean
       FROM win w JOIN mad m USING (lang) ORDER BY lang"""))),
+
+    // Local clustering coefficient over the near-dup candidate graph —
+    // the per-node refinement of q_triangles' participation counts:
+    // 2·tri/(deg·(deg−1)) separates boilerplate cliques (coeff → 1)
+    // from template hubs that stitch unrelated documents together
+    // (high degree, coeff → 0), the distinction that decides "drop the
+    // whole cluster" vs "keep one per spoke" in curation. Runs on the
+    // DEGREE-ORIENTED triangle algorithm ([[graft.graph.Triangles]]):
+    // wedges enumerate only at each triangle's lowest-(degree, id)
+    // vertex, so a d-degree hub owns C(outdeg, 2) ≲ m wedge pairs
+    // instead of C(d, 2) — the arboricity-bounded production form of
+    // the id-ordered stand-in q_triangles documents. The oracle walks
+    // the same graph with the orientation-free 3-way join: per-node
+    // counts are orientation-invariant, so this doubles as an
+    // independent equivalence check of the oriented enumeration.
+    "q_clustering_coeff" -> (((s: SparkSession, dir: String) => {
+      val e = Dedup.minhashCandidates(t(s, dir, "documents"),
+        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+      graft.graph.Triangles.clusteringCoefficient(e)
+        .select(col("node").as("doc_id"), col("degree"),
+          col("n_triangles"), col("coeff"))
+        .orderBy("doc_id")
+    }, Some {
+      s"""WITH $minhashCtes,
+      edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      deg AS (
+        SELECT node, count(*)::BIGINT AS degree FROM (
+          SELECT src AS node FROM edges
+          UNION ALL SELECT dst AS node FROM edges) GROUP BY 1),
+      tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      nodes AS (SELECT unnest([a, b, c]) AS node FROM tri),
+      tric AS (SELECT node, count(*)::BIGINT AS n_triangles
+               FROM nodes GROUP BY 1)
+      SELECT d.node AS doc_id, d.degree,
+        coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+        CASE WHEN d.degree > 1
+          THEN round((2.0 * coalesce(t.n_triangles, 0))
+                     / (d.degree * (d.degree - 1.0)), 6)
+          ELSE 0.0 END AS coeff
+      FROM deg d LEFT JOIN tric t USING (node) ORDER BY doc_id"""
+    })),
+
+    // Corpus snapshot diff — the daily-crawl CDC report
+    // ([[graft.ops.Cdc.snapshotDiff]]): two versions of the documents
+    // table (v1 drops the doc_id%10=3 slice, v2 drops %10=7 and edits
+    // the %5=1 slice) reduced map-side to (key, md5 fingerprint), one
+    // co-partitioned full outer join, unchanged keys dropped in place.
+    // At 100 TB the full-width text never shuffles — only 16-byte
+    // fingerprints — and the output (the re-tokenization worklist) is
+    // bounded by churn, not corpus size.
+    "q_corpus_diff" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") % 10 =!= 3)
+      val v2 = docs.where(col("doc_id") % 10 =!= 7)
+        .withColumn("text", when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      graft.ops.Cdc.snapshotDiff(v1, v2, Seq("doc_id"), Seq("text"))
+        .orderBy("doc_id")
+    }, Some("""WITH v1 AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 != 3),
+      v2 AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 5 = 1 THEN text || ' [v2]' ELSE text END) AS fp
+        FROM documents WHERE doc_id % 10 != 7)
+      SELECT coalesce(v1.doc_id, v2.doc_id)::BIGINT AS doc_id,
+        CASE WHEN v1.fp IS NULL THEN 'added'
+             WHEN v2.fp IS NULL THEN 'removed'
+             ELSE 'changed' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      WHERE v1.fp IS NULL OR v2.fp IS NULL OR v1.fp != v2.fp
+      ORDER BY doc_id"""))),
+
+    // LSH banding auto-tune ([[Dedup.lshBanding]]): for a 16-permutation
+    // signature, score every divisor split (bands × rows/band) by the
+    // integrated deviation of its S-curve 1−(1−s^r)^b from the ideal
+    // step at the target Jaccard τ = 0.5 — below-τ mass is wasted
+    // verify-join fan-in, above-τ mass is lost recall — and rank the
+    // splits (pick_rank 1 = the plan [[Dedup.minhashCandidatesAuto]]
+    // runs). The same auto-sizing discipline as the CountMin gate's
+    // width derivation. Determinism: the exponent chains are unrolled
+    // as literal squaring products (no libm pow on either engine), the
+    // midpoint grid never lands on τ, and the error integral is summed
+    // as round(·1e9) integers.
+    "q_lsh_autotune" -> (((s: SparkSession, dir: String) => {
+      val grid = s.range(100)
+        .select(((col("id") * 2 + 1) / lit(200.0)).as("s"))
+      val errs = lshSplits.map { case (b, r) =>
+        val p = lit(1.0) - ipowCol(lit(1.0) - ipowCol(col("s"), r), b)
+        val term = when(col("s") < 0.5, p).otherwise(lit(1.0) - p)
+        grid.agg(sum(round(term * lit(1000000000.0)).cast("long")).as("sq"))
+          .select(lit(b).cast("long").as("bands"),
+            lit(r).cast("long").as("rows_per_band"),
+            round((col("sq") / lit(1000000000.0)) / lit(100.0), 6).as("err"))
+      }.reduce(_ unionAll _)
+      errs.withColumn("pick_rank", row_number().over(
+          Window.orderBy(col("err"), col("bands").desc)).cast("long"))
+        .orderBy("bands")
+    }, Some {
+      val selects = lshSplits.map { case (b, r) =>
+        val p = s"(1.0 - ${ipowSql(s"(1.0 - ${ipowSql("s", r)})", b)})"
+        s"""SELECT $b::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+          round((sum(round((CASE WHEN s < 0.5 THEN $p
+                            ELSE 1.0 - $p END) * 1000000000.0)::BIGINT)
+                 / 1000000000.0) / 100.0, 6) AS err FROM grid"""
+      }.mkString(" UNION ALL ")
+      s"""WITH grid AS (SELECT (i * 2 + 1) / 200.0 AS s FROM range(100) t(i)),
+      errs AS ($selects)
+      SELECT bands, rows_per_band, err,
+        row_number() OVER (ORDER BY err, bands DESC)::BIGINT AS pick_rank
+      FROM errs ORDER BY bands"""
+    })),
+
+    // The curation-funnel yield report: docs and tokens surviving each
+    // cumulative gate of the production keep-pipeline (ingest → lang →
+    // length → quality → repetition → exact dedup) — the observability
+    // artifact a 100 TB build dashboards after every run to catch a
+    // gate suddenly eating the corpus. Gate semantics are EXACTLY
+    // q_corpus_filter's (shared signal expressions, thresholds on the
+    // same rounded columns; the oracle literally prefixes the shared
+    // keep SQL minus its filter), so the funnel can never drift from
+    // the pipeline it audits. Scale: signals ride one scan; stages 0–4
+    // are conditional sums in ONE aggregate over the flag frame; the
+    // repetition branch runs over stage-3 survivors only (production
+    // shape); dedup is a survivor-only md5 groupBy; output is 6 rows.
+    "q_curation_funnel" -> (((s: SparkSession, dir: String) => {
+      val ta = graft.text.TextAnalysis
+      val sig = graft.ops.Checkpoints.truncate(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), md5(col("text")).as("h"),
+            ta.signals(col("text")).as("s"))
+          .select(col("doc_id"), col("text"), col("h"),
+            col("s.lang_pred").as("lang_pred"),
+            col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality")))
+      val k1 = col("lang_pred") === "en"
+      val k2 = k1 && col("tok_cnt") >= 30
+      val k3 = k2 && col("quality") >= 0.3
+      val rep = ta.repetitionRatio(
+        sig.where(k3).select(col("doc_id"), col("text")))
+      val flagged = sig.drop("text")
+        .join(rep, Seq("doc_id"), "left")
+        .withColumn("k1", k1).withColumn("k2", k2).withColumn("k3", k3)
+        .withColumn("k4", k3 && col("rep_ratio") <= 0.2)
+      def n(k: String) = sum(when(col(k), 1L).otherwise(0L))
+      def tk(k: String) = sum(when(col(k), col("tok_cnt")).otherwise(0L))
+      val s04 = flagged.agg(
+        count(lit(1)).as("n0"), sum("tok_cnt").as("t0"),
+        n("k1").as("n1"), tk("k1").as("t1"), n("k2").as("n2"),
+        tk("k2").as("t2"), n("k3").as("n3"), tk("k3").as("t3"),
+        n("k4").as("n4"), tk("k4").as("t4"))
+      val s5 = flagged.where(col("k4")).groupBy("h")
+        .agg(min_by(col("tok_cnt"), col("doc_id")).as("tk"))
+        .agg(count(lit(1)).as("n5"), coalesce(sum("tk"), lit(0L)).as("t5"))
+      val gates = Seq("ingest", "lang", "length", "quality",
+        "repetition", "exact_dedup")
+      s04.crossJoin(s5) // 1-row × 1-row scalar combine
+        .select(explode(array(gates.zipWithIndex.map { case (g, i) =>
+          struct(lit(i.toLong).as("stage"), lit(g).as("gate"),
+            col(s"n$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+        }: _*)).as("r"))
+        .select(col("r.stage").as("stage"), col("r.gate").as("gate"),
+          col("r.n_docs").as("n_docs"), col("r.n_tokens").as("n_tokens"))
+        .orderBy("stage")
+    }, Some {
+      def n(k: String) = s"sum(CASE WHEN $k THEN 1 ELSE 0 END)::BIGINT"
+      def tk(k: String) = s"sum(CASE WHEN $k THEN tok_cnt ELSE 0 END)::BIGINT"
+      val stages = Seq("ingest", "lang", "length", "quality",
+        "repetition", "exact_dedup").zipWithIndex.map { case (g, i) =>
+        s"SELECT $i::BIGINT AS stage, '$g' AS gate, n$i AS n_docs, t$i AS n_tokens FROM s04, s5"
+      }.mkString(" UNION ALL ")
+      s"""WITH sigq AS (${Queries.corpusSignalsSql}),
+      flags AS (
+        SELECT f.doc_id, f.tok_cnt, md5(d.text) AS h,
+          (f.lang_pred = 'en') AS k1,
+          (f.lang_pred = 'en' AND f.tok_cnt >= 30) AS k2,
+          (f.lang_pred = 'en' AND f.tok_cnt >= 30
+            AND f.quality >= 0.3) AS k3,
+          (f.lang_pred = 'en' AND f.tok_cnt >= 30
+            AND f.quality >= 0.3 AND f.rep_ratio <= 0.2) AS k4
+        FROM sigq f JOIN documents d ON f.doc_id = d.doc_id),
+      s04 AS (
+        SELECT count(*)::BIGINT AS n0, sum(tok_cnt)::BIGINT AS t0,
+          ${n("k1")} AS n1, ${tk("k1")} AS t1,
+          ${n("k2")} AS n2, ${tk("k2")} AS t2,
+          ${n("k3")} AS n3, ${tk("k3")} AS t3,
+          ${n("k4")} AS n4, ${tk("k4")} AS t4
+        FROM flags),
+      s5 AS (
+        SELECT count(*)::BIGINT AS n5, coalesce(sum(tk), 0)::BIGINT AS t5
+        FROM (SELECT h, arg_min(tok_cnt, doc_id) AS tk
+              FROM flags WHERE k4 GROUP BY 1))
+      SELECT stage, gate, n_docs, n_tokens FROM ($stages) ORDER BY stage"""
+    })),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the
@@ -1677,6 +1876,24 @@ object PipelineQueries {
     * .planeSeed]] discipline under an independent seed family ("p",
     * vs LSH's "h"/"t"), shared verbatim with the oracle generator.
     */
+  /** The divisor splits of a 16-permutation signature scored by
+    * q_lsh_autotune, (bands, rowsPerBand) with b·r = 16. All exponents
+    * are powers of two so both engines can evaluate s^r and (1−s^r)^b
+    * as bit-exact squaring chains instead of libm pow.
+    */
+  private def lshSplits: Seq[(Int, Int)] =
+    Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** x^n (n a power of two) as the balanced squaring product — the
+    * Column and SQL emitters share this shape so the doubles associate
+    * identically on both engines.
+    */
+  private def ipowCol(x: Column, n: Int): Column =
+    if (n == 1) x else { val h = ipowCol(x, n / 2); h * h }
+
+  private def ipowSql(x: String, n: Int): String =
+    if (n == 1) x else { val h = ipowSql(x, n / 2); s"($h * $h)" }
+
   private def projSigns(i: Int): Seq[Double] =
     (0 until 64).map { j =>
       val hex = java.security.MessageDigest.getInstance("MD5")

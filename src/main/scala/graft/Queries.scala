@@ -117,6 +117,18 @@ object Queries {
             AND quality >= 0.3 AND rep_ratio <= 0.2"""
   }
 
+  /** [[corpusKeepSql]] WITHOUT the final keep filter: the per-doc signal
+    * table (doc_id, lang_pred, tok_cnt, quality, rep_ratio) over ALL
+    * documents — the base the curation-funnel audit grades each gate
+    * against. Kept as a literal prefix of the keep SQL so the two can
+    * never drift.
+    */
+  private[graft] def corpusSignalsSql: String = {
+    val keep = corpusKeepSql
+    val cut = keep.lastIndexOf("WHERE lang_pred")
+    keep.substring(0, cut).trim.stripSuffix("\n")
+  }
+
 
   /** DuckDB select-list for MinHash signatures over a shingle-hash column
     * `x` — same affine permutation constants as [[Dedup.minhashSignatures]].

@@ -238,6 +238,52 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** S-curve candidate probability of LSH banding: a pair with true
+    * Jaccard `s` shares at least one of `bands` bands of `rowsPerBand`
+    * rows with probability 1 − (1 − s^r)^b. Driver-side math used by
+    * [[lshBanding]]; q_lsh_autotune replays the same curve inside the
+    * engine (and its oracle) with integer-exponent squaring chains.
+    */
+  def lshCandidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** Choose (bands, rowsPerBand) for a signature of `numPerms`
+    * permutations from a TARGET Jaccard threshold, instead of asking the
+    * caller to hand-tune banding — the same auto-sizing discipline as
+    * [[graft.agg.CountMin.autoWidth]]. Over all divisor pairs b·r =
+    * numPerms, minimize the integrated deviation of the S-curve from the
+    * ideal step at `threshold` (midpoint rule, 100 points): below-τ mass
+    * is the false-candidate rate (wasted verify joins), above-τ miss
+    * mass is lost recall. Ties break toward more bands (higher recall).
+    * Pure driver-side arithmetic over ≤ numPerms configurations —
+    * nothing distributed happens until the chosen plan runs.
+    */
+  def lshBanding(threshold: Double, numPerms: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val configs = (1 to numPerms).filter(numPerms % _ == 0)
+      .map(r => (numPerms / r, r))
+    configs.minBy { case (b, r) =>
+      val err = (0 until 100).map { i =>
+        val s = (2 * i + 1) / 200.0
+        val p = lshCandidateProb(s, b, r)
+        if (s < threshold) p else 1.0 - p
+      }.sum / 100.0
+      (err, -b)
+    }
+  }
+
+  /** [[minhashCandidates]] with banding auto-tuned from the target
+    * Jaccard threshold via [[lshBanding]] — callers state WHAT they
+    * consider a near-dup; the band/row split is derived, not tuned.
+    */
+  def minhashCandidatesAuto(docs: DataFrame, threshold: Double,
+                            numPerms: Int = 16, shingleN: Int = 3,
+                            maxBucket: Int = 1000,
+                            text: String = "text", id: String = "doc_id"): DataFrame = {
+    val (_, rowsPerBand) = lshBanding(threshold, numPerms)
+    minhashCandidates(docs, numPerms, rowsPerBand, shingleN, maxBucket, text, id)
+  }
+
   /** Cross-source near-duplicate leakage matrix: [[minhashCandidates]]
     * pairs rolled up into unordered source×source counts — the audit a
     * multi-source corpus runs before mixing (how much of source B

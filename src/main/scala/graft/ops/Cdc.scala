@@ -111,4 +111,35 @@ object Cdc {
         orderCols.map(c => col(s"to_$c").isNull).reduce(_ && _).as("is_current")
     withTo.select(outCols.toIndexedSeq: _*)
   }
+
+  /** Content-hash diff of two corpus snapshots — the daily-crawl report
+    * (what entered, what left, what changed) that drives incremental
+    * re-tokenization: only `added`/`changed` keys flow downstream, so a
+    * 100 TB corpus with 1% churn re-processes 1%, not 100%.
+    *
+    * Each side is reduced map-side to (key, md5 fingerprint over
+    * `compareCols`) riding its scan — the full-width rows are never
+    * shuffled — then one co-partitioned full outer join on the key
+    * classifies every key as `added` (new only), `removed` (old only)
+    * or `changed` (both, fingerprints differ); unchanged keys are
+    * dropped before anything else happens, so the output is bounded by
+    * churn, not corpus size. NULL compare values fingerprint via a
+    * NUL sentinel so NULL↔'' transitions are visible.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+ md5(concat_ws("|",
+        compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as(as): _*)
+    val o = fp(oldSnap, "_fp_old")
+    val n = fp(newSnap, "_fp_new")
+    o.join(n, keyCols, "full_outer")
+      .where(col("_fp_old").isNull || col("_fp_new").isNull ||
+        col("_fp_old") =!= col("_fp_new"))
+      .select(keyCols.map(col) :+
+        when(col("_fp_old").isNull, lit("added"))
+          .when(col("_fp_new").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("status"): _*)
+  }
 }

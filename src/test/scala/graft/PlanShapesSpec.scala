@@ -102,7 +102,9 @@ class PlanShapesSpec extends SparkSpec {
       "q_nb_margin", "q_nb_calibration", "q_hard_negatives",
       "q_cross_source_dups", "q_zipf_fit", "q_token_gini",
       "q_length_quantiles", "q_ann_recall", "q_dup_cluster_stats",
-      "q_source_logodds", "q_split_leakage", "q_cell_outliers"))
+      "q_source_logodds", "q_split_leakage", "q_cell_outliers",
+      "q_clustering_coeff", "q_corpus_diff", "q_lsh_autotune",
+      "q_curation_funnel"))
       assert(!plan(name).contains("CartesianProduct"),
         s"$name must not plan a cartesian product")
   }

@@ -499,4 +499,32 @@ class DedupSpec extends SparkSpec {
     assert(d1.getLong(1) == 5 && d1.getLong(2) == 3)
     assert(d1.getString(3) == soup(11, 40) + soup(12, 40))
   }
+
+  test("lshBanding: picks the S-curve-optimal split, monotone in the " +
+    "threshold, ties break toward recall") {
+    // hand-checked error integrals for 16 permutations (midpoint rule):
+    // τ=0.5 → (4,4); looser τ=0.2 → more bands (8,2); stricter τ=0.8 →
+    // fewer bands (2,8). Bands never increase as τ rises.
+    assert(Dedup.lshBanding(0.2, 16) == ((8, 2)))
+    assert(Dedup.lshBanding(0.5, 16) == ((4, 4)))
+    assert(Dedup.lshBanding(0.8, 16) == ((2, 8)))
+    val picks = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(Dedup.lshBanding(_, 16)._1)
+    assert(picks == picks.sorted.reverse, s"bands must fall as τ rises: $picks")
+    // (16,1) and (1,16) tie exactly at τ=0.5 by grid symmetry; the
+    // documented tie-break prefers more bands — verify via the prob curve
+    assert(Dedup.lshCandidateProb(0.6, 16, 1) > Dedup.lshCandidateProb(0.6, 1, 16))
+  }
+
+  test("minhashCandidatesAuto runs the plan lshBanding picks") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again!",
+      3L -> "entirely different content about distributed query engines",
+      4L -> "entirely different content about distributed query engines")
+    val auto = Dedup.minhashCandidatesAuto(df, threshold = 0.5, numPerms = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = Dedup.minhashCandidates(df, numPerms = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == manual && auto.contains((3L, 4L)))
+  }
 }

@@ -135,4 +135,27 @@ class CdcSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"), (4L, "d", "w"))
+      .toDF("k", "v1", "v2")
+    val neu = Seq((2L, "b", "y"), (3L, "c2", "z"), (4L, "d", "w2"), (5L, "e", "q"))
+      .toDF("k", "v1", "v2")
+    val got = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("v1", "v2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "changed",
+      5L -> "added")) // key 2 unchanged → absent
+  }
+
+  test("snapshotDiff sees NULL↔value transitions and NULL↔NULL as unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("k", "v")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("c"))).toDF("k", "v")
+    val got = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 3L -> "changed"))
+  }
 }
