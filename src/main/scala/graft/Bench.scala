@@ -1138,6 +1138,43 @@ object Bench {
       System.err.println(s"[bench] d18 failed: ${e.getMessage}")
     }
 
+    // d19: degree-oriented triangle counting (q_clustering_coeff's
+    // operator) under DECORRELATED 10x growth: per-copy near-dup
+    // structure is preserved and copies never band together, so the
+    // candidate graph grows ~10x in edges at ~constant degree — wall
+    // should track edge count (linear), never the clone-clique blow-up
+    // rawCopies would manufacture. Diag counters record the
+    // orientation's work bound on the real graph: oriented wedge pairs
+    // (what the join enumerates) vs the unoriented wedge mass an
+    // id-agnostic hub enumeration could touch.
+    try {
+      def triEdges(d: DataFrame) = Dedup.minhashCandidates(
+        d, numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+      def tri(d: DataFrame) =
+        graft.graph.Triangles.perNodeTriangles(triEdges(d))
+      measure("d19_triangles", ctlTimes)(exec(tri(docs1x)))
+      measure("d19_triangles", times)(exec(tri(docs10x)))
+      def triDiag(tag: String, d: DataFrame): Unit = try {
+        val e = triEdges(d)
+        scaleDiag(s"d19_${tag}_edges") = e.count()
+        scaleDiag(s"d19_${tag}_wedges_oriented") =
+          graft.graph.Triangles.orientEdges(e)
+            .groupBy("src").agg(count(lit(1)).as("od"))
+            .select((sum(col("od") * (col("od") - 1)) / 2).cast("long"))
+            .head().getLong(0)
+        scaleDiag(s"d19_${tag}_wedges_unoriented") =
+          graft.graph.Triangles.degrees(e)
+            .select((sum(col("degree") * (col("degree") - 1)) / 2).cast("long"))
+            .head().getLong(0)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d19 diag $tag failed: ${e.getMessage}")
+      }
+      triDiag("1x", docs1x)
+      triDiag("10x", docs10x)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d19 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

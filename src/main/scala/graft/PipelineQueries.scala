@@ -1800,6 +1800,109 @@ object PipelineQueries {
               FROM flags WHERE k4 GROUP BY 1))
       SELECT stage, gate, n_docs, n_tokens FROM ($stages) ORDER BY stage"""
     })),
+
+    // Quality×duplication calibration: near-dup incidence per quality
+    // decile — the audit that tells a curation pipeline whether its
+    // dedup pass preferentially removes low-quality boilerplate (the
+    // expected shape) or is eating high-quality docs (a banding bug or
+    // boilerplate-heavy "good" source). Deciles are exact rank-based
+    // cuts through the RANGE-PARTITIONED GlobalRank total order
+    // ((quality, doc_id)) — no single-partition window at any scale —
+    // and duplicate membership is node-incidence of the banded LSH
+    // candidate edges (never all pairs). The count scalar rides the
+    // 1-row broadcast idiom.
+    "q_quality_dup_decile" -> (((s: SparkSession, dir: String) => {
+      val ta = graft.text.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val q = docs.select(col("doc_id"), ta.signals(col("text")).as("sg"))
+        .select(col("doc_id"), col("sg.quality").as("quality"))
+      val ranked = graft.ops.GlobalRank.withGlobalRank(
+        q, Seq(col("quality"), col("doc_id")))
+      val nRow = q.agg(count(lit(1)).as("_n"))
+      val e = Dedup.minhashCandidates(docs, numPerms = 8, rowsPerBand = 2,
+        maxBucket = 1000000)
+      val dupIds = e.select(col("doc_a").as("doc_id"))
+        .unionAll(e.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("_d", lit(1L))
+      ranked.crossJoin(broadcast(nRow)) // 1-row scalar
+        .withColumn("decile", expr("((rank - 1) * 10) div _n"))
+        .join(dupIds, Seq("doc_id"), "left")
+        .withColumn("isdup", when(col("_d").isNotNull, 1L).otherwise(0L))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum("isdup").as("n_dups"),
+          round(sum("isdup").cast("double") / count(lit(1)), 6).as("dup_rate"))
+        .orderBy("decile")
+    }, Some {
+      s"""WITH $minhashCtes,
+      sigq AS (${Queries.corpusSignalsSql}),
+      rk AS (SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality, doc_id) AS rn FROM sigq),
+      nn AS (SELECT count(*)::BIGINT AS n FROM sigq),
+      dups AS (SELECT DISTINCT doc_id FROM (
+        SELECT a.doc_id FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT b.doc_id FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)),
+      flagged AS (
+        SELECT ((r.rn - 1) * 10) // nn.n AS decile,
+          CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isdup
+        FROM rk r CROSS JOIN nn LEFT JOIN dups d ON r.doc_id = d.doc_id)
+      SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+        sum(isdup)::BIGINT AS n_dups,
+        round(sum(isdup)::DOUBLE / count(*), 6) AS dup_rate
+      FROM flagged GROUP BY 1 ORDER BY 1"""
+    })),
+
+    // Embedding-space drift monitor: per-label centroid shift between
+    // two corpus versions (v2 drops a slice and perturbs dim 0 in
+    // proportion to the label) — the monitor a pipeline runs when the
+    // embedder, the corpus, or both change underneath an ANN index.
+    // Per-dim centroid sums quantize at 1e-6 before summation and the
+    // dot/norm reduction at 1e-9, so every cross-row float sum is
+    // integer and the cosine replays bit-identically (sqrt is IEEE
+    // correctly-rounded, unlike pow). Scale: two scan-side posexplodes
+    // into (label, dim)-keyed partial aggs — dims × labels rows of
+    // state, no vector ever collected.
+    "q_embed_drift" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      val v1 = emb.where(col("vec_id") % 10 =!= 3)
+      val v2 = emb.where(col("vec_id") % 10 =!= 7)
+        .withColumn("e", transform(col("e"), (x, i) =>
+          when(i === 0, x + lit(0.01) * col("label")).otherwise(x)))
+      graft.sim.Similarity.centroidDrift(v1, v2)
+        .select(col("label").cast("long").as("label"), col("centroid_cos"))
+        .orderBy("label")
+    }, Some("""WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      v1 AS (SELECT label, e FROM base WHERE vec_id % 10 != 3),
+      v2 AS (SELECT label,
+          list_transform(e, (x, i) ->
+            CASE WHEN i = 1 THEN x + 0.01 * label ELSE x END) AS e
+        FROM base WHERE vec_id % 10 != 7),
+      c1 AS (SELECT label, pos, sum(round(x * 1000000.0)::BIGINT)::BIGINT
+               / 1000000.0 / count(*) AS m
+             FROM (SELECT label, unnest(e) AS x,
+                     unnest(range(0, len(e))) AS pos FROM v1)
+             GROUP BY 1, 2),
+      c2 AS (SELECT label, pos, sum(round(x * 1000000.0)::BIGINT)::BIGINT
+               / 1000000.0 / count(*) AS m2
+             FROM (SELECT label, unnest(e) AS x,
+                     unnest(range(0, len(e))) AS pos FROM v2)
+             GROUP BY 1, 2),
+      j AS (SELECT c1.label,
+          sum(round(m * m2 * 1000000000.0)::BIGINT)::BIGINT AS dot_q,
+          sum(round(m * m * 1000000000.0)::BIGINT)::BIGINT AS n1_q,
+          sum(round(m2 * m2 * 1000000000.0)::BIGINT)::BIGINT AS n2_q
+        FROM c1 JOIN c2 ON c1.label = c2.label AND c1.pos = c2.pos
+        GROUP BY 1)
+      SELECT label::BIGINT AS label,
+        round((dot_q / 1000000000.0) /
+          (sqrt(n1_q / 1000000000.0) * sqrt(n2_q / 1000000000.0)), 6)
+          AS centroid_cos
+      FROM j ORDER BY label"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

@@ -503,4 +503,34 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(id))
       .limit(k)
   }
+
+  /** Per-group centroid cosine between two vector snapshots — the
+    * embedding-drift monitor (did the embedder / corpus shift move each
+    * label's center?). Both sides posexplode into (group, dim)-keyed
+    * partial aggregates — group×dim rows of state, no vector collected —
+    * and every cross-row sum is quantized to integers first (1e-6 for
+    * the per-dim means, 1e-9 for the dot/norm reduction), so the cosine
+    * is a pure function of the inputs on any partitioning or engine
+    * (sqrt is IEEE-exact; no libm pow anywhere). Output: (group,
+    * `centroid_cos` rounded at 6), one row per group present in BOTH
+    * snapshots.
+    */
+  def centroidDrift(v1: DataFrame, v2: DataFrame,
+                    group: String = "label", vec: String = "e"): DataFrame = {
+    def centroid(v: DataFrame, as: String): DataFrame = v
+      .select(col(group), posexplode(col(vec)).as(Seq("pos", "x")))
+      .groupBy(group, "pos")
+      .agg((sum(round(col("x") * lit(1000000.0)).cast("long"))
+        / lit(1000000.0) / count(lit(1))).as(as))
+    centroid(v1, "m").join(centroid(v2, "m2"), Seq(group, "pos"))
+      .groupBy(group)
+      .agg(
+        sum(round(col("m") * col("m2") * lit(1000000000.0)).cast("long")).as("dot_q"),
+        sum(round(col("m") * col("m") * lit(1000000000.0)).cast("long")).as("n1_q"),
+        sum(round(col("m2") * col("m2") * lit(1000000000.0)).cast("long")).as("n2_q"))
+      .select(col(group),
+        round((col("dot_q") / lit(1000000000.0)) /
+          (sqrt(col("n1_q") / lit(1000000000.0)) *
+           sqrt(col("n2_q") / lit(1000000000.0))), 6).as("centroid_cos"))
+  }
 }

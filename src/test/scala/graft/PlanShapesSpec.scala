@@ -90,6 +90,20 @@ class PlanShapesSpec extends SparkSpec {
       "quantile ranking must stay range-partitioned")
   }
 
+  test("q_quality_dup_decile ranks quality through GlobalRank — never a " +
+    "single-partition window") {
+    val p = plan("q_quality_dup_decile")
+    // exactly ONE single-partition convergence is legitimate — the 1-row
+    // global count scalar. The ranking itself is GlobalRank's
+    // checkpointed offset arithmetic (no `row_number() OVER (ORDER BY
+    // …)`), and the only window is the LSH bucket guard's, partitioned
+    // by (band, bkey) — so a second SinglePartition exchange would mean
+    // the rank or a window serialized the corpus through one task
+    assert(p.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition") == 1,
+      "only the count scalar may converge to a single partition")
+  }
+
   test("no curation-layer operator plans a cartesian product over row data") {
     // 1-row scalar cross joins (BroadcastNestedLoopJoin over a single
     // aggregate row) are the repo's documented broadcast-scalar idiom;
@@ -104,7 +118,7 @@ class PlanShapesSpec extends SparkSpec {
       "q_length_quantiles", "q_ann_recall", "q_dup_cluster_stats",
       "q_source_logodds", "q_split_leakage", "q_cell_outliers",
       "q_clustering_coeff", "q_corpus_diff", "q_lsh_autotune",
-      "q_curation_funnel"))
+      "q_curation_funnel", "q_quality_dup_decile", "q_embed_drift"))
       assert(!plan(name).contains("CartesianProduct"),
         s"$name must not plan a cartesian product")
   }

@@ -330,4 +330,36 @@ class SimilaritySpec extends SparkSpec {
     // the doc on both lists outranks single-list docs at adjacent ranks
     assert(got(2L)._1 > got(1L)._1 && got(1L)._1 > got(3L)._1)
   }
+
+  test("centroidDrift: hand-computed centroid cosine per group; identical " +
+    "snapshots read 1.0") {
+    import spark.implicits._
+    // group 0: v1 centroid (0.5, 0.5) from (1,0)+(0,1), v2 centroid (1,0)
+    // → cos = 0.5 / (sqrt(0.5)·1) = 0.70710678… → 0.707107 at 6 digits.
+    // group 1: same centroid both sides → exactly 1.0
+    val v1 = Seq((0, Seq(1.0, 0.0)), (0, Seq(0.0, 1.0)), (1, Seq(0.25, 0.75)))
+      .toDF("label", "e")
+    val v2 = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.5, 0.5)), (1, Seq(0.0, 1.0)))
+      .toDF("label", "e")
+    val got = Similarity.centroidDrift(v1, v2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(0) == 0.707107)
+    val self = Similarity.centroidDrift(v1, v1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(self == Map(0 -> 1.0, 1 -> 1.0))
+  }
+
+  test("centroidDrift is partitioning-independent (quantized sums)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vs = (0 until 300).map(i =>
+      (i % 4, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val v1 = vs.take(200).toDF("label", "e")
+    val v2 = vs.drop(100).toDF("label", "e")
+    val a = Similarity.centroidDrift(v1.repartition(1), v2.repartition(1))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val b = Similarity.centroidDrift(v1.repartition(13), v2.repartition(7))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(a == b && a.size == 4)
+  }
 }
