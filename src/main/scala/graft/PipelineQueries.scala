@@ -36,15 +36,11 @@ object PipelineQueries {
     * (doc_id, sh)) and `bands` ((doc_id, band, bkey)); callers append
     * their own candidate/verify SQL.
     */
-  private def minhashCtes: String = {
-    val sigs = (0 until 8).map { i =>
-      s"min((x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})::BIGINT AS sig$i"
-    }.mkString(", ")
-    val bandSelects = (0 until 4).map { b =>
-      val (i, j) = (2 * b, 2 * b + 1)
-      val sel = s"SELECT doc_id, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
-      if (b == 0) sel else s"UNION ALL $sel"
-    }.mkString(" ")
+  /** The tokenize → distinct 3-shingle → shingle-hash CTE prefix every
+    * MinHash oracle shares (emits `shd` and `hx`), replaying
+    * [[Dedup.shingles]]/[[Dedup.shingleHash]] verbatim.
+    */
+  private def shingleCtes: String =
     s"""tk AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
         FROM documents),
@@ -55,10 +51,33 @@ object PipelineQueries {
       shd AS (SELECT DISTINCT doc_id, sh FROM shl),
       hx AS (
         SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
-        FROM shd),
-      sig AS (SELECT doc_id, $sigs FROM hx GROUP BY 1),
-      bands AS ($bandSelects)"""
-  }
+        FROM shd)"""
+
+  /** DuckDB select-list of `numPerms` MinHash signature mins over the
+    * `hx` CTE — same affine constants as [[Dedup.minhashSignatures]].
+    */
+  private def sigSelects(numPerms: Int): String =
+    (0 until numPerms).map { i =>
+      s"min((x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})::BIGINT AS sig$i"
+    }.mkString(", ")
+
+  /** Banded key selects replaying [[Dedup.lshBands]] for a `sig` CTE of
+    * `numPerms` components split into bands of `rowsPerBand`.
+    */
+  private def bandSelects(numPerms: Int, rowsPerBand: Int,
+                          from: String = "sig"): String =
+    (0 until numPerms / rowsPerBand).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(i => s"sig${b * rowsPerBand + i}::VARCHAR")
+        .mkString(" || '|' || ")
+      val sel = s"SELECT doc_id, $b AS band, md5($cols) AS bkey FROM $from"
+      if (b == 0) sel else s"UNION ALL $sel"
+    }.mkString(" ")
+
+  private def minhashCtes: String =
+    s"""$shingleCtes,
+      sig AS (SELECT doc_id, ${sigSelects(8)} FROM hx GROUP BY 1),
+      bands AS (${bandSelects(8, 2)})"""
 
   val registry: Map[String, (
     (SparkSession, String) => DataFrame, Option[String])] = Map(
@@ -1903,6 +1922,80 @@ object PipelineQueries {
           (sqrt(n1_q / 1000000000.0) * sqrt(n2_q / 1000000000.0)), 6)
           AS centroid_cos
       FROM j ORDER BY label"""))),
+
+    // The auto-tuner proved empirically: for three target thresholds,
+    // run the EXACT plan [[Dedup.minhashCandidatesAuto]] derives
+    // (lshBanding picks (8,2)/(4,4)/(2,8) at τ=0.3/0.5/0.8 over 16
+    // perms) and measure candidate count + Jaccard-verified count +
+    // precision. Stricter τ → fewer bands of more rows → fewer, more
+    // precise candidates: the S-curve math becoming a measured,
+    // oracle-checked monotonicity. Verification compares the ROUNDED
+    // jaccard (shared 6-digit discipline) so the threshold can't flip
+    // between engines. Scale: three banded candidate joins + exact
+    // verification over candidates only — never all pairs; signatures
+    // are computed once per config from the same shingle pass shape.
+    "q_lsh_tuned_sweep" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      sweepTaus.map { tau =>
+        val (b, r) = Dedup.lshBanding(tau, 16)
+        val cand = Dedup.minhashCandidates(docs, numPerms = 16,
+          rowsPerBand = r, maxBucket = 1000000)
+        Dedup.ngramJaccard(docs, cand)
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("jaccard") >= tau, 1L).otherwise(0L)).as("n_verified"))
+          .select(lit(tau).as("tau"),
+            lit(b).cast("long").as("bands"),
+            lit(r).cast("long").as("rows_per_band"),
+            col("n_candidates"), col("n_verified"),
+            when(col("n_candidates") > 0,
+              round(col("n_verified").cast("double")
+                / col("n_candidates").cast("double"), 6))
+              .otherwise(lit(0.0)).as("precision"))
+      }.reduce(_ unionAll _).orderBy("tau")
+    }, Some {
+      val chains = sweepTaus.map { tau =>
+        val (b, r) = Dedup.lshBanding(tau, 16)
+        val tag = s"t${(tau * 10).round}"
+        s"""bands_$tag AS (${bandSelects(16, r)}),
+        pairs_$tag AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands_$tag a JOIN bands_$tag b
+            ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id < b.doc_id),
+        inter_$tag AS (
+          SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS inter
+          FROM pairs_$tag p
+          JOIN shd a ON a.doc_id = p.doc_a
+          JOIN shd b ON b.doc_id = p.doc_b AND a.sh = b.sh
+          GROUP BY 1, 2),
+        jac_$tag AS (
+          SELECT p.doc_a, p.doc_b,
+            round(coalesce(i.inter, 0)::DOUBLE
+              / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
+          FROM pairs_$tag p
+          LEFT JOIN inter_$tag i
+            ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+          JOIN sizes sa ON sa.doc_id = p.doc_a
+          JOIN sizes sb ON sb.doc_id = p.doc_b),
+        row_$tag AS (
+          SELECT $tau AS tau, $b::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+            count(*)::BIGINT AS n_candidates,
+            sum(CASE WHEN jaccard >= $tau THEN 1 ELSE 0 END)::BIGINT AS n_verified,
+            CASE WHEN count(*) > 0
+              THEN round(sum(CASE WHEN jaccard >= $tau THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*)::DOUBLE, 6)
+              ELSE 0.0 END AS precision
+          FROM jac_$tag)"""
+      }.mkString(",\n")
+      val rows = sweepTaus.map(tau => s"SELECT * FROM row_t${(tau * 10).round}")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleCtes,
+      sig AS (SELECT doc_id, ${sigSelects(16)} FROM hx GROUP BY 1),
+      sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shd GROUP BY 1),
+      $chains
+      SELECT tau, bands, rows_per_band, n_candidates, n_verified, precision
+      FROM ($rows) ORDER BY tau"""
+    })),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the
@@ -1986,6 +2079,11 @@ object PipelineQueries {
     */
   private def lshSplits: Seq[(Int, Int)] =
     Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** Target thresholds swept by q_lsh_tuned_sweep — chosen so the three
+    * auto-derived bandings differ ((8,2), (4,4), (2,8) over 16 perms).
+    */
+  private def sweepTaus: Seq[Double] = Seq(0.3, 0.5, 0.8)
 
   /** x^n (n a power of two) as the balanced squaring product — the
     * Column and SQL emitters share this shape so the doubles associate
