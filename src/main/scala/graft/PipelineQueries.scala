@@ -504,9 +504,12 @@ object PipelineQueries {
     // join fan-out by arboricity — id-ordering is its deterministic
     // stand-in here, and maxBucket already caps the LSH fan-in above.
     "q_triangles" -> (((s: SparkSession, dir: String) => {
-      val e = Dedup.minhashCandidates(t(s, dir, "documents"),
-        numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      // truncated once: the edge frame feeds three join sides below, and
+      // without the cut the banded candidate join replans per reference
+      val e = graft.ops.Checkpoints.truncate(
+        Dedup.minhashCandidates(t(s, dir, "documents"),
+          numPerms = 8, rowsPerBand = 2, maxBucket = 1000000)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
       val paths = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
       val tri = paths.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
         .select("a", "b", "c")

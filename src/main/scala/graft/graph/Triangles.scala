@@ -60,9 +60,18 @@ object Triangles {
   /** Each triangle exactly once as (x, y, z) with rank(x) < rank(y) <
     * rank(z) under the (degree, id) order: wedges (x→y, x→z) enumerated
     * at the lowest-ranked vertex, closed by the oriented y→z edge.
+    *
+    * The edge frame feeds the degree aggregate plus three join sides,
+    * so both it and the oriented list are lineage-truncated (the
+    * tf-table/shingle-table discipline) — an expensive upstream edge
+    * producer (the LSH candidate join) computes exactly once, not once
+    * per plan reference.
     */
-  def triangleList(edges: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
-    val dir = orientEdges(edges, a, b)
+  def triangleList(edges: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame =
+    triangleListOf(graft.ops.Checkpoints.truncate(edges), a, b)
+
+  private def triangleListOf(e: DataFrame, a: String, b: String): DataFrame = {
+    val dir = graft.ops.Checkpoints.truncate(orientEdges(e, a, b))
     val e1 = dir.select(col("src"), col("dst").as("y"), col("ddeg").as("_dy"))
     val e2 = dir.select(col("src"), col("dst").as("z"), col("ddeg").as("_dz"))
     val wedges = e1.join(e2, "src")
@@ -78,22 +87,29 @@ object Triangles {
     * algorithms are output-identical; only join fan-out differs).
     */
   def perNodeTriangles(edges: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame =
-    triangleList(edges, a, b)
+    perNodeOf(graft.ops.Checkpoints.truncate(edges), a, b)
+
+  private def perNodeOf(e: DataFrame, a: String, b: String): DataFrame =
+    triangleListOf(e, a, b)
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
 
   /** Local clustering coefficient per node: 2·tri / (deg·(deg−1)),
     * 0 for degree-1 nodes, over every node of the edge set. The
     * double division is written with one fixed association and rounded
-    * at 6 so the value replays bit-identically on any engine.
+    * at 6 so the value replays bit-identically on any engine. The edge
+    * frame is truncated once and shared by the degree aggregate and the
+    * whole triangle pipeline.
     */
-  def clusteringCoefficient(edges: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame =
-    degrees(edges, a, b)
-      .join(perNodeTriangles(edges, a, b), Seq("node"), "left")
+  def clusteringCoefficient(edges: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
+    val e = graft.ops.Checkpoints.truncate(edges)
+    degrees(e, a, b)
+      .join(perNodeOf(e, a, b), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") > 1,
           round((lit(2.0) * coalesce(col("n_triangles"), lit(0L))) /
             (col("degree") * (col("degree") - lit(1.0))), 6))
           .otherwise(lit(0.0)).as("coeff"))
+  }
 }
