@@ -1768,10 +1768,13 @@ object PipelineQueries {
       val k3 = k2 && col("quality") >= 0.3
       val rep = ta.repetitionRatio(
         sig.where(k3).select(col("doc_id"), col("text")))
-      val flagged = sig.drop("text")
+      // truncated: the flag frame feeds both the stage-0..4 conditional
+      // aggregate and the dedup groupBy — without the cut the repetition
+      // explode+agg branch replans once per consumer
+      val flagged = graft.ops.Checkpoints.truncate(sig.drop("text")
         .join(rep, Seq("doc_id"), "left")
         .withColumn("k1", k1).withColumn("k2", k2).withColumn("k3", k3)
-        .withColumn("k4", k3 && col("rep_ratio") <= 0.2)
+        .withColumn("k4", k3 && col("rep_ratio") <= 0.2))
       def n(k: String) = sum(when(col(k), 1L).otherwise(0L))
       def tk(k: String) = sum(when(col(k), col("tok_cnt")).otherwise(0L))
       val s04 = flagged.agg(
@@ -1836,8 +1839,11 @@ object PipelineQueries {
     "q_quality_dup_decile" -> (((s: SparkSession, dir: String) => {
       val ta = graft.text.TextAnalysis
       val docs = t(s, dir, "documents")
-      val q = docs.select(col("doc_id"), ta.signals(col("text")).as("sg"))
-        .select(col("doc_id"), col("sg.quality").as("quality"))
+      // truncated: the signal frame feeds both the rank pass and the
+      // count scalar — language-id/quality regexes compute once
+      val q = graft.ops.Checkpoints.truncate(
+        docs.select(col("doc_id"), ta.signals(col("text")).as("sg"))
+          .select(col("doc_id"), col("sg.quality").as("quality")))
       val ranked = graft.ops.GlobalRank.withGlobalRank(
         q, Seq(col("quality"), col("doc_id")))
       val nRow = q.agg(count(lit(1)).as("_n"))
