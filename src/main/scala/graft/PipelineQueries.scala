@@ -2005,6 +2005,74 @@ object PipelineQueries {
       SELECT tau, bands, rows_per_band, n_candidates, n_verified, precision
       FROM ($rows) ORDER BY tau"""
     })),
+
+    // Dedup savings report: per source, what each dedup lens would
+    // remove — exact (first occurrence per content hash survives) and
+    // near-dup canonical (q_dedup_corpus's min-id-per-LSH-cluster keep)
+    // as INDEPENDENT lenses over the same corpus, in docs, chars, and
+    // the near-dup char fraction. This is the artifact that prices a
+    // dedup pass before running it ("source B is 40% boilerplate by
+    // bytes") and attributes savings after. Scale: both keep-flag
+    // pipelines are the certified operators (hash groupBy; banded LSH +
+    // O(diameter) components); the report adds two co-partitioned
+    // doc_id joins and one |sources|-row aggregate — full text never
+    // joins anything, only (doc_id, keep) flags move.
+    "q_dedup_savings" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val keepNear = Dedup.dedupCorpus(docs)
+        .select(col("doc_id"), col("keep").as("keep_near"))
+      val keepExact = docs
+        .groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("_canon"))
+        .select(col("_canon").as("doc_id"), lit(true).as("keep_exact"))
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(keepExact, Seq("doc_id"), "left")
+        .join(keepNear, Seq("doc_id"))
+        .withColumn("ke", coalesce(col("keep_exact"), lit(false)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(!col("ke"), 1L).otherwise(0L)).as("docs_removed_exact"),
+          sum(when(!col("ke"), col("n_chars")).otherwise(0L)).as("chars_removed_exact"),
+          sum(when(!col("keep_near"), 1L).otherwise(0L)).as("docs_removed_near"),
+          sum(when(!col("keep_near"), col("n_chars")).otherwise(0L)).as("chars_removed_near"))
+        .withColumn("near_char_frac",
+          round(col("chars_removed_near").cast("double")
+            / col("chars_total").cast("double"), 6))
+        .orderBy("source")
+    }, Some {
+      s"""WITH RECURSIVE $shingleCtes,
+      sig AS (SELECT doc_id, ${sigSelects(8)} FROM hx GROUP BY 1),
+      bands AS (${bandSelects(8, 2)}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      edges AS (SELECT pa AS a, pb AS b FROM pairs
+                UNION ALL SELECT pb, pa FROM pairs),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS r FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      comp AS (SELECT id, min(r) AS label FROM reach GROUP BY 1),
+      kn AS (SELECT d.doc_id, coalesce(comp.id = comp.label, TRUE) AS keep_near
+             FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+      ke AS (SELECT doc_id,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS ke
+             FROM documents)
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+        sum(d.n_chars)::BIGINT AS chars_total,
+        sum(CASE WHEN NOT ke.ke THEN 1 ELSE 0 END)::BIGINT AS docs_removed_exact,
+        sum(CASE WHEN NOT ke.ke THEN d.n_chars ELSE 0 END)::BIGINT AS chars_removed_exact,
+        sum(CASE WHEN NOT kn.keep_near THEN 1 ELSE 0 END)::BIGINT AS docs_removed_near,
+        sum(CASE WHEN NOT kn.keep_near THEN d.n_chars ELSE 0 END)::BIGINT AS chars_removed_near,
+        round(sum(CASE WHEN NOT kn.keep_near THEN d.n_chars ELSE 0 END)::DOUBLE
+          / sum(d.n_chars)::DOUBLE, 6) AS near_char_frac
+      FROM documents d
+      JOIN ke ON ke.doc_id = d.doc_id
+      JOIN kn ON kn.doc_id = d.doc_id
+      GROUP BY 1 ORDER BY 1"""
+    })),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the

@@ -118,7 +118,8 @@ class PlanShapesSpec extends SparkSpec {
       "q_length_quantiles", "q_ann_recall", "q_dup_cluster_stats",
       "q_source_logodds", "q_split_leakage", "q_cell_outliers",
       "q_clustering_coeff", "q_corpus_diff", "q_lsh_autotune",
-      "q_curation_funnel", "q_quality_dup_decile", "q_embed_drift"))
+      "q_curation_funnel", "q_quality_dup_decile", "q_embed_drift",
+      "q_lsh_tuned_sweep", "q_dedup_savings"))
       assert(!plan(name).contains("CartesianProduct"),
         s"$name must not plan a cartesian product")
   }
