@@ -2073,6 +2073,62 @@ object PipelineQueries {
       JOIN kn ON kn.doc_id = d.doc_id
       GROUP BY 1 ORDER BY 1"""
     })),
+
+    // Incremental ANN index maintenance: between two embedding
+    // snapshots, assign ONLY the delta vectors (added / removed) to
+    // their IVF cells and emit the per-cell postings worklist — the
+    // churn-bounded companion of q_corpus_diff for the vector side. At
+    // 100 TB with 1% daily churn the two anti-joins and the broadcast
+    // centroid assignment touch 1% of vectors; the standing index is
+    // never rebuilt, and the output (cell → +n/−n) is |cells| rows.
+    // Cell assignment is the production buildIvfIndex path (broadcast
+    // centroids, (sim, −cid) running max), the same tie-break the IVF
+    // oracles already certify.
+    "q_ivf_incremental" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val v1 = emb.where(col("vec_id") % 10 =!= 3)
+      val v2 = emb.where(col("vec_id") % 10 =!= 7)
+      val added = v2.join(v1.select("vec_id"), Seq("vec_id"), "left_anti")
+      val removed = v1.join(v2.select("vec_id"), Seq("vec_id"), "left_anti")
+      def cells(d: DataFrame, as: String) =
+        graft.sim.Similarity.buildIvfIndex(d, centroids)
+          .groupBy("cell").agg(count(lit(1)).as(as))
+      cells(added, "n_added")
+        .join(cells(removed, "n_removed"), Seq("cell"), "full_outer")
+        .select(col("cell").cast("long").as("cell"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .orderBy("cell")
+    }, Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      v1 AS (SELECT * FROM e WHERE vec_id % 10 != 3),
+      v2 AS (SELECT * FROM e WHERE vec_id % 10 != 7),
+      added AS (SELECT * FROM v2
+                WHERE vec_id NOT IN (SELECT vec_id FROM v1)),
+      removed AS (SELECT * FROM v1
+                  WHERE vec_id NOT IN (SELECT vec_id FROM v2)),
+      aassign AS (SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+          ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS rn
+        FROM added a CROSS JOIN c) WHERE rn = 1),
+      rassign AS (SELECT vec_id, cid FROM (
+        SELECT r.vec_id, c.cid, row_number() OVER (PARTITION BY r.vec_id
+          ORDER BY list_cosine_similarity(r.v, c.cv) DESC, c.cid) AS rn
+        FROM removed r CROSS JOIN c) WHERE rn = 1),
+      ac AS (SELECT cid AS cell, count(*)::BIGINT AS n_added
+             FROM aassign GROUP BY 1),
+      rc AS (SELECT cid AS cell, count(*)::BIGINT AS n_removed
+             FROM rassign GROUP BY 1)
+      SELECT coalesce(ac.cell, rc.cell)::BIGINT AS cell,
+        coalesce(n_added, 0)::BIGINT AS n_added,
+        coalesce(n_removed, 0)::BIGINT AS n_removed
+      FROM ac FULL OUTER JOIN rc ON ac.cell = rc.cell
+      ORDER BY cell"""))),
   )
 
   /** Shared DuckDB CTE pair: whitespace tokens per (lang, doc) and the
