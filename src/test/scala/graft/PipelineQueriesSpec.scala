@@ -357,4 +357,39 @@ class PipelineQueriesSpec extends SparkSpec {
     val dep = (1 to 5).flatMap(_ => Seq(("a", "x"), ("b", "y")))
     assert(chi2Of(dep) == ((4L, 1L, 10.0)))
   }
+
+  test("q_curation_funnel: survivors monotonically shrink and stage 0 " +
+    "is the whole table") {
+    val rows = run("q_curation_funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 5L))
+    assert(rows.head._2 == Tables.load(spark, sfDir, "documents").count())
+    assert(rows.sliding(2).forall { case Array((_, d1, t1), (_, d2, t2)) =>
+      d2 <= d1 && t2 <= t1 })
+  }
+
+  test("q_quality_dup_decile: deciles are balanced and sum to the corpus") {
+    val rows = run("q_quality_dup_decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._1).sorted.toSeq == (0L to 9L))
+    assert(rows.map(_._2).sum == n)
+    // exact rank cuts: every decile holds floor(n/10) or ceil(n/10) docs
+    assert(rows.forall { case (_, d, _) => d == n / 10 || d == n / 10 + 1 })
+    assert(rows.forall { case (_, d, dup) => dup <= d })
+  }
+
+  test("q_lsh_tuned_sweep: candidate sets nest as bands coarsen, so " +
+    "counts fall monotonically with the threshold") {
+    // an r-row band key is the conjunction of its r/2-row halves: any
+    // pair matching a (2,8) band matches both covering (4,4) bands, and
+    // any (4,4) match implies both (8,2) matches — candidates(τ=0.8) ⊆
+    // candidates(0.5) ⊆ candidates(0.3)
+    val rows = run("q_lsh_tuned_sweep").collect()
+      .map(r => (r.getDouble(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.5, 0.8))
+    assert(rows.sliding(2).forall { case Array((_, c1, _), (_, c2, _)) =>
+      c2 <= c1 })
+    assert(rows.forall { case (_, c, v) => v <= c })
+  }
 }
