@@ -392,4 +392,13 @@ class PipelineQueriesSpec extends SparkSpec {
       c2 <= c1 })
     assert(rows.forall { case (_, c, v) => v <= c })
   }
+
+  test("q_lsh_autotune's in-engine winner is the plan lshBanding derives") {
+    val rows = run("q_lsh_autotune").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(3)))
+    val winner = rows.find(_._3 == 1L).map(r => (r._1, r._2))
+    // the squaring-chain replay and the driver-side math.pow integral
+    // must agree on the PICK (the contract; raw err may differ in ulps)
+    assert(winner.contains(graft.dedup.Dedup.lshBanding(0.5, 16)))
+  }
 }

@@ -87,4 +87,16 @@ class TrianglesSpec extends SparkSpec {
     // "up" the (degree, id) order, so every wedge pair is inspected once
     assert(oriented == 35L && unoriented == 105L)
   }
+
+  test("mixed coefficients: triangle with a pendant edge") {
+    // 0-1-2 triangle, 3 pendant on 2: deg = (2,2,3,1);
+    // coeff(0)=coeff(1)=1, coeff(2)=2·1/(3·2)=1/3, coeff(3)=0
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
+    val got = Triangles.clusteringCoefficient(edgeDf(es))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      0L -> ((2L, 1L, 1.0)), 1L -> ((2L, 1L, 1.0)),
+      2L -> ((3L, 1L, 0.333333)), 3L -> ((1L, 0L, 0.0))))
+  }
 }

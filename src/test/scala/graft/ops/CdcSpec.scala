@@ -158,4 +158,15 @@ class CdcSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "changed", 3L -> "changed"))
   }
+
+  test("snapshotDiff is partitioning-independent") {
+    import spark.implicits._
+    val old = (1 to 500).map(i => (i.toLong, s"v${i / 3}")).toDF("k", "v")
+    val neu = (101 to 600).map(i => (i.toLong, s"v${i / 4}")).toDF("k", "v")
+    val a = Cdc.snapshotDiff(old.repartition(1), neu.repartition(1),
+      Seq("k"), Seq("v")).collect().map(_.toSeq).toSet
+    val b = Cdc.snapshotDiff(old.repartition(13), neu.repartition(7),
+      Seq("k"), Seq("v")).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
