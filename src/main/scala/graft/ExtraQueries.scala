@@ -2507,5 +2507,46 @@ object ExtraQueries {
                               * least(1.0, 512.0 / greatest(w, h))))::BIGINT
           AS resized_len
       FROM m"""))),
+
+    // Perceptual near-dup media pairs: the 60-bit stub dHash (6×11 byte
+    // grid, 4×15-bit bands — BIGINT-safe on both engines) through the
+    // SAME pigeonhole band join as the text SimHash path, lossless at
+    // Hamming ≤ 3. The image-dedup stage of a multimodal corpus: exact
+    // byte-dup thumbnails collide at hamming 0, re-encoded/perturbed
+    // copies at small hamming, unrelated media nowhere. The oracle
+    // replays grid comparisons, band assembly, bucket join, and the
+    // popcount verify bit-for-bit (pure integer ops throughout).
+    "q_media_dedup" -> (((s: SparkSession, dir: String) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").as("payload_text"))
+      graft.multimodal.Multimodal.mediaNearDups(media)
+        .orderBy("media_a", "media_b")
+    }, Some {
+      def bandSql(b: Int): String = (0 until 15).map { j =>
+        val k = 15 * b + j
+        val idx = (k / 10) * 11 + k % 10
+        s"""CASE WHEN ascii(substr(text, ($idx % g) + 1, 1))
+          > ascii(substr(text, ($idx % g) + 2, 1))
+          THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      val bandUnion = (0 until 4).map { b =>
+        s"SELECT media_id, $b AS band, b$b AS bkey, b0, b1, b2, b3 FROM h"
+      }.mkString(" UNION ALL ")
+      s"""WITH m AS (
+        SELECT doc_id AS media_id, text, greatest(len(text) - 1, 1) AS g
+        FROM documents),
+      h AS (SELECT media_id, ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
+              ${bandSql(2)} AS b2, ${bandSql(3)} AS b3 FROM m),
+      bands AS ($bandUnion),
+      cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+          (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)))::BIGINT
+            AS hamming
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.media_id < b.media_id)
+      SELECT media_a, media_b, hamming FROM cand
+      WHERE hamming <= 3 ORDER BY media_a, media_b"""
+    })),
   )
 }

@@ -805,9 +805,23 @@ object Dedup {
   }
 
   private def simhashPairsBanded(docs: DataFrame, nBands: Int, maxHamming: Int,
-                                 maxBucket: Int, text: String, id: String): DataFrame = {
+                                 maxBucket: Int, text: String, id: String): DataFrame =
+    bandedHammingPairs(simhashBands(docs, nBands, text, id),
+      nBands, maxHamming, maxBucket, id)
+
+  /** The pigeonhole band self-join over ANY precomputed per-band
+    * signature table `sig` (columns `id`, `b0..b{nBands-1}`): pairs
+    * sharing a band bucket, verified at total Hamming ≤ `maxHamming`.
+    * Lossless for maxHamming < nBands (a closer pair must agree on
+    * some whole band). Shared by the SimHash text path and the
+    * multimodal dHash path — one join shape, two signature producers.
+    * `sig` is checkpointed here: both join sides consume it.
+    */
+  private[graft] def bandedHammingPairs(sigIn: DataFrame, nBands: Int,
+                                        maxHamming: Int, maxBucket: Int,
+                                        id: String): DataFrame = {
     val bn = (0 until nBands).map(k => s"b$k")
-    val sig = graft.ops.Checkpoints.truncate(simhashBands(docs, nBands, text, id))
+    val sig = graft.ops.Checkpoints.truncate(sigIn)
     val bands = sig.select(col(id) +: bn.map(col) :+
         explode(array((0 until nBands).map(k =>
           struct(lit(k).as("band"), col(s"b$k").as("bkey"))): _*)).as("e"): _*)

@@ -279,6 +279,60 @@ object Multimodal {
   /** Deterministic synthetic media table (tests / demos): payload bytes
     * derived from the id via md5 expansion.
     */
+  /** 60-bit difference-hash (dHash) over the stub pixel grid, as FOUR
+    * 15-bit band columns `b0..b3` — the perceptual-dedup signature for
+    * the image/video side of a corpus. Classic dHash compares adjacent
+    * cells of a downsampled grayscale grid; the stub path reads the
+    * payload's leading bytes as that grid (6 rows × 11 cells, 10
+    * comparisons per row — no comparison straddles a row boundary),
+    * indexed modulo the payload length so the hash is total on any
+    * input. Swap the byte reads for real resampled pixels at the
+    * [[MediaCodec]] seam and nothing downstream changes. 60 bits (not
+    * 64) keeps every band value and the assembled hash inside signed
+    * 64-bit range on ANY engine — DuckDB errors on BIGINT overflow, so
+    * the oracle could not replay a bit-63 hash.
+    *
+    * Takes the payload rendered as a string (`ascii`/`substring` are
+    * string ops; the ASCII-soup test corpus and any UTF-8-safe
+    * rendering of real bytes both work) — pure codegen, no UDF.
+    */
+  def dHashStubBands(payloadText: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val g = greatest(length(payloadText) - 1, lit(1))
+    def bit(k: Int): org.apache.spark.sql.Column = {
+      val idx = lit((k / 10) * 11 + k % 10) % g
+      ascii(payloadText.substr(idx + lit(1), lit(1))) >
+        ascii(payloadText.substr(idx + lit(2), lit(1)))
+    }
+    (0 until 4).map { b =>
+      (0 until 15).map { j =>
+        when(bit(15 * b + j), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+  }
+
+  /** Perceptual near-duplicate media pairs: [[dHashStubBands]] signatures
+    * through the SAME pigeonhole band self-join as the text SimHash path
+    * ([[graft.dedup.Dedup]] `bandedHammingPairs`) — lossless at total
+    * Hamming ≤ 3 over the 4 bands, `maxBucket` guarding degenerate
+    * buckets (identical boilerplate thumbnails), never all pairs.
+    * Output: (media_a, media_b, hamming ≤ maxHamming).
+    */
+  def mediaNearDups(media: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 1000,
+                    payloadText: String = "payload_text",
+                    id: String = "media_id"): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for Hamming <= 3")
+    val bands = dHashStubBands(col(payloadText))
+    val sig = media.select(col(id) +:
+      bands.zipWithIndex.map { case (b, k) => b.as(s"b$k") }: _*)
+    graft.dedup.Dedup.bandedHammingPairs(sig, nBands = 4,
+        maxHamming = maxHamming, maxBucket = maxBucket, id = id)
+      .withColumnRenamed("doc_a", "media_a")
+      .withColumnRenamed("doc_b", "media_b")
+  }
+
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>

@@ -119,7 +119,8 @@ class PlanShapesSpec extends SparkSpec {
       "q_source_logodds", "q_split_leakage", "q_cell_outliers",
       "q_clustering_coeff", "q_corpus_diff", "q_lsh_autotune",
       "q_curation_funnel", "q_quality_dup_decile", "q_embed_drift",
-      "q_lsh_tuned_sweep", "q_dedup_savings", "q_ivf_incremental"))
+      "q_lsh_tuned_sweep", "q_dedup_savings", "q_ivf_incremental",
+      "q_media_dedup"))
       assert(!plan(name).contains("CartesianProduct"),
         s"$name must not plan a cartesian product")
   }

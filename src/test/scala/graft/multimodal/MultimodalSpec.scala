@@ -183,6 +183,42 @@ class MultimodalSpec extends SparkSpec {
       assert(r.byte_len > 0 && r.checksum.length == 32)
     }
   }
+
+  test("mediaNearDups: byte-identical payloads at hamming 0, a one-cell " +
+    "perturbation nearby, unrelated media absent") {
+    import spark.implicits._
+    val base = "The quick brown fox jumps over the lazy dog while seven " +
+      "wizards mix a potion of zinc and quartz for the king's breakfast"
+    // flip ONE grid cell (position 30, a space) to '~' (above every
+    // letter) — both adjacent comparisons invert, so exactly 2 of 60
+    // bits move
+    val tweaked = base.updated(30, '~')
+    val other = (1 to 130).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val media = Seq((1L, base), (2L, base), (3L, tweaked), (4L, other))
+      .toDF("media_id", "payload_text")
+    val got = graft.multimodal.Multimodal.mediaNearDups(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0L)                       // exact dup
+    assert(got.get((1L, 3L)).exists(h => h >= 1 && h <= 3)) // near dup
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
+  test("dHashStubBands: bands are 15-bit and deterministic across " +
+    "partitionings") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i =>
+      (i.toLong, (0 until 80).map(j => ('!' + (i * 13 + j * j) % 90).toChar).mkString))
+    def sigs(parts: Int) = rows.toDF("media_id", "payload_text")
+      .repartition(parts)
+      .select(col("media_id") +: graft.multimodal.Multimodal
+        .dHashStubBands(col("payload_text")).zipWithIndex
+        .map { case (b, k) => b.as(s"b$k") }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getLong).toSeq).toMap
+    val a = sigs(1)
+    assert(a == sigs(11))
+    assert(a.values.flatten.forall(v => v >= 0 && v < 32768))
+  }
 }
 
 object MultimodalSpec {
