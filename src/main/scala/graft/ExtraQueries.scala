@@ -2548,5 +2548,44 @@ object ExtraQueries {
       SELECT media_a, media_b, hamming FROM cand
       WHERE hamming <= 3 ORDER BY media_a, media_b"""
     })),
+
+    // Unicode-equivalence dedup: byte-distinct variants of the same text
+    // (precomposed vs combining-mark accents) collapse under the canonical
+    // NFC + accent-fold key computed by the native codegen expressions in
+    // graft.functions.TextExpressions — the curation-layer fix for the
+    // byte-keyed Text equality of the reference (io/Text.java). Per lang:
+    // 3N variants, N normalized keys, 3N raw keys (docs containing 'a').
+    "q_unicode_dedup" -> (((s: SparkSession, dir: String) => {
+      import graft.functions.TextExpressions
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("b"))
+      val variants = base.select(col("lang"), col("b").as("v"))
+        .unionByName(base.select(col("lang"),
+          regexp_replace(col("b"), "a", "á").as("v")))
+        .unionByName(base.select(col("lang"),
+          regexp_replace(col("b"), "a", "á").as("v")))
+      variants
+        .select(col("lang"),
+          md5(TextExpressions.stripAccents(TextExpressions.nfc(col("v"))))
+            .as("nk"),
+          md5(col("v")).as("rk"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("nk")).as("n_norm_keys"),
+          countDistinct(col("rk")).as("n_raw_keys"))
+        .orderBy("lang")
+    }, Some("""WITH base AS (
+        SELECT doc_id, lang, lower(text) AS b FROM documents),
+      variants AS (
+        SELECT lang, b AS v FROM base
+        UNION ALL SELECT lang, replace(b, 'a', chr(225)) FROM base
+        UNION ALL SELECT lang, replace(b, 'a', 'a' || chr(769)) FROM base),
+      keyed AS (
+        SELECT lang, md5(strip_accents(nfc_normalize(v))) AS nk, md5(v) AS rk
+        FROM variants)
+      SELECT lang, count(*)::BIGINT AS n_variants,
+        count(DISTINCT nk)::BIGINT AS n_norm_keys,
+        count(DISTINCT rk)::BIGINT AS n_raw_keys
+      FROM keyed GROUP BY lang ORDER BY lang"""))),
   )
 }
