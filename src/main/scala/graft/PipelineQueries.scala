@@ -1289,6 +1289,42 @@ object PipelineQueries {
       JOIN ranked rh ON rh.lang = t.lang AND rh.idx = t.hi
       ORDER BY t.lang, t.p"""))),
 
+    // Hash-sample quantile sketch: the bounded-state, mergeable
+    // approximation of q_length_quantiles — per language, quantiles of
+    // the k=64 rows with the smallest md5(doc_id), a deterministic
+    // uniform subsample whose bottom-k retention makes daily sketches
+    // union into weekly ones without re-reading the corpus. The oracle
+    // replays sampling, ranking and interpolation verbatim.
+    "q_sample_quantiles" -> (((s: SparkSession, dir: String) => {
+      graft.agg.Sketches.hashSampleQuantiles(
+        t(s, dir, "documents"), Seq(0.1, 0.5, 0.9, 0.99),
+        group = "lang", value = "n_chars", id = "doc_id", k = 64)
+        .orderBy("lang", "p")
+    }, Some("""WITH sampled AS (
+        SELECT lang, n_chars::DOUBLE AS v, doc_id FROM (
+          SELECT lang, n_chars, doc_id,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                doc_id) AS srn
+          FROM documents)
+        WHERE srn <= 64),
+      ranked AS (
+        SELECT lang, v,
+          row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS idx
+        FROM sampled),
+      np AS (SELECT lang, max(idx) AS n FROM ranked GROUP BY 1),
+      ps AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS p),
+      tgt AS (SELECT lang, p, p * (n - 1)::DOUBLE AS pos,
+          floor(p * (n - 1)::DOUBLE)::BIGINT + 1 AS lo,
+          ceil(p * (n - 1)::DOUBLE)::BIGINT + 1 AS hi
+        FROM np CROSS JOIN ps)
+      SELECT t.lang, t.p,
+        round(rl.v + (t.pos - floor(t.pos)) * (rh.v - rl.v), 6) AS quantile
+      FROM tgt t
+      JOIN ranked rl ON rl.lang = t.lang AND rl.idx = t.lo
+      JOIN ranked rh ON rh.lang = t.lang AND rh.idx = t.hi
+      ORDER BY t.lang, t.p"""))),
+
     // Embedding-space outlier gate: assign every vector to its nearest
     // centroid (IVF argmax, ties to the smaller cid) and flag vectors
     // whose cosine to their OWN cell centroid is below 0.1 — the

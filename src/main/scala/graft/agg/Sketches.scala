@@ -250,4 +250,54 @@ object Sketches {
       .groupBy("grp", "register").agg(max(col("m_reg")).as("m_reg"))
     hllEstimate(merged, m).withColumnRenamed("grp", "day")
   }
+
+  /** Hash-sample quantile sketch — mergeable bounded-state approximate
+    * quantiles per group, the quantile member of the bottom-k sketch
+    * family above (same deterministic-md5 discipline, so any engine
+    * replays the estimate bit-for-bit).
+    *
+    * Semantics: per group keep the k rows whose md5(id) hashes smallest —
+    * a uniform k-subsample that is a pure function of the group's id SET
+    * (partitioning- and merge-order-proof: the bottom-k of a union is the
+    * trimmed union of bottom-ks, exactly the KMV retention property) —
+    * then take exact interpolated quantiles (percentile_cont definition,
+    * via [[graft.ops.GlobalRank.interpolatedQuantiles]]) of the sample.
+    * Rank error is the bottom-k sampling error, O(1/sqrt(k)) ≈ 6% of rank
+    * at k=256 (measured in SketchesSpec against planted distributions).
+    *
+    * Why not exact quantiles everywhere: the exact path
+    * (q_length_quantiles) range-partitions ALL rows per group — correct
+    * and spillable, but at 100 TB a per-group percentile dashboard
+    * re-sorts the corpus. This sketch ships k·|groups| rows total after
+    * the first window pass, and — because the sample is mergeable — daily
+    * samples union-and-trim into weekly/monthly quantiles without
+    * touching the raw data again.
+    *
+    * Scale shape: the `row_number() <= k` filter is Spark 4's
+    * InferWindowGroupLimit pattern (same as q_domain_cap, measured 2×
+    * over manual salting in d15) — a bounded per-group heap runs BEFORE
+    * the exchange, so at most k rows per group per input partition cross
+    * the shuffle; everything downstream operates on ≤ k·|groups| rows.
+    */
+  /** The sketch's retained state: the k rows per group whose md5(id)
+    * hashes smallest. Public so plan audits can assert the
+    * WindowGroupLimit bound on THIS stage (the quantile stage checkpoints
+    * through GlobalRank, which truncates lineage and hides it).
+    */
+  def hashSample(df: DataFrame, group: String, value: String, id: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group))
+      .orderBy(graft.ops.Sampling.hashBits32(col(id)), col(id))
+    df.select(col(group), col(value), col(id))
+      .withColumn("_srn", row_number().over(w))
+      .where(col("_srn") <= k)
+      .drop("_srn")
+  }
+
+  def hashSampleQuantiles(df: DataFrame, ps: Seq[Double], group: String,
+                          value: String, id: String, k: Int): DataFrame =
+    graft.ops.GlobalRank.interpolatedQuantiles(
+      hashSample(df, group, value, id, k), ps, group, value, id)
 }

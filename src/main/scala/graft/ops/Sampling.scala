@@ -32,6 +32,17 @@ object Sampling {
   def hashBits32(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Driver-side replay of [[hashBits32]] for plain JVM strings — lets
+    * specs and driver-side audits recompute the exact sample membership
+    * an engine run produced (same contract: first 8 md5 hex digits).
+    */
+  def hashBits32Of(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** [[hashBits32]] scaled to [0,1) — the repo's uniform [0,1) hash. */
   def hash01(key: Column): Column =
     hashBits32(key).cast("double") / lit(4294967296.0)

@@ -140,4 +140,21 @@ class PlanShapesSpec extends SparkSpec {
       "the sampled query set must broadcast against the corpus scan")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_sample_quantiles bounds the hash sample map-side and never " +
+    "plans a single-partition window") {
+    // the quantile stage checkpoints through GlobalRank (lineage
+    // truncates), so assert the two claims on the stages that carry them:
+    // the SAMPLE stage must be WindowGroupLimit-bounded...
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sp = graft.agg.Sketches
+      .hashSample(docs, "lang", "n_chars", "doc_id", k = 64)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("WindowGroupLimit"),
+      "the bottom-k hash sample must prune before its shuffle")
+    // ...and the assembled query must never converge to one task
+    val p = plan("q_sample_quantiles")
+    assert(!p.contains("SinglePartition"),
+      "sample-quantile ranking must stay range-partitioned")
+  }
 }

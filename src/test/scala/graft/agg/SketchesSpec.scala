@@ -154,4 +154,71 @@ class SketchesSpec extends SparkSpec {
     }
     assert(slid == direct)
   }
+
+  test("hash-sample quantiles: k >= group size degenerates to exact quantiles") {
+    import spark.implicits._
+    val rows = for (g <- Seq("a", "b"); i <- 0 until 50)
+      yield (g, (i * 13 + g.hashCode.abs) % 97, s"$g-$i")
+    val df = rows.toDF("grp", "v", "id")
+    val ps = Seq(0.1, 0.5, 0.9)
+    val approx = Sketches.hashSampleQuantiles(df, ps, "grp", "v", "id", k = 50)
+      .orderBy("grp", "p").collect().toSeq
+    val exact = graft.ops.GlobalRank.interpolatedQuantiles(df, ps, "grp", "v", "id")
+      .orderBy("grp", "p").collect().toSeq
+    assert(approx == exact)
+  }
+
+  test("hash-sample quantiles: rank error stays inside the O(1/sqrt(k)) band") {
+    import spark.implicits._
+    // Planted uniform 0..9999: the true p-quantile is ~10000p, so the
+    // observed rank error |approx/10000 - p| reads off directly.
+    val rnd = new scala.util.Random(42)
+    val rows = rnd.shuffle((0 until 10000).toList).map(v => (v, s"id$v"))
+    val df = rows.toDF("v", "id").withColumn("grp", lit("all"))
+    val k = 256
+    val got = Sketches.hashSampleQuantiles(
+        df, Seq(0.1, 0.5, 0.9), "grp", "v", "id", k)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    // 3 standard errors of the bottom-k binomial: 3*sqrt(p(1-p)/k)
+    for ((p, q) <- got) {
+      val tol = 3 * math.sqrt(p * (1 - p) / k)
+      assert(math.abs(q / 10000.0 - p) <= tol,
+        s"p=$p q=$q err=${math.abs(q / 10000.0 - p)} tol=$tol")
+    }
+  }
+
+  test("hash-sample quantiles are partitioning-independent (pure hash sample)") {
+    import spark.implicits._
+    val rows = (0 until 3000).map(i => ("g" + (i % 3), i * 7 % 1000, s"id$i"))
+    val df = rows.toDF("grp", "v", "id")
+    val ps = Seq(0.25, 0.75)
+    val a = Sketches.hashSampleQuantiles(df.repartition(1), ps, "grp", "v", "id", 64)
+      .orderBy("grp", "p").collect().toSeq
+    val b = Sketches.hashSampleQuantiles(
+        df.repartition(17, col("id")), ps, "grp", "v", "id", 64)
+      .orderBy("grp", "p").collect().toSeq
+    assert(a == b)
+  }
+
+  test("hash-sample is mergeable: sketch of a union == trimmed union of sketches") {
+    import spark.implicits._
+    // The retained SAMPLE (bottom-k ids by hash) must satisfy the KMV
+    // merge law; quantiles over equal samples are then equal for free.
+    val part1 = (0 until 400).map(i => ("g", i, s"id$i")).toDF("grp", "v", "id")
+    val part2 = (400 until 900).map(i => ("g", i, s"id$i")).toDF("grp", "v", "id")
+    val k = 32
+    def sampleIds(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+        .orderBy(graft.ops.Sampling.hashBits32(col("id")), col("id"))
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select("id").collect().map(_.getString(0)).toSeq.sorted
+    }
+    val whole = sampleIds(part1.unionByName(part2))
+    val merged = {
+      val u = (sampleIds(part1) ++ sampleIds(part2)).distinct
+      val byHash = u.map(id => (graft.ops.Sampling.hashBits32Of(id), id)).sorted
+      byHash.take(k).map(_._2).sorted
+    }
+    assert(whole == merged)
+  }
 }
