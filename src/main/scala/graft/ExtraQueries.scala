@@ -2587,5 +2587,53 @@ object ExtraQueries {
         count(DISTINCT nk)::BIGINT AS n_norm_keys,
         count(DISTINCT rk)::BIGINT AS n_raw_keys
       FROM keyed GROUP BY lang ORDER BY lang"""))),
+
+    // Encoding-quality gate: planted corruption variants (UTF-8-as-
+    // Latin-1 mojibake, C0 control injection, U+FFFD replacement chars)
+    // against the clean text — the gate must drop exactly the corrupted
+    // variants and count each artifact class. Regex patterns are the
+    // SAME strings on both engines (TextAnalysis exports them), staying
+    // in the Java-regex/RE2 common subset.
+    "q_encoding_gate" -> (((s: SparkSession, dir: String) => {
+      import graft.text.TextAnalysis
+      val base = t(s, dir, "documents").select(lower(col("text")).as("b"))
+      def v(tag: String, c: Column) =
+        base.select(lit(tag).as("variant"), c.as("v"))
+      val variants = v("clean", col("b"))
+        .unionByName(v("moji",
+          regexp_replace(col("b"), "a", "\u00C3\u00A1")))
+        .unionByName(v("ctrl", regexp_replace(col("b"), " ", " \u0001")))
+        .unionByName(v("repl", regexp_replace(col("b"), "e", "\uFFFD")))
+      variants
+        .select(col("variant"),
+          TextAnalysis.mojibakeCount(col("v")).as("moji"),
+          TextAnalysis.replacementCount(col("v")).as("repl"),
+          TextAnalysis.controlCount(col("v")).as("ctrl"),
+          TextAnalysis.encodingKeep(col("v")).as("keep"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("keep"), lit(1L)).otherwise(lit(0L))).as("n_dropped"),
+          sum(col("moji")).as("sum_moji"),
+          sum(col("repl")).as("sum_repl"),
+          sum(col("ctrl")).as("sum_ctrl"))
+        .orderBy("variant")
+    }, Some(s"""WITH base AS (SELECT lower(text) AS b FROM documents),
+      variants AS (
+        SELECT 'clean' AS variant, b AS v FROM base
+        UNION ALL SELECT 'moji', replace(b, 'a', chr(195) || chr(161)) FROM base
+        UNION ALL SELECT 'ctrl', replace(b, ' ', ' ' || chr(1)) FROM base
+        UNION ALL SELECT 'repl', replace(b, 'e', chr(65533)) FROM base),
+      counted AS (
+        SELECT variant,
+          len(regexp_extract_all(v, '${graft.text.TextAnalysis.MojibakeRe}'))::BIGINT AS moji,
+          len(regexp_extract_all(v, '${graft.text.TextAnalysis.ReplacementRe}'))::BIGINT AS repl,
+          len(regexp_extract_all(v, '${graft.text.TextAnalysis.ControlRe}'))::BIGINT AS ctrl
+        FROM variants)
+      SELECT variant, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN moji + repl + ctrl > 0 THEN 1 ELSE 0 END)::BIGINT
+          AS n_dropped,
+        sum(moji)::BIGINT AS sum_moji, sum(repl)::BIGINT AS sum_repl,
+        sum(ctrl)::BIGINT AS sum_ctrl
+      FROM counted GROUP BY variant ORDER BY variant"""))),
   )
 }

@@ -98,6 +98,43 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(toks(lower(text)))), " "))
 
+  /** Encoding-quality signals — the corrupt-text gate a crawl corpus
+    * runs before any content filter (mojibake survives every downstream
+    * heuristic because the TOKENS still look like words). Three
+    * codegen'd regex counts that ride the scan; patterns stay inside the
+    * Java-regex/RE2 common subset and are exported so oracle SQL embeds
+    * the exact same strings.
+    *
+    * - mojibake: UTF-8 bytes re-decoded as Latin-1/cp1252 — a C3/C2 lead
+    *   byte surfaces as Ã/Â followed by a continuation char in
+    *   [U+0080,U+00BF], and the cp1252 picture of a curly-quote/ellipsis
+    *   sequence starts â€ (U+00E2 U+20AC).
+    * - replacement: U+FFFD, a decoder's explicit "byte salad was here".
+    * - control: C0 controls minus \t\n\r — binary-in-text contamination.
+    */
+  val MojibakeRe =
+    "[\\x{00C3}\\x{00C2}][\\x{0080}-\\x{00BF}]|\\x{00E2}\\x{20AC}."
+  val ReplacementRe = "\\x{FFFD}"
+  val ControlRe =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]"
+
+  def mojibakeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(MojibakeRe), lit(0))).cast("long")
+
+  def replacementCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(ReplacementRe), lit(0))).cast("long")
+
+  def controlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(ControlRe), lit(0))).cast("long")
+
+  /** Zero-tolerance keep flag: any mojibake digraph, replacement char or
+    * stray C0 control drops the document (re-crawling beats training on
+    * byte salad; a threshold variant is one `<=` away).
+    */
+  def encodingKeep(text: Column): Column =
+    mojibakeCount(text) === 0 && replacementCount(text) === 0 &&
+      controlCount(text) === 0
+
   /** PII scrubbing for training corpora: replace emails, IPv4 addresses,
     * and long digit runs (phone-class identifiers) with typed tags —
     * the standard pre-training redaction pass. Pure codegen'd

@@ -345,4 +345,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(g("uni") == ((4L, 0.0)))
     assert(g("skw") == ((4L, 0.5)))
   }
+
+  test("encoding gate: counts each corruption class, clean text keeps") {
+    import spark.implicits._
+    val rows = Seq(
+      ("clean ascii text, nothing wrong here.", 0L, 0L, 0L, true),
+      // café misdecoded: UTF-8 C3 A9 as Latin-1 -> Ã©
+      ("cafÃ© menu", 1L, 0L, 0L, false),
+      // cp1252 curly apostrophe salad: â€™
+      ("itâ€™s fine", 1L, 0L, 0L, false),
+      ("byte�salad�", 0L, 2L, 0L, false),
+      ("bin\u0001ary\u0002", 0L, 0L, 2L, false),
+      // tab/newline/CR are NOT control contamination
+      ("a\tb\nc\rd", 0L, 0L, 0L, true))
+    val got = rows.map(_._1).toDF("s").select(
+      TextAnalysis.mojibakeCount(col("s")),
+      TextAnalysis.replacementCount(col("s")),
+      TextAnalysis.controlCount(col("s")),
+      TextAnalysis.encodingKeep(col("s"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == rows.map(r => (r._2, r._3, r._4, r._5)))
+  }
+
+  test("encoding gate: accented but CORRECTLY decoded text is not mojibake") {
+    import spark.implicits._
+    val ok = Seq("café crème brûlée", "niño über")
+    val flags = ok.toDF("s")
+      .select(TextAnalysis.encodingKeep(col("s"))).collect().map(_.getBoolean(0))
+    assert(flags.forall(identity),
+      "legit Latin-1-range accents must pass the gate")
+  }
 }
