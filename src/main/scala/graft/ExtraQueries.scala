@@ -2635,5 +2635,80 @@ object ExtraQueries {
         sum(moji)::BIGINT AS sum_moji, sum(repl)::BIGINT AS sum_repl,
         sum(ctrl)::BIGINT AS sum_ctrl
       FROM counted GROUP BY variant ORDER BY variant"""))),
+
+    // URL canonicalization: three messy spellings of every page (scheme/
+    // host case, default port, userinfo, trailing host dot, tracking
+    // params, param order, fragment) must collapse to ONE canonical key
+    // per (source, doc) — and to one registered domain per source. The
+    // oracle replays the same RFC-3986 syntax normalizations from the
+    // exported regex constants.
+    "q_url_canonical" -> (((s: SparkSession, dir: String) => {
+      import graft.text.Urls
+      val docs2 = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").cast("string").as("did"))
+      def u(c: Column) = docs2.select(col("source"), c.as("u"))
+      val urls = u(concat(lit("HTTPS://Example-"), col("source"),
+          lit(".COM:443/a/"), col("did"), lit("?b=2&a=1")))
+        .unionByName(u(concat(lit("https://example-"), col("source"),
+          lit(".com/a/"), col("did"), lit("?a=1&utm_source=feed&b=2#frag"))))
+        .unionByName(u(concat(lit("https://user@example-"), col("source"),
+          lit(".com./a/"), col("did"), lit("?b=2&a=1&gclid=xyz"))))
+      urls
+        .select(col("source"), Urls.canonicalizeUrl(col("u")).as("cu"),
+          Urls.registeredDomain(Urls.host(col("u"))).as("rd"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("cu")).as("n_canonical"),
+          countDistinct(col("rd")).as("n_domains"),
+          min(col("cu")).as("min_canonical"))
+        .orderBy("source")
+    }, Some(s"""WITH docs2 AS (
+        SELECT source, doc_id::VARCHAR AS did FROM documents),
+      urls AS (
+        SELECT source, 'HTTPS://Example-' || source || '.COM:443/a/'
+          || did || '?b=2&a=1' AS u FROM docs2
+        UNION ALL SELECT source, 'https://example-' || source || '.com/a/'
+          || did || '?a=1&utm_source=feed&b=2#frag' FROM docs2
+        UNION ALL SELECT source, 'https://user@example-' || source
+          || '.com./a/' || did || '?b=2&a=1&gclid=xyz' FROM docs2),
+      parts AS (
+        SELECT source,
+          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+          regexp_replace(lower(regexp_extract(u,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '') AS hp,
+          regexp_extract(u,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '${graft.text.Urls.TrackingParamRe}'))), '&') AS qn
+        FROM urls),
+      canon AS (
+        SELECT source,
+          sch || '://' || host
+          || CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+               OR (sch = 'https' AND prt = '443')
+             THEN '' ELSE ':' || prt END
+          || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+          || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS cu,
+          CASE WHEN regexp_matches(host, '^[0-9.]+$$') OR len(ps) <= 2
+              THEN host
+            WHEN ps[len(ps)-1] || '.' || ps[len(ps)] IN
+                (${graft.text.Urls.MultiPartSuffixes.map("'" + _ + "'").mkString(", ")})
+              THEN ps[len(ps)-2] || '.' || ps[len(ps)-1] || '.' || ps[len(ps)]
+            ELSE ps[len(ps)-1] || '.' || ps[len(ps)] END AS rd
+        FROM (
+          SELECT source, sch, rawpath, qn,
+            regexp_replace(regexp_replace(hp, ':[0-9]*$$', ''), '\\.$$', '')
+              AS host,
+            regexp_extract(hp, ':([0-9]+)$$', 1) AS prt,
+            string_split(regexp_replace(regexp_replace(hp, ':[0-9]*$$', ''),
+              '\\.$$', ''), '.') AS ps
+          FROM parts))
+      SELECT source, count(*)::BIGINT AS n_urls,
+        count(DISTINCT cu)::BIGINT AS n_canonical,
+        count(DISTINCT rd)::BIGINT AS n_domains,
+        min(cu) AS min_canonical
+      FROM canon GROUP BY source ORDER BY source"""))),
   )
 }
