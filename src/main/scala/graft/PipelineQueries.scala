@@ -74,6 +74,24 @@ object PipelineQueries {
       if (b == 0) sel else s"UNION ALL $sel"
     }.mkString(" ")
 
+  /** DuckDB replay of [[graft.sim.Similarity]]'s md5-seeded hyperplane
+    * LSH bucket (table 0, seeds "h<b>|<j>", 64 dims) — the shared oracle
+    * fragment for every LSH-index query (q_ann_recall, q_ann_ndcg,
+    * q_hard_negatives).
+    */
+  private def lshBucketSql(nBits: Int): String = {
+    val planes = (0 until nBits).map { b =>
+      (0 until 64).map { j =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(graft.sim.Similarity.planeSeed(0, b, j).getBytes("UTF-8"))
+        if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+    }
+    planes.map(p =>
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], $p) >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+  }
+
   private def minhashCtes: String =
     s"""$shingleCtes,
       sig AS (SELECT doc_id, ${sigSelects(8)} FROM hx GROUP BY 1),
@@ -1170,16 +1188,7 @@ object PipelineQueries {
       graft.sim.Similarity.hardNegatives(emb, anchors, k = 5, dim = 64, nBits = 4)
         .orderBy("query_id", "vec_id")
     }, Some {
-      val planes = (0 until 4).map { b =>
-        (0 until 64).map { j =>
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(graft.sim.Similarity.planeSeed(0, b, j).getBytes("UTF-8"))
-          if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
-        }.mkString("[", ", ", "]")
-      }
-      val bucket = planes.map(p =>
-        s"CASE WHEN list_dot_product(embedding::DOUBLE[], $p) >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
+      val bucket = lshBucketSql(4)
       s"""WITH idx AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS e, $bucket AS bucket
         FROM embeddings),
@@ -1404,16 +1413,7 @@ object PipelineQueries {
       graft.sim.Similarity.annRecall(emb, queries, k = 10, dim = 64, nBits = 4)
         .orderBy("query_id")
     }, Some {
-      val planes = (0 until 4).map { b =>
-        (0 until 64).map { j =>
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(graft.sim.Similarity.planeSeed(0, b, j).getBytes("UTF-8"))
-          if ((hex(0) & 0x80) != 0) "1.0" else "-1.0"
-        }.mkString("[", ", ", "]")
-      }
-      val bucket = planes.map(p =>
-        s"CASE WHEN list_dot_product(embedding::DOUBLE[], $p) >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
+      val bucket = lshBucketSql(4)
       s"""WITH idx AS (
         SELECT vec_id, embedding::DOUBLE[] AS e, $bucket AS bucket
         FROM embeddings),
@@ -1451,6 +1451,63 @@ object PipelineQueries {
         round(coalesce(h.n_hits, 0)::DOUBLE / 10, 6) AS recall_at_k,
         coalesce(h.rr, 0.0) AS top1_hit
       FROM q LEFT JOIN hits h USING (query_id) ORDER BY q.query_id"""
+    })),
+
+    // Graded retrieval quality — nDCG@10 and MRR for the LSH index vs
+    // exact brute force: recall scores the SET, this scores the ORDER.
+    // Gains are integer grades (11 − true rank), rank discounts and the
+    // ideal DCG are driver-precomputed 1e9-quantized literals shared
+    // with the oracle, so every per-query DCG is exact BIGINT arithmetic
+    // and only the final ratio divides.
+    "q_ann_ndcg" -> (((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.sim.Similarity.annNdcg(emb, queries, k = 10, dim = 64, nBits = 4)
+        .orderBy("query_id")
+    }, Some {
+      val bucket = lshBucketSql(4)
+      val ds = graft.sim.Similarity.ndcgDiscounts(10).mkString(", ")
+      val ideal = graft.sim.Similarity.ndcgIdeal(10)
+      s"""WITH idx AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e, $bucket AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, e, bucket
+            FROM idx WHERE vec_id % 25 = 0),
+      acand AS (
+        SELECT q.query_id, i.vec_id,
+          round(list_dot_product(i.e, q.e)
+            / (sqrt(list_dot_product(i.e, i.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS s
+        FROM idx i JOIN q ON i.bucket = q.bucket),
+      ann AS (
+        SELECT query_id, vec_id, rn AS arank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+          FROM acand)
+        WHERE rn <= 10),
+      ecand AS (
+        SELECT q.query_id, i.vec_id,
+          round(list_dot_product(i.e, q.e)
+            / (sqrt(list_dot_product(i.e, i.e)) * sqrt(list_dot_product(q.e, q.e))), 6) AS s
+        FROM idx i CROSS JOIN q),
+      exact AS (
+        SELECT query_id, vec_id, rn AS erank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+          FROM ecand)
+        WHERE rn <= 10),
+      scored AS (
+        SELECT a.query_id,
+          sum((CASE WHEN e.erank IS NULL THEN 0 ELSE 11 - e.erank END)
+            * ([$ds])[a.arank])::BIGINT AS dcg,
+          max(CASE WHEN e.erank = 1 THEN round(1.0 / a.arank, 6)
+              ELSE 0.0 END) AS mrr
+        FROM ann a LEFT JOIN exact e USING (query_id, vec_id)
+        GROUP BY 1)
+      SELECT q.query_id,
+        round(coalesce(s.dcg, 0)::DOUBLE / $ideal.0, 6) AS ndcg_at_k,
+        coalesce(s.mrr, 0.0) AS mrr
+      FROM q LEFT JOIN scored s USING (query_id) ORDER BY q.query_id"""
     })),
 
     // Near-dup cluster size distribution: connected components over the

@@ -426,6 +426,61 @@ object Similarity {
         coalesce(col("rr"), lit(0.0)).as("top1_hit"))
   }
 
+  /** Rank-discount constants for [[annNdcg]]: `round(1e9 / log2(r+1))`
+    * for ranks 1..k, precomputed on the driver and embedded as LITERALS
+    * in both engines' plans — DCG sums become exact integer arithmetic
+    * (cross-engine `ln` is not bit-stable; literals are).
+    */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** The constant ideal DCG at k (graded gains k, k-1, …, 1 — the corpus
+    * always holds ≥ k true neighbors, so IDCG doesn't vary per query).
+    */
+  def ndcgIdeal(k: Int): Long =
+    ndcgDiscounts(k).zipWithIndex.map { case (d, i) => (k - i).toLong * d }.sum
+
+  /** Graded retrieval-quality audit — nDCG@k and MRR for the LSH index
+    * against exact brute force, per sampled query. [[annRecall]] scores
+    * set overlap; this scores ORDER: an index that returns the right 10
+    * neighbors ranked backwards recalls 1.0 but nDCG≪1. Gains are the
+    * integer grades k+1−true_rank (0 off-list), discounts and the ideal
+    * DCG are driver-precomputed literals ([[ndcgDiscounts]]/[[ndcgIdeal]]),
+    * so every per-query sum is exact BIGINT arithmetic and the one final
+    * ratio is engine-replayable. MRR is the reciprocal APPROX rank of
+    * the true nearest neighbor (round-6).
+    *
+    * Scale shape: identical to [[annRecall]] — broadcast query sample,
+    * one corpus pass for the exact side (WindowGroupLimit-bounded), the
+    * production bucket join for the ANN side; the gain join is per
+    * (query, candidate) on k·|queries| rows.
+    */
+  def annNdcg(vectors: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, qid: String = "query_id",
+              id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val ann = annTopKBatch(buildLshIndex(vectors, dim, nBits, id, emb),
+      queries, k, dim, nBits, qid, id, emb)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid)).orderBy(col("cosine_sim").desc, col(id))
+    val annRanked = ann.withColumn("arank", row_number().over(w))
+    val exact = exactTopKBatch(vectors, queries, k, qid, id, emb)
+      .select(col(qid), col(id), col("rank").as("erank"),
+        (lit(k + 1L) - col("rank")).as("gain"))
+    val discounts = ndcgDiscounts(k)
+    val dArr = array(discounts.map(lit): _*)
+    val scored = annRanked.join(exact, Seq(qid, id), "left")
+      .groupBy(col(qid)).agg(
+        sum(coalesce(col("gain"), lit(0L))
+          * element_at(dArr, col("arank"))).as("_dcg"),
+        max(when(col("erank") === 1,
+          round(lit(1.0) / col("arank"), 6)).otherwise(lit(0.0))).as("_mrr"))
+    queries.select(col(qid)).join(scored, Seq(qid), "left")
+      .select(col(qid),
+        round(coalesce(col("_dcg"), lit(0L)).cast("double")
+          / lit(ndcgIdeal(k).toDouble), 6).as("ndcg_at_k"),
+        coalesce(col("_mrr"), lit(0.0)).as("mrr"))
+  }
+
   /** Embedding-space outlier gate: assign every vector to its nearest
     * centroid (the [[buildIvfIndex]] argmax, identical tie-break) and
     * flag vectors whose cosine to their OWN cell centroid falls below

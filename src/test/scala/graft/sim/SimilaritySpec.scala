@@ -298,6 +298,39 @@ class SimilaritySpec extends SparkSpec {
     assert(exact == brute)
   }
 
+  test("annNdcg: full-recall queries score exactly 1, misses score " +
+    "strictly below, MRR is 1 when the index holds the self-match") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val rec = Similarity.annRecall(emb, queries, k = 10, dim = 64, nBits = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nd = Similarity.annNdcg(emb, queries, k = 10, dim = 64, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(nd.length == rec.size)
+    nd.foreach { case (q, ndcg, mrr) =>
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      // ANN and exact share one total order (round-6 cosine, id
+      // tie-break), so retrieving the full true set implies the full
+      // true ORDER: recall 1 ⟺ nDCG 1; any miss costs strictly
+      if (rec(q) == 1.0) assert(ndcg == 1.0, s"query $q: full recall but ndcg $ndcg")
+      else assert(ndcg < 1.0, s"query $q: recall ${rec(q)} but ndcg $ndcg")
+      // the query's own vector is in its probe bucket at cosine 1.0 →
+      // the true top-1 sits at approx rank 1 → reciprocal rank 1
+      assert(mrr == 1.0, s"query $q: mrr $mrr")
+    }
+  }
+
+  test("ndcg discount/ideal literals: monotone discounts, hand-computed ideal") {
+    val d = Similarity.ndcgDiscounts(3)
+    assert(d == Seq(1000000000L,
+      math.round(1e9 / (math.log(3.0) / math.log(2.0))),
+      math.round(1e9 / 2.0)))
+    assert(d.sliding(2).forall { case Seq(a, b) => a > b })
+    // ideal at k=3: 3*d1 + 2*d2 + 1*d3
+    assert(Similarity.ndcgIdeal(3) == 3 * d(0) + 2 * d(1) + d(2))
+  }
+
   test("cellOutliers: on-centroid vectors pass, off-manifold ones flag") {
     import spark.implicits._
     val c0 = Seq(1.0, 0.0, 0.0, 0.0)
