@@ -1298,6 +1298,34 @@ object PipelineQueries {
       JOIN ranked rh ON rh.lang = t.lang AND rh.idx = t.hi
       ORDER BY t.lang, t.p"""))),
 
+    // Token-budget corpus selection: the best 75k chars of the corpus —
+    // greedy by quality score through one distributed exclusive prefix
+    // sum over the (quality desc, doc_id) total order, then a pure
+    // per-row fit test. The oracle replays the same cumulative-fit rule
+    // with a window prefix sum over the SHARED quality fragment
+    // (Queries.qualityExprSql — literally the corpus-keep expression).
+    "q_budget_select" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.ops.Sampling.budgetSelect(docs, col("q"), col("n_chars"),
+          col("doc_id"), budget = 75000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("q")).as("min_quality"))
+        .orderBy("lang")
+    }, Some(s"""WITH ql AS (
+        SELECT doc_id, lang, n_chars, ${Queries.qualityExprSql} AS q
+        FROM documents),
+      c AS (SELECT *, sum(n_chars) OVER (ORDER BY q DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strt
+            FROM ql)
+      SELECT lang, count(*)::BIGINT AS n_selected,
+        sum(n_chars)::BIGINT AS sum_chars, min(q) AS min_quality
+      FROM c WHERE coalesce(strt, 0) + n_chars <= 75000
+      GROUP BY lang ORDER BY lang"""))),
+
     // Hash-sample quantile sketch: the bounded-state, mergeable
     // approximation of q_length_quantiles — per language, quantiles of
     // the k=64 rows with the smallest md5(doc_id), a deterministic

@@ -77,6 +77,23 @@ object Queries {
           .where(col("rep_ratio") <= 0.2)
       }
 
+  /** DuckDB expression replaying [[TextAnalysis.qualityScore]] over the
+    * `text` column — the shared fragment [[corpusKeepSql]] and the
+    * budget-selection oracle both embed, so the two can never drift.
+    */
+  private[graft] def qualityExprSql: String = {
+    val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+    val lowToks = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
+    val allWords = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""round(
+              least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
+              + least((len(list_filter($lowToks, t -> list_contains([$allWords], t)))::DOUBLE
+                       / greatest(len($toks), 1)::DOUBLE) * 5.0, 1.0) * 0.4
+              + (1.0 - least((len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+                       / greatest(len(text), 1)::DOUBLE) * 5.0, 1.0)) * 0.2, 6)"""
+  }
+
   private[graft] def corpusKeepSql: String = {
         // composed from the q_lang_id / q_quality / q_repetition oracle
         // fragments (same generated stopword lists, same arithmetic)
@@ -89,20 +106,12 @@ object Queries {
         val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
         val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
         val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
-        val lowToks = "list_filter(string_split(lower(text), ' '), x -> len(x) > 0)"
-        val allWords = TextAnalysis.stopwords.values.flatten.toSeq.distinct
-          .map(w => s"'$w'").mkString(", ")
         s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
           b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $best AS best FROM sc),
           lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b),
           ql AS (SELECT doc_id,
             len($toks)::BIGINT AS tok_cnt,
-            round(
-              least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
-              + least((len(list_filter($lowToks, t -> list_contains([$allWords], t)))::DOUBLE
-                       / greatest(len($toks), 1)::DOUBLE) * 5.0, 1.0) * 0.4
-              + (1.0 - least((len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
-                       / greatest(len(text), 1)::DOUBLE) * 5.0, 1.0)) * 0.2, 6) AS quality
+            $qualityExprSql AS quality
             FROM documents),
           w AS (SELECT doc_id, $toks AS tk FROM documents),
           gr AS (SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),

@@ -167,6 +167,37 @@ object Sampling {
     }
   }
 
+  /** Token-budget prefix selection: keep the highest-`priority` rows
+    * whose cumulative `weight` (in priority order) still fits `budget` —
+    * "the best B tokens of the corpus", the selection step of every
+    * quality-pruned training mix. Semantics are a PREFIX CUT: the
+    * exclusive prefix counts every row in order, so the first row that
+    * overflows ends the selection (no skip-and-fill — a smaller doc
+    * behind the overflow is NOT pulled forward; cut order is the
+    * contract, identical on any engine).
+    *
+    * Distributed shape: one [[GlobalRank.withGlobalCumSum]] two-level
+    * exclusive prefix sum over the (priority desc, id) total order —
+    * range-partitioned, never a single-partition window — then a pure
+    * per-row fit test `start + w <= budget`. Feed a NARROW frame
+    * (priority/weight/id + carried columns): the range exchange moves
+    * the manifest, not the corpus.
+    *
+    * `(priority, id)` must be a unique total order (same contract as
+    * every GlobalRank caller); the returned frame carries `_start` (the
+    * exclusive prefix) for audit joins.
+    */
+  def budgetSelect(df: org.apache.spark.sql.DataFrame, priority: Column,
+                   weight: Column, id: Column, budget: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val narrow = df.withColumn("_prio", priority)
+      .withColumn("_w", weight.cast("long"))
+    GlobalRank.withGlobalCumSum(narrow, Seq(col("_prio").desc, id), "_w",
+        cumCol = "_start")
+      .where(col("_start") + col("_w") <= budget)
+  }
+
   def weightedRepeat(df: org.apache.spark.sql.DataFrame, key: Column,
                      weight: Column): org.apache.spark.sql.DataFrame = {
     val h01 = hash01(key)

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("budgetSelect is a prefix cut: overflow ends selection, no skip-and-fill") {
+    import spark.implicits._
+    // priority order: e(5) d(4) c(3) b(2) a(1); weights 30 30 50 5 5
+    // budget 70: e(0+30) fits, d(30+30) fits, c(60+50) overflows —
+    // and b (start 110) must NOT be pulled forward even though w=5
+    val df = Seq(("a", 1.0, 5L), ("b", 2.0, 5L), ("c", 3.0, 50L),
+      ("d", 4.0, 30L), ("e", 5.0, 30L)).toDF("id", "prio", "w")
+    val sel = Sampling.budgetSelect(df, col("prio"), col("w"), col("id"), 70L)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(sel == Set("e", "d"))
+    // budget exactly at a boundary includes the boundary row
+    val sel60 = Sampling.budgetSelect(df, col("prio"), col("w"), col("id"), 60L)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(sel60 == Set("e", "d"))
+    // zero budget selects nothing; huge budget selects everything
+    assert(Sampling.budgetSelect(df, col("prio"), col("w"), col("id"), 0L)
+      .count() == 0)
+    assert(Sampling.budgetSelect(df, col("prio"), col("w"), col("id"), 1000L)
+      .count() == 5)
+  }
+
+  test("budgetSelect ties break on id; result is partitioning-independent") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (s"id$i", (i % 7).toDouble, 10L))
+    val df = rows.toDF("id", "prio", "w")
+    def run(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      Sampling.budgetSelect(d, col("prio"), col("w"), col("id"), 1234L)
+        .select("id").collect().map(_.getString(0)).toSeq.sorted
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(13, col("id")))
+    assert(a == b)
+    // 1234/10 = 123 docs fit
+    assert(a.length == 123)
+  }
+
+  test("hashBits32Of replays the Column hash bit-for-bit") {
+    import spark.implicits._
+    val keys = Seq("a", "id-17", "Ünïcode", "", "the quick brown fox")
+    val engine = keys.toDF("k")
+      .select(col("k"), Sampling.hashBits32(col("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(Sampling.hashBits32Of(k) == engine(k), s"mismatch on '$k'")
+    }
+  }
+}
