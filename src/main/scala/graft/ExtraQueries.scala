@@ -570,6 +570,51 @@ object ExtraQueries {
       FROM tsh t JOIN esh e USING (sh)
       GROUP BY 1"""))),
 
+    // Contamination SPAN lengths (gaps-and-islands over matched shingle
+    // positions): planted eval snippets of VARYING width (13 + doc_id%9
+    // tokens, salt-terminated) must surface as exactly one island per
+    // flagged doc whose span is the planted width — the length a
+    // decontamination policy thresholds on, not just the hit count.
+    "q_contamination_spans" -> (((s: SparkSession, dir: String) => {
+      val train = t(s, dir, "documents").where(col("doc_id") % 7 =!= 0)
+      val tk = filter(split(col("text"), "\\s+"), x => length(x) > lit(0))
+      val evalDf = train.where(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), tk.as("tk"))
+        .where(size(col("tk")) >= 27)
+        .select(concat(
+          array_join(slice(col("tk"), lit(6), lit(13) + (col("doc_id") % 9)), " "),
+          lit(" qeval"), col("doc_id").cast("string")).as("text"))
+      Dedup.contaminationSpans(train, evalDf).orderBy("doc_id")
+    }, Some("""WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM documents WHERE doc_id % 7 <> 0),
+      snips AS (
+        SELECT list_filter(string_split(
+            array_to_string(list_slice(tk, 6, 18 + doc_id % 9), ' ')
+              || ' qeval' || doc_id::VARCHAR, ' '), x -> len(x) > 0) AS etk
+        FROM w WHERE doc_id % 5 = 1 AND len(tk) >= 27),
+      tsh AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(tk, i + 1, i + 13), ' ') AS sh
+        FROM (SELECT doc_id, tk,
+                unnest(range(greatest(len(tk) - 12, 1))) AS i FROM w)),
+      esh AS (
+        SELECT DISTINCT sh FROM (
+          SELECT unnest(list_distinct(list_transform(
+            range(greatest(len(etk) - 12, 1)),
+            i -> array_to_string(list_slice(etk, i + 1, i + 13), ' ')))) AS sh
+          FROM snips)),
+      hits AS (SELECT t.doc_id, t.pos FROM tsh t JOIN esh e USING (sh)),
+      isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hits),
+      runs AS (SELECT doc_id, grp, count(*)::BIGINT AS run
+               FROM isl GROUP BY 1, 2)
+      SELECT doc_id, max(run)::BIGINT AS max_run,
+        count(*)::BIGINT AS n_islands,
+        (max(run) + 12)::BIGINT AS longest_span_tokens
+      FROM runs GROUP BY 1 ORDER BY doc_id"""))),
+
     // ---- §2.1 compat sources/sinks: real write → real read ------------
 
     // TextOutputFormat (`key\tvalue` lines) → KeyValueTextInputFormat

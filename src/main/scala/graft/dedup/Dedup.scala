@@ -654,6 +654,40 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Contamination SPAN report — how long the verbatim overlaps are, not
+    * just that they exist: per flagged training doc, the longest run of
+    * CONSECUTIVE shingle positions matching the eval corpus and the
+    * number of distinct runs (islands). A run of R consecutive matched
+    * n-grams is a verbatim shared span of R+n−1 tokens — the number a
+    * decontamination policy actually thresholds on (one stray 13-gram is
+    * noise; a 200-token island is a leaked benchmark item).
+    *
+    * The classic gaps-and-islands: matched positions minus their
+    * per-doc rank are constant within an island. Scale shape: same
+    * broadcast shingle equi-join as [[contaminatedDocs]]; the island
+    * window partitions by doc (bounded by doc length, never global) and
+    * only MATCHED positions reach it — eval-sized, not corpus-sized.
+    */
+  def contaminationSpans(train: DataFrame, eval: DataFrame,
+                         shingleN: Int = 13, text: String = "text",
+                         id: String = "doc_id"): DataFrame = {
+    val tSh = train.select(col(id),
+      posexplode(shingles(col(text), shingleN)).as(Seq("pos", "sh")))
+    val eSh = eval.select(
+      explode(array_distinct(shingles(col(text), shingleN))).as("sh")).distinct()
+    val hits = tSh.join(eSh, Seq("sh")).select(col(id), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+    hits.withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col(id), col("_grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col(id))
+      .agg(max(col("run")).as("max_run"),
+        count(lit(1)).as("n_islands"))
+      .withColumn("longest_span_tokens",
+        col("max_run") + lit((shingleN - 1).toLong))
+  }
+
   /** The k-gram rolling-hash stream for winnowing: ordered shingle hashes
     * per document. Project this into a NAMED COLUMN before calling
     * [[winnowFromHashes]] — see that method's scaladoc for why.

@@ -527,4 +527,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto == manual && auto.contains((3L, 4L)))
   }
+
+  test("contaminationSpans: island lengths read off planted verbatim spans") {
+    import spark.implicits._
+    // 40 distinct tokens; eval leaks tokens 5..20 (16 tokens → run 4 of
+    // 13-grams → span 16) and tokens 25..38 (14 tokens → run 2 → span 14)
+    val words = (1 to 40).map(i => s"w$i")
+    val train = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val eval = Seq(
+      words.slice(4, 20).mkString(" "),   // w5..w20
+      words.slice(24, 38).mkString(" ")   // w25..w38
+    ).toDF("text")
+    val got = Dedup.contaminationSpans(train, eval, shingleN = 13).head()
+    assert(got.getLong(0) == 1L)
+    assert(got.getAs[Long]("max_run") == 4L)
+    assert(got.getAs[Long]("n_islands") == 2L)
+    assert(got.getAs[Long]("longest_span_tokens") == 16L)
+    // an unleaked doc yields no row at all
+    val clean = Seq((2L, (100 to 140).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.contaminationSpans(clean, eval, shingleN = 13).count() == 0)
+  }
 }
