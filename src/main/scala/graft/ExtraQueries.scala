@@ -22,6 +22,14 @@ import graft.sources.{Bucketed, Compaction, Jdbc, KVText, MultiOutput, SequenceF
   */
 object ExtraQueries {
 
+  /** The q_bm25_search query set — ONE definition renders both the Spark
+    * call and the oracle's VALUES list, so the two can never drift.
+    */
+  private val searchQueries: Seq[(Long, String)] = Seq(
+    (1L, "spark join window"),
+    (2L, "slow query scan table"),
+    (3L, "vector hash merge"))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -412,6 +420,49 @@ object ExtraQueries {
           PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rn
         FROM scored)
       WHERE rn <= 3"""))),
+
+    // Query-time BM25 retrieval: top-5 documents per query string by
+    // summed per-term BM25 — the SEARCH the inverted index serves. The
+    // oracle reuses q_bm25's exact scored table, embeds the SAME query
+    // list (one Scala definition renders both sides), and replays the
+    // 1e-6 integer-space sum that makes aggregation order irrelevant.
+    "q_bm25_search" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.bm25Search(t(s, dir, "documents"),
+        searchQueries, topK = 5).orderBy("query_id", "rank")
+    }, Some {
+      val qtVals = searchQueries.flatMap { case (q, str) =>
+        str.split("\\s+").filter(_.nonEmpty).distinct
+          .map(term => s"($q, '$term')")
+      }.mkString(", ")
+      s"""WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n FROM documents),
+      tt AS (SELECT sum(tf) AS tottok FROM tf),
+      scored AS (
+        SELECT t.doc_id, t.term,
+          round(ln(1.0 + (nd.n - d.df + 0.5) / (d.df + 0.5)) *
+            (t.tf * 2.2) /
+            (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl * nd.n / tt.tottok)), 6) AS bm25
+        FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), nd, tt),
+      qt AS (SELECT query_id::BIGINT AS query_id, term
+             FROM (VALUES $qtVals) AS v(query_id, term)),
+      hits AS (
+        SELECT qt.query_id, s.doc_id,
+          sum(round(s.bm25 * 1e6, 0)::BIGINT) AS s6
+        FROM scored s JOIN qt USING (term)
+        GROUP BY 1, 2)
+      SELECT query_id, rn AS rank, doc_id,
+        round(s6::DOUBLE / 1e6, 6) AS score
+      FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS rn
+        FROM hits)
+      WHERE rn <= 5 ORDER BY query_id, rank"""
+    })),
 
     // Unigram log-probability quality proxy: per-token round-9 logs of
     // corpus unigram frequency, round-6 mean per doc.

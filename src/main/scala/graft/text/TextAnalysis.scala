@@ -435,9 +435,12 @@ object TextAnalysis {
     * scale with the corpus); the two 1-row scalars ride broadcast cross
     * joins; the ranking window partitions by doc, never a global sort.
     */
-  def bm25(docs: org.apache.spark.sql.DataFrame, topK: Int = 5,
-           k1: Double = 1.2, b: Double = 0.75,
-           text: String = "text", id: String = "doc_id")
+  /** The (doc, term, bm25) score table both [[bm25]] (per-doc top terms)
+    * and [[bm25Search]] (query-time retrieval) rank over.
+    */
+  def bm25Scores(docs: org.apache.spark.sql.DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 text: String = "text", id: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {
     val tf = graft.ops.Checkpoints.truncate(
       docs.select(col(id), explode(toks(col(text))).as("term"))
@@ -446,17 +449,60 @@ object TextAnalysis {
     val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     val n = docs.agg(count(lit(1)).as("_n"))
     val tot = tf.agg(sum(col("tf")).as("_tottok"))
-    val scored = tf.join(df, "term").join(dl, id)
+    tf.join(df, "term").join(dl, id)
       .crossJoin(broadcast(n)).crossJoin(broadcast(tot))
       .withColumn("bm25", round(
         log(lit(1.0) + (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b)
             + lit(b) * col("dl") * col("_n") / col("_tottok"))), 6))
+      .select(col(id), col("term"), col("bm25"))
+  }
+
+  def bm25(docs: org.apache.spark.sql.DataFrame, topK: Int = 5,
+           k1: Double = 1.2, b: Double = 0.75,
+           text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val scored = bm25Scores(docs, k1, b, text, id)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("bm25").desc, col("term"))
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= topK)
       .select(col(id), col("term"), col("bm25"))
+  }
+
+  /** Query-time BM25 retrieval — the SEARCH side of the index family:
+    * for each query string, the topK documents by summed BM25 over the
+    * query's distinct terms (the standard bag-of-words ranking the
+    * inverted index serves).
+    *
+    * Scale shape: the query set is metadata-sized and BROADCASTS against
+    * the (doc, term) score table — the corpus never reshuffles per
+    * query; the per-query candidate set is the union of the query
+    * terms' postings, ranked by a WindowGroupLimit-bounded top-k.
+    * Determinism: per-term scores are round-6; the per-doc sum runs in
+    * 1e-6 integer space (quantize → BIGINT sum → one final division) so
+    * aggregation order can never move a bit.
+    */
+  def bm25Search(docs: org.apache.spark.sql.DataFrame,
+                 queries: Seq[(Long, String)], topK: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = broadcast(queries.flatMap { case (qid, q) =>
+      q.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term"))
+    val hits = bm25Scores(docs, k1, b, text, id)
+      .join(qTerms, "term")
+      .groupBy(col("query_id"), col(id))
+      .agg(sum(round(col("bm25") * lit(1e6), 0).cast("long")).as("_s6"))
+      .withColumn("score", round(col("_s6").cast("double") / lit(1e6), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col(id))
+    hits.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(id), col("score"))
   }
 
   /** Unigram log-probability per document — the cheap perplexity-style

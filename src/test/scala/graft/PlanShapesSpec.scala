@@ -141,6 +141,17 @@ class PlanShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_bm25_search broadcasts the query terms and bounds the per-query " +
+    "top-k map-side") {
+    val p = plan("q_bm25_search")
+    assert(p.contains("BroadcastHashJoin"),
+      "the metadata-sized query-term table must broadcast — the corpus " +
+        "never reshuffles per query")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must prune before the per-query window shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_sample_quantiles bounds the hash sample map-side and never " +
     "plans a single-partition window") {
     // the quantile stage checkpoints through GlobalRank (lineage

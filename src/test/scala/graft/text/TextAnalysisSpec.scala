@@ -346,6 +346,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(g("skw") == ((4L, 0.5)))
   }
 
+  test("bm25Search: summed per-term scores, rank order, absent terms score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple the the"),
+      (3L, "the the the durian")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs,
+        Seq((7L, "apple banana")), topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 3 has neither term -> no row; doc 1 has both -> ranks first
+    assert(got.map(_._3).toSeq == Seq(1L, 2L))
+    assert(got.forall(_._1 == 7L))
+    // the per-doc score is the exact sum of the bm25Scores rows the
+    // query terms select, in 1e-6 integer space
+    val perTerm = TextAnalysis.bm25Scores(docs)
+      .where(col("term").isin("apple", "banana"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1).map { case (d, xs) =>
+        d -> xs.map(x => math.round(x._2 * 1e6)).sum / 1e6 }
+    got.foreach { case (_, _, d, s) => assert(s == perTerm(d), s"doc $d") }
+  }
+
   test("encoding gate: counts each corruption class, clean text keeps") {
     import spark.implicits._
     val rows = Seq(
