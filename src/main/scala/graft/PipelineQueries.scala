@@ -1326,6 +1326,48 @@ object PipelineQueries {
       FROM c WHERE coalesce(strt, 0) + n_chars <= 75000
       GROUP BY lang ORDER BY lang"""))),
 
+    // Water-filling budget allocation: split a 90k-char budget across
+    // sources proportionally to integer target weights, letting sources
+    // whose supply runs out saturate and redistributing their share —
+    // the allocation table a mixer enforces when the target mix asks
+    // for more of a source than exists. Closed form over the
+    // |sources|-row rollup; the oracle replays the same exclusive
+    // prefix-sum saturation test in exact integer arithmetic.
+    "q_budget_alloc" -> (((s: SparkSession, dir: String) => {
+      val perSource = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(col("n_chars")).as("supply"))
+        .withColumn("weight",
+          graft.ops.Sampling.hashBits32(col("source")) % 9 + lit(1L))
+      graft.ops.Sampling.waterFill(perSource, "source", "supply", "weight",
+          budget = 90000L)
+        .orderBy("source")
+    }, Some("""WITH ps AS (
+        SELECT source, sum(n_chars)::BIGINT AS supply,
+          ((('0x' || substr(md5(source), 1, 8))::BIGINT) % 9 + 1) AS weight
+        FROM documents GROUP BY source),
+      tot AS (SELECT sum(weight)::BIGINT AS w_tot FROM ps),
+      pre AS (
+        SELECT *,
+          coalesce(sum(supply) OVER (ORDER BY supply::DOUBLE / weight, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cs,
+          coalesce(sum(weight) OVER (ORDER BY supply::DOUBLE / weight, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cw
+        FROM ps),
+      fl AS (
+        SELECT p.*, t.w_tot,
+          (supply * (w_tot - cw) <= (90000 - cs) * weight) AS saturated
+        FROM pre p, tot t),
+      st AS (SELECT
+          sum(CASE WHEN saturated THEN supply ELSE 0 END)::BIGINT AS ss,
+          sum(CASE WHEN saturated THEN weight ELSE 0 END)::BIGINT AS sw
+        FROM fl)
+      SELECT source, supply, weight, saturated,
+        (CASE WHEN saturated THEN supply
+          ELSE greatest(0, ((90000 - ss) * weight) // (w_tot - sw))
+        END)::BIGINT AS allocated
+      FROM fl, st ORDER BY source"""))),
+
     // Hash-sample quantile sketch: the bounded-state, mergeable
     // approximation of q_length_quantiles — per language, quantiles of
     // the k=64 rows with the smallest md5(doc_id), a deterministic

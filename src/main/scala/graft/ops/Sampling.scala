@@ -198,6 +198,56 @@ object Sampling {
       .where(col("_start") + col("_w") <= budget)
   }
 
+  /** Water-filling budget allocation across sources: split a total token
+    * `budget` over per-source supplies in proportion to integer target
+    * `weight`s, letting sources that run out of data saturate and
+    * redistributing their unused share to the rest — the allocation
+    * table a corpus mixer enforces when the target mix asks for more of
+    * a source than exists (solves Σ min(supplyᵢ, λ·wᵢ) = B for the water
+    * level λ).
+    *
+    * Input `df` is the per-source rollup (key, supply, weight) —
+    * METADATA-sized (|sources| rows), which is why the unpartitioned
+    * windows here are correct: this operator runs after the corpus has
+    * already collapsed to one row per source.
+    *
+    * Closed form, no iteration: sort by saturation point supply/weight
+    * ascending; a source saturates iff its point lies below the water
+    * level implied by saturating everything before it —
+    * `sᵢ·(W−cwᵢ) ≤ (B−csᵢ)·wᵢ` with EXCLUSIVE prefix sums cs/cw (the
+    * flip is monotone along the sort). Unsaturated sources get
+    * `⌊(B−Σs_sat)·wᵢ / (W−Σw_sat)⌋` — all-integer arithmetic, so any
+    * engine replays the allocation exactly (the only double is the sort
+    * key, computed identically by IEEE division on both sides).
+    */
+  def waterFill(df: org.apache.spark.sql.DataFrame, key: String,
+                supply: String, weight: String, budget: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col(supply).cast("double") / col(weight), col(key))
+    val pre = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = df.agg(sum(col(weight)).as("_W"))
+    val flagged = df
+      .withColumn("_cs", coalesce(sum(col(supply)).over(pre), lit(0L)))
+      .withColumn("_cw", coalesce(sum(col(weight)).over(pre), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("saturated",
+        col(supply) * (col("_W") - col("_cw"))
+          <= (lit(budget) - col("_cs")) * col(weight))
+    val satTotals = flagged.agg(
+      sum(when(col("saturated"), col(supply)).otherwise(lit(0L))).as("_ss"),
+      sum(when(col("saturated"), col(weight)).otherwise(lit(0L))).as("_sw"))
+    flagged.crossJoin(broadcast(satTotals))
+      .withColumn("allocated",
+        when(col("saturated"), col(supply))
+          .otherwise(greatest(lit(0L),
+            expr(s"(($budget - _ss) * $weight) div (_W - _sw)"))))
+      .select(col(key), col(supply), col(weight),
+        col("saturated"), col("allocated"))
+  }
+
   def weightedRepeat(df: org.apache.spark.sql.DataFrame, key: Column,
                      weight: Column): org.apache.spark.sql.DataFrame = {
     val h01 = hash01(key)

@@ -40,6 +40,49 @@ class SamplingSpec extends SparkSpec {
     assert(a.length == 123)
   }
 
+  test("waterFill: hand-solved allocations — proportional, saturating, " +
+    "oversupplied, exact-budget cases") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)], b: Long): Map[String, (Boolean, Long)] =
+      Sampling.waterFill(rows.toDF("src", "supply", "weight"),
+          "src", "supply", "weight", b)
+        .collect().map(r => r.getString(0) ->
+          (r.getBoolean(3), r.getLong(4))).toMap
+    // ample supply: pure proportional split, nobody saturates
+    val p = run(Seq(("a", 100L, 1L), ("b", 100L, 1L)), 100L)
+    assert(p == Map("a" -> (false, 50L), "b" -> (false, 50L)))
+    // a runs out at 10; its share redistributes to b
+    val s1 = run(Seq(("a", 10L, 1L), ("b", 1000L, 1L)), 100L)
+    assert(s1 == Map("a" -> (true, 10L), "b" -> (false, 90L)))
+    // budget covers everything: all saturated at supply
+    val all = run(Seq(("a", 10L, 3L), ("b", 100L, 1L)), 200L)
+    assert(all == Map("a" -> (true, 10L), "b" -> (true, 100L)))
+    // mixed case lands exactly on the budget
+    val m = run(Seq(("a", 10L, 3L), ("b", 100L, 1L)), 60L)
+    assert(m == Map("a" -> (true, 10L), "b" -> (false, 50L)))
+    assert(m.values.map(_._2).sum == 60L)
+  }
+
+  test("waterFill invariants on a varied fleet: never exceeds budget or " +
+    "supply, floors lose less than one unit per unsaturated source") {
+    import spark.implicits._
+    val rows = (0 until 17).map(i =>
+      (s"s$i", (50L + i * 37L) % 400L + 20L, (i % 5L) + 1L))
+    val b = 1500L
+    val out = Sampling.waterFill(rows.toDF("src", "supply", "weight"),
+        "src", "supply", "weight", b)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    out.foreach { case (src, s, _, sat, a) =>
+      assert(a <= s, s"$src allocated over supply")
+      assert(sat == (a == s) || !sat, s"$src saturation flag inconsistent")
+    }
+    val total = out.map(_._5).sum
+    val nUnsat = out.count(!_._4)
+    assert(total <= b, s"total $total exceeds budget")
+    assert(total > b - nUnsat, s"floors lost too much: $total vs $b")
+  }
+
   test("hashBits32Of replays the Column hash bit-for-bit") {
     import spark.implicits._
     val keys = Seq("a", "id-17", "Ünïcode", "", "the quick brown fox")
