@@ -2019,6 +2019,44 @@ object ExtraQueries {
           AS rank, doc_id
       FROM documents"""))),
 
+    // Curriculum ordering audit: 4 epochs annealing from pure easy→hard
+    // (difficulty = n_chars) into the pure epoch shuffle via an integer
+    // blend of the two GlobalRank orders; the per-epoch Spearman ρ vs
+    // the difficulty order must start at exactly 1 and decay. The
+    // oracle replays both rankings, the blended serve orders, and the
+    // HUGEINT Σd² Spearman arithmetic.
+    "q_curriculum" -> (((s: SparkSession, dir: String) => {
+      graft.ops.Sampling.curriculumAudit(t(s, dir, "documents"),
+        difficulty = col("n_chars"), id = col("doc_id"), epochs = 4)
+        .orderBy("epoch")
+    }, Some {
+      val epochs = 4
+      val epochCtes = (0 until epochs).map { e =>
+        s"""ep$e AS (
+          SELECT $e::BIGINT AS epoch, count(*)::BIGINT AS n_docs,
+            sum((serve - rank_d)::HUGEINT * (serve - rank_d)::HUGEINT) AS sd2
+          FROM (SELECT rank_d, doc_id, row_number() OVER (
+              ORDER BY ${epochs - 1 - e} * rank_d + $e * rank_h, doc_id)::BIGINT
+              AS serve
+            FROM r))"""
+      }.mkString(",\n      ")
+      val epochUnion = (0 until epochs).map(e => s"SELECT * FROM ep$e")
+        .mkString(" UNION ALL ")
+      s"""WITH r AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS rank_d,
+          row_number() OVER (ORDER BY
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id)::BIGINT
+            AS rank_h
+        FROM documents),
+      $epochCtes
+      SELECT epoch, n_docs,
+        round(1.0 - 6.0 * sd2::DOUBLE
+          / (n_docs::HUGEINT * (n_docs::HUGEINT * n_docs - 1))::DOUBLE, 6)
+          AS spearman_vs_difficulty
+      FROM ($epochUnion) ORDER BY epoch"""
+    })),
+
     // CDC MERGE against a VERSIONED table root, end to end: customer
     // becomes v=0, a change log derived from orders (updates, deletes,
     // and inserts of brand-new keys; sequence = o_orderkey so

@@ -248,6 +248,53 @@ object Sampling {
         col("saturated"), col("allocated"))
   }
 
+  /** Curriculum ordering audit — difficulty-first serving that anneals
+    * into the epoch shuffle: epoch e of E serves documents by the
+    * blended key `(E−1−e)·rank_difficulty + e·rank_hash`, so epoch 0 is
+    * pure easy→hard, the last epoch is the pure deterministic shuffle,
+    * and intermediate epochs interpolate (integer blend of two integer
+    * ranks — no float schedule to drift across engines).
+    *
+    * Returns the per-epoch audit the training team reads: Spearman rank
+    * correlation between serve order and difficulty order,
+    * `ρ = 1 − 6·Σd²/(n(n²−1))` — exactly 1 at epoch 0, ≈0 once the
+    * shuffle dominates. Σd² accumulates in Decimal(38,0) (d can be ~n,
+    * so d² overflows a BIGINT at corpus scale); the one double is the
+    * final ratio.
+    *
+    * Scale shape: each ordering is a [[GlobalRank]] pass — range
+    * partitioned, never a single-partition window. E epochs cost E+2
+    * ranked passes, which is the honest price of materializing E full
+    * corpus orderings (a serving manifest IS a global permutation).
+    */
+  def curriculumAudit(df: org.apache.spark.sql.DataFrame, difficulty: Column,
+                      id: Column, epochs: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(epochs >= 2, s"epochs must be >= 2, got $epochs")
+    val base = df.select(id.as("_id"), difficulty.as("_diff"))
+    val rd = GlobalRank.withGlobalRank(base,
+      Seq(col("_diff"), col("_id")), "rank_d")
+    val rh = GlobalRank.withGlobalRank(
+      rd.withColumn("_h", hashBits32(col("_id"))),
+      Seq(col("_h"), col("_id")), "rank_h")
+    val perEpoch = (0 until epochs).map { e =>
+      val keyed = rh.withColumn("_key",
+        col("rank_d") * lit((epochs - 1 - e).toLong)
+          + col("rank_h") * lit(e.toLong))
+      val served = GlobalRank.withGlobalRank(keyed,
+        Seq(col("_key"), col("_id")), "serve")
+      val d = (col("serve") - col("rank_d")).cast("decimal(38,0)")
+      served.agg(count(lit(1)).as("_n"), sum(d * d).as("_sd2"))
+        .select(lit(e.toLong).as("epoch"),
+          col("_n").as("n_docs"),
+          round(lit(1.0) - lit(6.0) * col("_sd2").cast("double")
+            / (col("_n").cast("decimal(38,0)")
+               * (col("_n").cast("decimal(38,0)") * col("_n") - lit(1)))
+              .cast("double"), 6).as("spearman_vs_difficulty"))
+    }
+    perEpoch.reduce(_ unionByName _)
+  }
+
   def weightedRepeat(df: org.apache.spark.sql.DataFrame, key: Column,
                      weight: Column): org.apache.spark.sql.DataFrame = {
     val h01 = hash01(key)

@@ -83,6 +83,23 @@ class SamplingSpec extends SparkSpec {
     assert(total > b - nUnsat, s"floors lost too much: $total vs $b")
   }
 
+  test("curriculumAudit: epoch 0 is exactly the difficulty order (rho 1), " +
+    "the final epoch is shuffle-dominated") {
+    import spark.implicits._
+    val df = (0 until 800).map(i => (i.toLong, (i * 131 % 977).toLong))
+      .toDF("doc_id", "n_chars")
+    val got = Sampling.curriculumAudit(df, col("n_chars"), col("doc_id"),
+        epochs = 4)
+      .orderBy("epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.forall(_._2 == 800L))
+    assert(got(0)._3 == 1.0, s"epoch 0 must serve pure easy→hard: ${got(0)}")
+    assert(got(3)._3 < 0.3, s"final epoch must be shuffle-dominated: ${got(3)}")
+    assert(got(1)._3 > got(3)._3,
+      "difficulty correlation must decay as the shuffle takes over")
+  }
+
   test("hashBits32Of replays the Column hash bit-for-bit") {
     import spark.implicits._
     val keys = Seq("a", "id-17", "Ünïcode", "", "the quick brown fox")
