@@ -30,6 +30,14 @@ object ExtraQueries {
     (2L, "slow query scan table"),
     (3L, "vector hash merge"))
 
+  /** The q_phrase_search phrase set — one definition for both sides;
+    * the repeated-term phrase exercises the offset-vote dedup case.
+    */
+  private val phraseQueries: Seq[(Long, String)] = Seq(
+    (1L, "table table"),
+    (2L, "fast merge batch"),
+    (3L, "the line sort"))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -462,6 +470,39 @@ object ExtraQueries {
           PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS rn
         FROM hits)
       WHERE rn <= 5 ORDER BY query_id, rank"""
+    })),
+
+    // Positional phrase search: exact consecutive-token occurrences via
+    // offset intersection over the positional postings — includes a
+    // repeated-term phrase ("table table"), the case a naive distinct
+    // join gets wrong. One Scala phrase list renders both sides.
+    "q_phrase_search" -> (((s: SparkSession, dir: String) => {
+      graft.text.TextAnalysis.phraseSearch(t(s, dir, "documents"),
+        phraseQueries).orderBy("phrase_id", "doc_id")
+    }, Some {
+      val qtVals = phraseQueries.flatMap { case (pid, p) =>
+        val ts = p.split("\\s+").filter(_.nonEmpty)
+        ts.zipWithIndex.map { case (term, o) =>
+          s"($pid, $o, '$term', ${ts.length})"
+        }
+      }.mkString(", ")
+      s"""WITH pos AS (
+        SELECT doc_id, i - 1 AS pos, tk[i] AS term
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+          FROM (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+            FROM documents))),
+      qt AS (SELECT phrase_id::BIGINT AS phrase_id, off::BIGINT AS off,
+               term, plen::BIGINT AS plen
+             FROM (VALUES $qtVals) AS v(phrase_id, off, term, plen)),
+      votes AS (
+        SELECT q.phrase_id, p.doc_id, p.pos - q.off AS strt, q.plen,
+          count(*)::BIGINT AS nm
+        FROM pos p JOIN qt q USING (term)
+        GROUP BY 1, 2, 3, 4)
+      SELECT phrase_id, doc_id, count(*)::BIGINT AS n_occurrences
+      FROM votes WHERE nm = plen AND strt >= 0
+      GROUP BY 1, 2 ORDER BY 1, 2"""
     })),
 
     // Unigram log-probability quality proxy: per-token round-9 logs of

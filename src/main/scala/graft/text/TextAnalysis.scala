@@ -505,6 +505,43 @@ object TextAnalysis {
         col(id), col("score"))
   }
 
+  /** Positional phrase search — exact consecutive-token phrase
+    * occurrences per document, the positional-index counterpart of
+    * [[bm25Search]]'s bag-of-words ranking. Classic offset
+    * intersection: every (position, phrase-offset) hit votes for the
+    * candidate start `pos − off`; a start where ALL plen offsets voted
+    * is an occurrence (repeated phrase terms are handled for free —
+    * votes are distinct by offset).
+    *
+    * Scale shape: the phrase table (term, offset) is metadata-sized and
+    * BROADCASTS against the positional token stream — the corpus is
+    * scanned once and shuffles only matched (phrase, doc, start) votes
+    * (query-term-postings-sized, not corpus-sized). All-integer
+    * arithmetic end to end.
+    */
+  def phraseSearch(docs: org.apache.spark.sql.DataFrame,
+                   phrases: Seq[(Long, String)],
+                   text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = broadcast(phrases.flatMap { case (pid, p) =>
+      val ts = p.split("\\s+").filter(_.nonEmpty)
+      ts.zipWithIndex.map { case (t, o) =>
+        (pid, o.toLong, t, ts.length.toLong)
+      }
+    }.toDF("phrase_id", "off", "term", "plen"))
+    val pos = docs.select(col(id),
+      posexplode(toks(col(text))).as(Seq("pos", "term")))
+    pos.join(qt, "term")
+      .groupBy(col("phrase_id"), col(id),
+        (col("pos") - col("off")).as("start"), col("plen"))
+      .agg(count(lit(1)).as("_nm"))
+      .where(col("_nm") === col("plen") && col("start") >= 0)
+      .groupBy(col("phrase_id"), col(id))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Unigram log-probability per document — the cheap perplexity-style
     * quality proxy (the degenerate unigram form of LM-based corpus
     * filtering): mean over the doc's tokens of

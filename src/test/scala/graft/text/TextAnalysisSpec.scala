@@ -370,6 +370,28 @@ class TextAnalysisSpec extends SparkSpec {
     got.foreach { case (_, _, d, s) => assert(s == perTerm(d), s"doc $d") }
   }
 
+  test("phraseSearch: exact consecutive matches only; repeated-term " +
+    "phrases and overlapping occurrences count correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),        // "a b" twice, "b a" once
+      (2L, "a x b"),            // terms present but not consecutive
+      (3L, "t t t"),            // "t t" overlaps: starts 0 and 1
+      (4L, "b a")
+    ).toDF("doc_id", "text")
+    def search(p: String): Map[Long, Long] =
+      TextAnalysis.phraseSearch(docs, Seq((9L, p)))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(search("a b") == Map(1L -> 2L))
+    // doc 1 is "a b c a b" — its bigrams are {a b, b c, c a}; "b a"
+    // appears only in doc 4
+    assert(search("b a") == Map(4L -> 1L))
+    assert(search("t t") == Map(3L -> 2L))
+    assert(search("a x b") == Map(2L -> 1L))
+    assert(search("c a b") == Map(1L -> 1L))
+    assert(search("zz yy") == Map.empty[Long, Long])
+  }
+
   test("encoding gate: counts each corruption class, clean text keeps") {
     import spark.implicits._
     val rows = Seq(
