@@ -333,6 +333,92 @@ object Multimodal {
       .withColumnRenamed("doc_b", "media_b")
   }
 
+  /** REAL-pixel 60-bit dHash for ImageIO-decodable payloads — the
+    * "swap real resampled pixels in at the seam" step
+    * [[dHashStubBands]]'s doc promises: decode, box-average down to the
+    * same 6×11 grayscale grid (integer-quantized luma so the grid is
+    * bit-deterministic), compare adjacent cells — identical band layout,
+    * so the banded join, the pigeonhole guarantee and every downstream
+    * consumer are unchanged. Returns None for undecodable payloads
+    * (quarantine upstream for dirty corpora). Runs inside
+    * [[dHashReal]]'s mapPartitions — decode work stays in the scan
+    * stage, only the 4 band longs per image ever shuffle.
+    */
+  def dHashRealBands(payload: Array[Byte]): Option[Seq[Long]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val gw = 11; val gh = 6
+      val grid = Array.ofDim[Long](gh, gw) // 1000×-quantized mean luma
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * img.getWidth / gw
+          val x1 = math.max(x0 + 1, (gx + 1) * img.getWidth / gw)
+          val y0 = gy * img.getHeight / gh
+          val y1 = math.max(y0 + 1, (gy + 1) * img.getHeight / gh)
+          var s = 0L; var c = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              // integer Rec.601 luma ×1000 — no float in the grid
+              s += ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+                (rgb & 0xFF) * 114L
+              c += 1; x += 1
+            }
+            y += 1
+          }
+          grid(gy)(gx) = s / c
+          gx += 1
+        }
+        gy += 1
+      }
+      Some((0 until 4).map { b =>
+        (0 until 15).map { j =>
+          val k = 15 * b + j
+          val row = k / 10; val c0 = k % 10
+          if (grid(row)(c0) > grid(row)(c0 + 1)) 1L << j else 0L
+        }.sum
+      })
+    }
+  }
+
+  /** (media_id, b0..b3) real-pixel signature table — the drop-in
+    * replacement for the stub signature select in [[mediaNearDups]].
+    * Undecodable payloads are dropped (count them upstream if the
+    * corpus is dirty).
+    */
+  def dHashReal(media: DataFrame, payload: String = "payload",
+                id: String = "media_id"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col(payload))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (i, p) =>
+        dHashRealBands(p).map(bs => (i, bs(0), bs(1), bs(2), bs(3)))
+      })
+      .toDF(id, "b0", "b1", "b2", "b3")
+  }
+
+  /** [[mediaNearDups]] over REAL decoded pixels: same pigeonhole band
+    * join, same lossless Hamming ≤ 3 guarantee, real signatures.
+    */
+  def mediaNearDupsReal(media: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = 1000, payload: String = "payload",
+                        id: String = "media_id"): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for Hamming <= 3")
+    graft.dedup.Dedup.bandedHammingPairs(dHashReal(media, payload, id),
+        nBands = 4, maxHamming = maxHamming, maxBucket = maxBucket, id = id)
+      .withColumnRenamed("doc_a", "media_a")
+      .withColumnRenamed("doc_b", "media_b")
+  }
+
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>

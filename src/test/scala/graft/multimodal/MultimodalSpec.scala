@@ -219,6 +219,48 @@ class MultimodalSpec extends SparkSpec {
     assert(a == sigs(11))
     assert(a.values.flatten.forall(v => v >= 0 && v < 32768))
   }
+
+  test("real-pixel dHash: identical images hash equal, a local brightness " +
+    "nudge stays within hamming 3, an inverted image does not pair") {
+    import java.awt.image.BufferedImage
+    def gradient(invert: Boolean, nudge: Boolean): Array[Byte] = {
+      val w = 110; val h = 60
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        // strong horizontal gradient → decisive adjacent-cell comparisons
+        var v = (x * 255) / (w - 1)
+        if (invert) v = 255 - v
+        // brighten ONE grid cell (row 2, col 4 spans x 40..49, y 20..29)
+        if (nudge && x >= 40 && x < 50 && y >= 20 && y < 30)
+          v = math.min(255, v + 40)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val media = Seq(
+      (1L, gradient(invert = false, nudge = false)),
+      (2L, gradient(invert = false, nudge = false)), // byte-identical twin
+      (3L, gradient(invert = false, nudge = true)),  // one-cell nudge
+      (4L, gradient(invert = true, nudge = false)),  // reversed comparisons
+      (5L, "not an image".getBytes("UTF-8"))         // undecodable → dropped
+    ).toDF("media_id", "payload")
+    val sig = graft.multimodal.Multimodal.dHashReal(media)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    assert(sig.keySet == Set(1L, 2L, 3L, 4L), "undecodable row must drop")
+    assert(sig(1L) == sig(2L))
+    val pairs = graft.multimodal.Multimodal.mediaNearDupsReal(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)), "identical twins must pair at 0")
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 0L)
+    // the nudge flips at most the two comparisons bordering the cell
+    assert(pairSet.contains((1L, 3L)), s"nudged copy must pair: $pairs")
+    assert(!pairSet.exists(p => p._2 == 4L && p._1 != 4L),
+      s"inverted gradient must not pair with the originals: $pairs")
+  }
 }
 
 object MultimodalSpec {
