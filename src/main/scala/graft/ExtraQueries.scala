@@ -505,6 +505,52 @@ object ExtraQueries {
       GROUP BY 1, 2 ORDER BY 1, 2"""
     })),
 
+    // Incremental inverted-index maintenance: postings delta between two
+    // snapshots with planted churn (removes, one-word-append edits, and
+    // fresh docs) — an appended word must emit exactly ONE add posting,
+    // never the document's whole vocabulary. The oracle replays churn
+    // isolation (text inequality ≡ the md5 fingerprint diff) and the
+    // ±1 vote cancellation.
+    "q_index_delta" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val changed = docs
+        .where(col("doc_id") % 31 === 0 && col("doc_id") % 97 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" zzdelta")))
+      val kept = docs.where(col("doc_id") % 97 =!= 0 && col("doc_id") % 31 =!= 0)
+      val added = docs.where(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("fresh doc copy "), col("text")).as("text"))
+      val newSnap = kept.unionByName(changed).unionByName(added)
+      graft.text.TextAnalysis.invertedIndexDelta(docs, newSnap)
+        .orderBy("term", "doc_id")
+    }, Some("""WITH oldd AS (SELECT doc_id, text FROM documents),
+      newd AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 97 <> 0 AND doc_id % 31 <> 0
+        UNION ALL
+        SELECT doc_id, text || ' zzdelta' FROM documents
+        WHERE doc_id % 31 = 0 AND doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'fresh doc copy ' || text FROM documents
+        WHERE doc_id % 53 = 0),
+      del0 AS (
+        SELECT o.doc_id, unnest(list_distinct(list_filter(
+          string_split(o.text, ' '), x -> len(x) > 0))) AS term
+        FROM oldd o LEFT JOIN newd n USING (doc_id)
+        WHERE n.doc_id IS NULL OR n.text <> o.text),
+      add0 AS (
+        SELECT n.doc_id, unnest(list_distinct(list_filter(
+          string_split(n.text, ' '), x -> len(x) > 0))) AS term
+        FROM newd n LEFT JOIN oldd o USING (doc_id)
+        WHERE o.doc_id IS NULL OR o.text <> n.text),
+      votes AS (
+        SELECT term, doc_id, sum(v)::BIGINT AS dlt FROM (
+          SELECT term, doc_id, -1 AS v FROM del0
+          UNION ALL SELECT term, doc_id, 1 AS v FROM add0)
+        GROUP BY 1, 2)
+      SELECT term, doc_id, CASE WHEN dlt > 0 THEN 'add' ELSE 'del' END AS op
+      FROM votes WHERE dlt <> 0 ORDER BY term, doc_id"""))),
+
     // Unigram log-probability quality proxy: per-token round-9 logs of
     // corpus unigram frequency, round-6 mean per doc.
     "q_unigram_logprob" -> (((s: SparkSession, dir: String) => {

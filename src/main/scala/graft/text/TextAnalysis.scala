@@ -505,6 +505,37 @@ object TextAnalysis {
         col(id), col("score"))
   }
 
+  /** Incremental inverted-index maintenance — the postings delta between
+    * two corpus snapshots, touching ONLY churned documents (the text
+    * twin of q_ivf_incremental's cell worklist): snapshot diff isolates
+    * added/removed/changed ids (one co-partitioned fingerprint join,
+    * output bounded by churn), only those docs re-tokenize, and a
+    * ±1 vote per (term, doc, version) cancels the terms a changed doc
+    * kept — so an edit that appends one word emits ONE posting, not the
+    * document's whole vocabulary. 1% churn costs 1%; the standing index
+    * is never rebuilt.
+    */
+  def invertedIndexDelta(oldDocs: org.apache.spark.sql.DataFrame,
+                         newDocs: org.apache.spark.sql.DataFrame,
+                         text: String = "text", id: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val diff = graft.ops.Checkpoints.truncate(
+      graft.ops.Cdc.snapshotDiff(oldDocs, newDocs, Seq(id), Seq(text)))
+    def sideTerms(docs: org.apache.spark.sql.DataFrame, statuses: Seq[String],
+                  vote: Int) =
+      docs.join(diff.where(col("status").isin(statuses: _*)).select(id),
+          Seq(id), "left_semi")
+        .select(col(id), explode(array_distinct(toks(col(text)))).as("term"))
+        .withColumn("_v", lit(vote.toLong))
+    sideTerms(oldDocs, Seq("removed", "changed"), -1)
+      .unionByName(sideTerms(newDocs, Seq("added", "changed"), 1))
+      .groupBy(col("term"), col(id))
+      .agg(sum(col("_v")).as("_d"))
+      .where(col("_d") =!= 0)
+      .select(col("term"), col(id),
+        when(col("_d") > 0, lit("add")).otherwise(lit("del")).as("op"))
+  }
+
   /** Positional phrase search — exact consecutive-token phrase
     * occurrences per document, the positional-index counterpart of
     * [[bm25Search]]'s bag-of-words ranking. Classic offset

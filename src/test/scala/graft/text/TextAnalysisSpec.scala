@@ -392,6 +392,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(search("zz yy") == Map.empty[Long, Long])
   }
 
+  test("invertedIndexDelta: one-word edit emits one posting; removes, " +
+    "adds and unchanged docs behave") {
+    import spark.implicits._
+    val oldD = Seq(
+      (1L, "a b c"),   // unchanged
+      (2L, "x y z"),   // gets ' w' appended
+      (3L, "p q"),     // removed
+      (4L, "m n")      // 'n' replaced by 'k'
+    ).toDF("doc_id", "text")
+    val newD = Seq(
+      (1L, "a b c"),
+      (2L, "x y z w"),
+      (4L, "m k"),
+      (5L, "new doc")  // added
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndexDelta(oldD, newD)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("w", 2L, "add"),                      // the appended word ONLY
+      ("p", 3L, "del"), ("q", 3L, "del"),    // removed doc's postings
+      ("n", 4L, "del"), ("k", 4L, "add"),    // replacement: one del one add
+      ("new", 5L, "add"), ("doc", 5L, "add")))
+  }
+
   test("encoding gate: counts each corruption class, clean text keeps") {
     import spark.implicits._
     val rows = Seq(
