@@ -38,6 +38,16 @@ object ExtraQueries {
     (2L, "fast merge batch"),
     (3L, "the line sort"))
 
+  /** Cyrillic homoglyphs of Latin a/e (U+0430, U+0435) and a full
+    * 26-letter Cyrillic alphabet — ONE definition renders both engines'
+    * translate() calls in q_script_spoof.
+    */
+  private val homoglyphPair = "ае"
+  private val cyrAlphabet =
+    "абвгдежзий" +
+      "клмнопрсту" +
+      "фхцчшщ"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -2855,6 +2865,56 @@ object ExtraQueries {
           AS n_dropped,
         sum(moji)::BIGINT AS sum_moji, sum(repl)::BIGINT AS sum_repl,
         sum(ctrl)::BIGINT AS sum_ctrl
+      FROM counted GROUP BY variant ORDER BY variant"""))),
+
+    // Script-spoof detection: homoglyph variants (Latin a/e swapped for
+    // the visually identical Cyrillic а/е — the classic
+    // dedup-evasion trick) must flag via intra-word mixed-script
+    // adjacency, while clean text AND consistently-Cyrillic text (full
+    // per-word transliteration) pass. One Scala alphabet renders both
+    // engines' translate() calls; the regex ranges are exported
+    // constants.
+    "q_script_spoof" -> (((s: SparkSession, dir: String) => {
+      import graft.text.TextAnalysis
+      val base = t(s, dir, "documents").select(lower(col("text")).as("b"))
+      def v(tag: String, c: Column) =
+        base.select(lit(tag).as("variant"), c.as("v"))
+      val variants = v("clean", col("b"))
+        .unionByName(v("homoglyph",
+          translate(col("b"), "ae", homoglyphPair)))
+        .unionByName(v("cyrillic",
+          translate(col("b"), "abcdefghijklmnopqrstuvwxyz", cyrAlphabet)))
+      variants
+        .select(col("variant"),
+          TextAnalysis.latinCount(col("v")).as("lat"),
+          TextAnalysis.cyrillicCount(col("v")).as("cyr"),
+          TextAnalysis.mixedScriptCount(col("v")).as("mixed"),
+          TextAnalysis.scriptSpoofFlag(col("v")).as("flag"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("flag"), lit(1L)).otherwise(lit(0L))).as("n_flagged"),
+          sum(col("lat")).as("sum_latin"),
+          sum(col("cyr")).as("sum_cyrillic"),
+          sum(col("mixed")).as("sum_mixed"))
+        .orderBy("variant")
+    }, Some(s"""WITH base AS (SELECT lower(text) AS b FROM documents),
+      variants AS (
+        SELECT 'clean' AS variant, b AS v FROM base
+        UNION ALL SELECT 'homoglyph', translate(b, 'ae', '$homoglyphPair')
+          FROM base
+        UNION ALL SELECT 'cyrillic',
+          translate(b, 'abcdefghijklmnopqrstuvwxyz', '$cyrAlphabet')
+          FROM base),
+      counted AS (
+        SELECT variant,
+          len(regexp_extract_all(v, '${graft.text.TextAnalysis.LatinRe}'))::BIGINT AS lat,
+          len(regexp_extract_all(v, '${graft.text.TextAnalysis.CyrillicRe}'))::BIGINT AS cyr,
+          len(regexp_extract_all(v, '${graft.text.TextAnalysis.MixedScriptRe}'))::BIGINT AS mixed
+        FROM variants)
+      SELECT variant, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN mixed > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        sum(lat)::BIGINT AS sum_latin, sum(cyr)::BIGINT AS sum_cyrillic,
+        sum(mixed)::BIGINT AS sum_mixed
       FROM counted GROUP BY variant ORDER BY variant"""))),
 
     // URL canonicalization: three messy spellings of every page (scheme/

@@ -135,6 +135,37 @@ object TextAnalysis {
     mojibakeCount(text) === 0 && replacementCount(text) === 0 &&
       controlCount(text) === 0
 
+  /** Script profiling + homoglyph-spoof detection — the dedup-evasion
+    * complement of the encoding gate above: replacing Latin 'a'/'e'
+    * with visually identical Cyrillic а/е defeats every byte-keyed
+    * dedup while rendering identically, and the tell is MIXED-SCRIPT
+    * adjacency (a Latin letter touching a Cyrillic one inside a word —
+    * legitimate multilingual text switches scripts at word boundaries).
+    * Explicit code-point ranges, not \\p{script=...} classes, because
+    * Java regex and RE2 name scripts differently but agree on ranges.
+    */
+  val LatinRe = "[A-Za-z\\x{00C0}-\\x{024F}]"
+  val CyrillicRe = "[\\x{0400}-\\x{04FF}]"
+  val CjkRe = "[\\x{4E00}-\\x{9FFF}]"
+  val MixedScriptRe =
+    "[A-Za-z\\x{00C0}-\\x{024F}][\\x{0400}-\\x{04FF}]" +
+      "|[\\x{0400}-\\x{04FF}][A-Za-z\\x{00C0}-\\x{024F}]"
+
+  private def reCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  def latinCount(text: Column): Column = reCount(text, LatinRe)
+  def cyrillicCount(text: Column): Column = reCount(text, CyrillicRe)
+  def cjkCount(text: Column): Column = reCount(text, CjkRe)
+
+  /** Adjacent Latin↔Cyrillic pairs — the homoglyph-spoof signal. */
+  def mixedScriptCount(text: Column): Column = reCount(text, MixedScriptRe)
+
+  /** Zero-tolerance spoof flag: any intra-word script mix drops the doc
+    * (route it to the normalization queue, not to training).
+    */
+  def scriptSpoofFlag(text: Column): Column = mixedScriptCount(text) > 0
+
   /** PII scrubbing for training corpora: replace emails, IPv4 addresses,
     * and long digit runs (phone-class identifiers) with typed tags —
     * the standard pre-training redaction pass. Pure codegen'd

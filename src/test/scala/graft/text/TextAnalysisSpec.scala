@@ -416,6 +416,31 @@ class TextAnalysisSpec extends SparkSpec {
       ("new", 5L, "add"), ("doc", 5L, "add")))
   }
 
+  test("script spoofing: homoglyph words flag via mixed adjacency; pure " +
+    "scripts and word-boundary switches pass") {
+    import spark.implicits._
+    val cases = Seq(
+      ("plain latin words", false),
+      // 'cаt': Latin c + Cyrillic а (U+0430) + Latin t — the spoof
+      ("the cаt sat", true),
+      // pure Cyrillic word — no Latin adjacency
+      ("привет", false),
+      // legitimate multilingual: scripts switch at the word boundary
+      ("hello мир world", false))
+    val got = cases.map(_._1).toDF("s")
+      .select(TextAnalysis.scriptSpoofFlag(col("s"))).collect()
+      .map(_.getBoolean(0))
+    assert(got.toSeq == cases.map(_._2),
+      s"got ${got.toSeq} for ${cases.map(_._1)}")
+    // counts: 'c' and 't' are Latin, а is Cyrillic, two mixed pairs
+    val r = Seq("cаt").toDF("s").select(
+      TextAnalysis.latinCount(col("s")),
+      TextAnalysis.cyrillicCount(col("s")),
+      TextAnalysis.mixedScriptCount(col("s"))).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 1L)))
+    assert(r.getLong(2) >= 1L)
+  }
+
   test("encoding gate: counts each corruption class, clean text keeps") {
     import spark.implicits._
     val rows = Seq(
