@@ -1326,6 +1326,49 @@ object PipelineQueries {
       FROM c WHERE coalesce(strt, 0) + n_chars <= 75000
       GROUP BY lang ORDER BY lang"""))),
 
+    // PSI distribution-drift monitor: Population Stability Index of the
+    // length distribution between snapshots over fixed bins — 0 for the
+    // self-compare, positive for a planted short-doc drop. Zero-count
+    // bins take ε=1e-6 on both engines; per-bin ln quantizes at 1e9
+    // (the zipfFit discipline) so the sum is order-proof.
+    "q_psi_drift" -> (((s: SparkSession, dir: String) => {
+      import graft.ops.Profile
+      val ladder = Seq(100L, 200L, 300L, 400L, 600L, 100000L)
+      val docs = t(s, dir, "documents")
+      val self = Profile.psiDrift(docs, docs, col("n_chars"), ladder)
+        .withColumn("scenario", lit("self"))
+      val shifted = Profile.psiDrift(docs,
+          docs.where(col("n_chars") > 150), col("n_chars"), ladder)
+        .withColumn("scenario", lit("shifted"))
+      self.unionByName(shifted).select("scenario", "psi", "n_bins")
+        .orderBy("scenario")
+    }, Some {
+      val ladder = Seq(100L, 200L, 300L, 400L, 600L, 100000L)
+      val binCase = ladder.init.foldRight(s"${ladder.last}") {
+        (b, acc) => s"CASE WHEN n_chars <= $b THEN $b ELSE $acc END"
+      }
+      val binVals = ladder.map(b => s"($b)").mkString(", ")
+      def chain(label: String, newWhere: String) =
+        s"""SELECT '$label' AS scenario,
+          round(sum(round((p - q) * (round(ln(p / q) * 1e9, 0) / 1e9)
+            * 1e9, 0)) / 1e9, 6) AS psi,
+          count(*)::BIGINT AS n_bins
+        FROM (
+          SELECT greatest(coalesce(o.n_old, 0)::DOUBLE
+              / (SELECT count(*) FROM documents), 0.000001) AS p,
+            greatest(coalesce(nn.n_new, 0)::DOUBLE
+              / (SELECT count(*) FROM documents $newWhere), 0.000001) AS q
+          FROM (VALUES $binVals) AS bins(bin)
+          LEFT JOIN (SELECT $binCase AS bin, count(*) AS n_old
+                     FROM documents GROUP BY 1) o USING (bin)
+          LEFT JOIN (SELECT $binCase AS bin, count(*) AS n_new
+                     FROM documents $newWhere GROUP BY 1) nn USING (bin))"""
+      s"""${chain("self", "")}
+      UNION ALL
+      ${chain("shifted", "WHERE n_chars > 150")}
+      ORDER BY scenario"""
+    })),
+
     // Water-filling budget allocation: split a 90k-char budget across
     // sources proportionally to integer target weights, letting sources
     // whose supply runs out saturate and redistributing their share —

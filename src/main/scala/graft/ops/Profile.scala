@@ -69,4 +69,48 @@ object Profile {
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         count(lit(1)).as("cnt"))
   }
+
+  /** Population Stability Index between two snapshots of a numeric
+    * column over FIXED bin boundaries — the standard drift monitor a
+    * data pipeline alarms on between loads (PSI < 0.1 stable, > 0.25
+    * population shift). `PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ)` over the bins;
+    * bins are a broadcast-size when-chain riding each scan (two
+    * scan-side aggregates, one |bins|-row join — nothing corpus-sized
+    * shuffles).
+    *
+    * Determinism: zero-count bins take the standard ε = 1e-6 proportion
+    * on BOTH sides; per-bin ln(p/q) quantizes at 1e9 before the
+    * (p−q)-weighted sum and the sum runs over 1e-6-integer proportions,
+    * so the only doubles are bit-identical ratios of BIGINTs and the
+    * one final round-6.
+    */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, value: Column,
+               boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be ascending")
+    val bucket = boundaries.init.foldRight(lit(boundaries.last): Column) {
+      case (b, acc) => when(value <= b, lit(b)).otherwise(acc)
+    }
+    def binned(df: DataFrame, cnt: String) = df
+      .select(bucket.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val bins = broadcast(boundaries.toDF("bin"))
+    val o = binned(oldDf, "n_old")
+    val n = binned(newDf, "n_new")
+    val joined = bins.join(o, Seq("bin"), "left").join(n, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = joined.agg(sum(col("n_old")).as("_to"), sum(col("n_new")).as("_tn"))
+    val eps = 1e-6
+    val withP = joined.crossJoin(broadcast(tot))
+      .withColumn("p", greatest(col("n_old").cast("double") / col("_to"), lit(eps)))
+      .withColumn("q", greatest(col("n_new").cast("double") / col("_tn"), lit(eps)))
+      .withColumn("term",
+        (col("p") - col("q")) * (round(log(col("p") / col("q")) * lit(1e9), 0) / lit(1e9)))
+    withP.agg(round(sum(round(col("term") * lit(1e9), 0)) / lit(1e9), 6).as("psi"),
+      count(lit(1)).as("n_bins"))
+  }
 }

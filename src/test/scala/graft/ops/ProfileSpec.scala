@@ -50,4 +50,22 @@ class ProfileSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"profile must read the table once, saw $scans scans:\n$plan")
   }
+
+  test("psiDrift: identical snapshots read 0; a hand-computed shift matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val oldD = (Seq.fill(80)(10L) ++ Seq.fill(20)(30L)).toDF("v")
+    val self = Profile.psiDrift(oldD, oldD, col("v"), Seq(20L, 40L)).head()
+    assert(self.getDouble(0) == 0.0 && self.getLong(1) == 2L)
+    // new: 50/50 over the same bins — PSI = (.8-.5)ln(.8/.5)+(.2-.5)ln(.2/.5)
+    val newD = (Seq.fill(50)(10L) ++ Seq.fill(50)(30L)).toDF("v")
+    val got = Profile.psiDrift(oldD, newD, col("v"), Seq(20L, 40L))
+      .head().getDouble(0)
+    // replay the operator's exact quantization ladder
+    val t1 = math.rint((0.8 - 0.5) * (math.rint(math.log(0.8 / 0.5) * 1e9) / 1e9) * 1e9)
+    val t2 = math.rint((0.2 - 0.5) * (math.rint(math.log(0.2 / 0.5) * 1e9) / 1e9) * 1e9)
+    val expect = math.rint((t1 + t2) / 1e9 * 1e6) / 1e6
+    assert(got == expect, s"got $got expect $expect")
+    assert(got > 0.25, "a 30-point mass shift must read as population shift")
+  }
 }
