@@ -43,6 +43,7 @@ object ExtraQueries {
     * translate() calls in q_script_spoof.
     */
   private val homoglyphPair = "ае"
+  private val spoofTriple = "аео"
   private val cyrAlphabet =
     "абвгдежзий" +
       "клмнопрсту" +
@@ -2916,6 +2917,41 @@ object ExtraQueries {
         sum(lat)::BIGINT AS sum_latin, sum(cyr)::BIGINT AS sum_cyrillic,
         sum(mixed)::BIGINT AS sum_mixed
       FROM counted GROUP BY variant ORDER BY variant"""))),
+
+    // Homoglyph-fold dedup: spoofed variants (Cyrillic а/е/о for Latin
+    // a/e/o) hash apart raw but collapse under the fold key — the FIX
+    // for what q_script_spoof detects. Per lang: 2N variants, 2N raw
+    // keys, N folded keys.
+    "q_homoglyph_dedup" -> (((s: SparkSession, dir: String) => {
+      import graft.text.TextAnalysis
+      val base = t(s, dir, "documents")
+        .select(col("lang"), lower(col("text")).as("b"))
+      val variants = base.select(col("lang"), col("b").as("v"))
+        .unionByName(base.select(col("lang"),
+          translate(col("b"), "aeo", spoofTriple).as("v")))
+      variants
+        .select(col("lang"),
+          md5(col("v")).as("rk"),
+          md5(TextAnalysis.homoglyphFold(col("v"))).as("fk"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("rk")).as("n_raw_keys"),
+          countDistinct(col("fk")).as("n_folded_keys"))
+        .orderBy("lang")
+    }, Some(s"""WITH base AS (
+        SELECT lang, lower(text) AS b FROM documents),
+      variants AS (
+        SELECT lang, b AS v FROM base
+        UNION ALL SELECT lang, translate(b, 'aeo', '$spoofTriple') FROM base),
+      keyed AS (
+        SELECT lang, md5(v) AS rk,
+          md5(translate(v, '${graft.text.TextAnalysis.HomoglyphFrom}',
+            '${graft.text.TextAnalysis.HomoglyphTo}')) AS fk
+        FROM variants)
+      SELECT lang, count(*)::BIGINT AS n_variants,
+        count(DISTINCT rk)::BIGINT AS n_raw_keys,
+        count(DISTINCT fk)::BIGINT AS n_folded_keys
+      FROM keyed GROUP BY lang ORDER BY lang"""))),
 
     // URL canonicalization: three messy spellings of every page (scheme/
     // host case, default port, userinfo, trailing host dot, tracking

@@ -166,6 +166,18 @@ object TextAnalysis {
     */
   def scriptSpoofFlag(text: Column): Column = mixedScriptCount(text) > 0
 
+  /** The FIX for what [[scriptSpoofFlag]] detects: fold the common
+    * Cyrillic↔Latin confusables onto their Latin glyphs so spoofed
+    * variants share a dedup key. One `translate` — codegen'd, identical
+    * on any engine. (Both alphabets are public constants so oracle SQL
+    * embeds the same mapping.)
+    */
+  val HomoglyphFrom = "аеорсхуі"
+  val HomoglyphTo = "aeopcxyi"
+
+  def homoglyphFold(text: Column): Column =
+    translate(text, HomoglyphFrom, HomoglyphTo)
+
   /** PII scrubbing for training corpora: replace emails, IPv4 addresses,
     * and long digit runs (phone-class identifiers) with typed tags —
     * the standard pre-training redaction pass. Pure codegen'd

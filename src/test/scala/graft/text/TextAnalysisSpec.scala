@@ -441,6 +441,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(2) >= 1L)
   }
 
+  test("homoglyphFold collapses spoofed variants onto the Latin key and " +
+    "is the identity on clean Latin text") {
+    import spark.implicits._
+    // "cаt" with Cyrillic а folds to plain "cat"
+    val got = Seq("cаt", "cat", "plain words 123")
+      .toDF("s").select(TextAnalysis.homoglyphFold(col("s")))
+      .collect().map(_.getString(0))
+    assert(got(0) == "cat" && got(1) == "cat")
+    assert(got(2) == "plain words 123", "identity on clean Latin")
+    // fold removes the spoof flag
+    val flag = Seq("cаt").toDF("s")
+      .select(TextAnalysis.scriptSpoofFlag(TextAnalysis.homoglyphFold(col("s"))))
+      .head().getBoolean(0)
+    assert(!flag)
+  }
+
   test("encoding gate: counts each corruption class, clean text keeps") {
     import spark.implicits._
     val rows = Seq(
