@@ -1175,6 +1175,34 @@ object Bench {
       System.err.println(s"[bench] d19 failed: ${e.getMessage}")
     }
 
+    // d20: query-time BM25 retrieval (q_bm25_search's operator) under
+    // CORRELATED 10x growth (rawCopies) — deliberately: a real corpus
+    // 10x bigger has 10x longer postings for the SAME query terms, so
+    // candidate sets and the per-query top-k input grow 10x while the
+    // broadcast query table and the result stay fixed. Wall should
+    // track the query-term postings mass (linear); ampDocs would
+    // suffix the tokens and zero out every match.
+    try {
+      val d20Queries = Seq((1L, "spark join window"),
+        (2L, "slow query scan table"), (3L, "vector hash merge"))
+      def search(d: DataFrame) =
+        graft.text.TextAnalysis.bm25Search(d, d20Queries, topK = 10)
+      measure("d20_bm25_search", ctlTimes)(exec(search(docs1x)))
+      measure("d20_bm25_search", times)(exec(search(rawCopies(10))))
+      def d20Diag(tag: String, d: DataFrame): Unit = try {
+        val terms = d20Queries.flatMap(_._2.split(" ")).distinct
+        scaleDiag(s"d20_${tag}_query_postings") = d
+          .select(explode(split(col("text"), "\\s+")).as("t"))
+          .where(col("t").isin(terms: _*)).count()
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d20 diag $tag failed: ${e.getMessage}")
+      }
+      d20Diag("1x", docs1x)
+      d20Diag("10x", rawCopies(10))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d20 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each
