@@ -187,6 +187,35 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hash-sample quantiles hold the rank-error band on a SKEWED " +
+    "(Zipf-ish) distribution, not just uniform") {
+    import spark.implicits._
+    // heavy head: value v appears ~N/v times (harmonic mass) — the
+    // sketch's bottom-k samples ROWS, so rank error is still binomial
+    // in k regardless of the value distribution
+    val rows = (1 to 200).flatMap(v => Seq.fill(2000 / v)((v, s"$v"))).zipWithIndex
+      .map { case ((v, _), i) => (v, s"id$i") }
+    val df = rows.toDF("v", "id").withColumn("grp", lit("all"))
+    val n = rows.length
+    val exact = graft.ops.GlobalRank.interpolatedQuantiles(
+        df, Seq(0.5, 0.9), "grp", "v", "id")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val approx = Sketches.hashSampleQuantiles(
+        df, Seq(0.5, 0.9), "grp", "v", "id", k = 256)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // translate the 3σ RANK tolerance into value space via the exact
+    // quantiles at p ± tol — the right error model for skewed data
+    for (p <- Seq(0.5, 0.9)) {
+      val tol = 3 * math.sqrt(p * (1 - p) / 256)
+      val lo = graft.ops.GlobalRank.interpolatedQuantiles(
+        df, Seq(math.max(0, p - tol)), "grp", "v", "id").head().getDouble(2)
+      val hi = graft.ops.GlobalRank.interpolatedQuantiles(
+        df, Seq(math.min(1, p + tol)), "grp", "v", "id").head().getDouble(2)
+      assert(approx(p) >= lo && approx(p) <= hi,
+        s"p=$p approx=${approx(p)} outside [$lo,$hi] (exact=${exact(p)}, n=$n)")
+    }
+  }
+
   test("hash-sample quantiles are partitioning-independent (pure hash sample)") {
     import spark.implicits._
     val rows = (0 until 3000).map(i => ("g" + (i % 3), i * 7 % 1000, s"id$i"))

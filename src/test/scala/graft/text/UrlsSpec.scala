@@ -60,4 +60,25 @@ class UrlsSpec extends SparkSpec {
       "https://user@example.com./")
     for (u <- urls) assert(canon(canon(u)) == canon(u), s"not idempotent: $u")
   }
+
+  test("property: any permutation of query params canonicalizes identically") {
+    val params = Seq("a=1", "b=2", "c=3", "utm_source=x", "gclid=y")
+    val rnd = new scala.util.Random(7)
+    val expect = canon(s"https://h.com/p?${params.mkString("&")}")
+    for (_ <- 1 to 8) {
+      val perm = rnd.shuffle(params).mkString("&")
+      assert(canon(s"https://h.com/p?$perm") == expect, s"perm $perm diverged")
+    }
+    assert(expect == "https://h.com/p?a=1&b=2&c=3")
+  }
+
+  test("property: host case, default port, userinfo and fragment are a " +
+    "16-variant equivalence class") {
+    val hosts = Seq("h.com", "H.COM", "h.Com.", "user:pw@h.com")
+    val tails = Seq("", ":443", "#frag", ":443#frag")
+    val forms = for (h <- hosts; t <- tails)
+      yield s"https://$h${t.takeWhile(_ != '#')}/p${t.dropWhile(_ != '#')}"
+    val keys = forms.map(canon).toSet
+    assert(keys == Set("https://h.com/p"), s"got $keys")
+  }
 }
