@@ -2918,6 +2918,103 @@ object ExtraQueries {
         sum(mixed)::BIGINT AS sum_mixed
       FROM counted GROUP BY variant ORDER BY variant"""))),
 
+    // Mixed-language gate: a planted French-stopword tail on every doc
+    // must flip the ≥2-languages flag while the clean variant passes —
+    // the boilerplate-stitch / MT-glitch detector. Oracle renders the
+    // same per-language hit thresholds from the one stopword map.
+    "q_mixed_lang" -> (((s: SparkSession, dir: String) => {
+      import graft.text.TextAnalysis
+      val base = t(s, dir, "documents").select(col("text").as("b"))
+      def v(tag: String, c: Column) =
+        base.select(lit(tag).as("variant"), c.as("v"))
+      val variants = v("clean", col("b"))
+        .unionByName(v("stitched",
+          concat(col("b"), lit(" le et est dans le et est dans"))))
+      variants
+        .select(col("variant"),
+          TextAnalysis.langsDetected(col("v"), minHits = 2).as("ld"),
+          TextAnalysis.mixedLangFlag(col("v"), minHits = 2).as("flag"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("flag"), lit(1L)).otherwise(lit(0L))).as("n_mixed"),
+          sum(col("ld")).as("sum_langs_detected"))
+        .orderBy("variant")
+    }, Some {
+      val langs = graft.text.TextAnalysis.stopwords.keys.toSeq.sorted
+      def hits(l: String) = {
+        val words = graft.text.TextAnalysis.stopwords(l)
+          .map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(list_filter(string_split(lower(v), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
+      }
+      val ld = langs.map(l =>
+        s"(CASE WHEN ${hits(l)} >= 2 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (SELECT text AS b FROM documents),
+      variants AS (
+        SELECT 'clean' AS variant, b AS v FROM base
+        UNION ALL SELECT 'stitched',
+          b || ' le et est dans le et est dans' FROM base),
+      scored AS (SELECT variant, ($ld)::BIGINT AS ld FROM variants)
+      SELECT variant, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN ld >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_mixed,
+        sum(ld)::BIGINT AS sum_langs_detected
+      FROM scored GROUP BY variant ORDER BY variant"""
+    })),
+
+    // Length-outlier trim driven by the hash-sample quantile SKETCH:
+    // per-language [p05, p95] bounds come from the mergeable bottom-64
+    // sample (the dashboard-cadence quantile path), broadcast back, and
+    // the gate rides the scan — the sketch powering an actual decision,
+    // not just a report. Oracle replays sampling, interpolation, pivot
+    // and gate.
+    "q_length_gate" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val qs = graft.agg.Sketches.hashSampleQuantiles(docs,
+        Seq(0.05, 0.95), group = "lang", value = "n_chars",
+        id = "doc_id", k = 64)
+      val wide = qs.groupBy("lang").agg(
+        max(when(col("p") === 0.05, col("quantile"))).as("lo"),
+        max(when(col("p") === 0.95, col("quantile"))).as("hi"))
+      docs.join(broadcast(wide), "lang")
+        .select(col("lang"),
+          (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+            .as("out"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("out"), lit(1L)).otherwise(lit(0L))).as("n_trimmed"))
+        .orderBy("lang")
+    }, Some("""WITH sampled AS (
+        SELECT lang, n_chars::DOUBLE AS v, doc_id FROM (
+          SELECT lang, n_chars, doc_id,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                doc_id) AS srn
+          FROM documents)
+        WHERE srn <= 64),
+      ranked AS (
+        SELECT lang, v,
+          row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS idx
+        FROM sampled),
+      np AS (SELECT lang, max(idx) AS n FROM ranked GROUP BY 1),
+      ps AS (SELECT unnest([0.05, 0.95]) AS p),
+      tgt AS (SELECT lang, p, p * (n - 1)::DOUBLE AS pos,
+          floor(p * (n - 1)::DOUBLE)::BIGINT + 1 AS lo,
+          ceil(p * (n - 1)::DOUBLE)::BIGINT + 1 AS hi
+        FROM np CROSS JOIN ps),
+      q AS (SELECT t.lang, t.p,
+          round(rl.v + (t.pos - floor(t.pos)) * (rh.v - rl.v), 6) AS quantile
+        FROM tgt t
+        JOIN ranked rl ON rl.lang = t.lang AND rl.idx = t.lo
+        JOIN ranked rh ON rh.lang = t.lang AND rh.idx = t.hi),
+      wide AS (SELECT lang,
+          max(CASE WHEN p = 0.05 THEN quantile END) AS lo,
+          max(CASE WHEN p = 0.95 THEN quantile END) AS hi
+        FROM q GROUP BY 1)
+      SELECT d.lang, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN d.n_chars < w.lo OR d.n_chars > w.hi
+            THEN 1 ELSE 0 END)::BIGINT AS n_trimmed
+      FROM documents d JOIN wide w USING (lang)
+      GROUP BY 1 ORDER BY 1"""))),
+
     // Homoglyph-fold dedup: spoofed variants (Cyrillic а/е/о for Latin
     // a/e/o) hash apart raw but collapse under the fold key — the FIX
     // for what q_script_spoof detects. Per lang: 2N variants, 2N raw

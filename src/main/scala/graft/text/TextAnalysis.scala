@@ -53,6 +53,22 @@ object TextAnalysis {
     }
   }
 
+  /** Number of languages whose stopword evidence reaches `minHits` —
+    * the mixed-language gate's signal: a clean document has ONE
+    * language with evidence; boilerplate-stitched or MT-glitched text
+    * shows two or more. Pure codegen when-chain over the same stopword
+    * scorer langId uses.
+    */
+  def langsDetected(text: Column, minHits: Int = 2): Column =
+    stopwords.keys.toSeq.sorted.map { l =>
+      when(stopwordHits(text, stopwords(l)) >= minHits, lit(1L))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Flag documents with stopword evidence of ≥2 languages. */
+  def mixedLangFlag(text: Column, minHits: Int = 2): Column =
+    langsDetected(text, minHits) >= 2
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(toks(text))
 

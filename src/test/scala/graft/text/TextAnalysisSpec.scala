@@ -457,6 +457,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!flag)
   }
 
+  test("mixed-language gate: stitched bilingual text flags, clean " +
+    "monolingual and sub-threshold noise pass") {
+    import spark.implicits._
+    val cases = Seq(
+      ("the cat and the dog is here", false),     // en only
+      ("le chat est dans la maison", false),      // fr only
+      ("the cat and le chat est dans", true),     // en>=2 AND fr>=2
+      ("the cat and the dog le", false))          // fr evidence below 2
+    val got = cases.map(_._1).toDF("s")
+      .select(TextAnalysis.mixedLangFlag(col("s"))).collect()
+      .map(_.getBoolean(0))
+    assert(got.toSeq == cases.map(_._2), s"got ${got.toSeq}")
+    // langsDetected counts every language over threshold
+    val ld = Seq("the and le est el un der die").toDF("s")
+      .select(TextAnalysis.langsDetected(col("s"))).head().getLong(0)
+    assert(ld == 4L, s"all four languages have 2 hits: $ld")
+  }
+
   test("encoding gate: counts each corruption class, clean text keeps") {
     import spark.implicits._
     val rows = Seq(
