@@ -262,8 +262,9 @@ object Sketches {
     * trimmed union of bottom-ks, exactly the KMV retention property) —
     * then take exact interpolated quantiles (percentile_cont definition,
     * via [[graft.ops.GlobalRank.interpolatedQuantiles]]) of the sample.
-    * Rank error is the bottom-k sampling error, O(1/sqrt(k)) ≈ 6% of rank
-    * at k=256 (measured in SketchesSpec against planted distributions).
+    * Rank error is the bottom-k sampling error: 1σ = sqrt(p(1−p)/k)
+    * (≈3.1% of rank at p=0.5, k=256); SketchesSpec pins the 3σ band on
+    * planted uniform AND Zipf-skewed distributions.
     *
     * Why not exact quantiles everywhere: the exact path
     * (q_length_quantiles) range-partitions ALL rows per group — correct
