@@ -152,6 +152,14 @@ class PlanShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_length_gate joins the sketch bounds via broadcast — the corpus " +
+    "scan never reshuffles for the gate") {
+    val p = plan("q_length_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |langs|-row [p05,p95] table must broadcast back to the scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_sample_quantiles bounds the hash sample map-side and never " +
     "plans a single-partition window") {
     // the quantile stage checkpoints through GlobalRank (lineage
