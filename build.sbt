@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver invokes `sbt runMain graft.Bench` and parses the last
+// JSON-looking stdout line. sbt's default LoggedOutput routes the forked
+// program's stdout through the logger, prefixing every line with
+// "[info] " — which made BENCH_r11.json's `parsed` null. StdoutOutput
+// passes the program's stdout through verbatim, so the bench's one JSON
+// line starts with '{' and parses.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

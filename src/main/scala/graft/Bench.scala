@@ -286,14 +286,26 @@ object Bench {
     }
     hygiene(spark)
 
-    // twin self-check: q_monster (suite loop) and b1_monster (headline)
-    // execute the SAME Queries.queries("q_monster") DataFrame — any large
-    // spread between them is environment drift inside this run, not a plan
-    // difference, and flags every absolute number in this JSON as suspect
-    // (r3 read 12.04s vs 1.15s on the twins; that run's absolutes were
-    // discarded)
+    // twin self-check: q_monster and b1_monster execute the SAME
+    // Queries.queries("q_monster") DataFrame — any large spread between
+    // them is environment drift inside this run, not a plan difference,
+    // and flags every absolute number in this JSON as suspect (r3 read
+    // 12.04s vs 1.15s on the twins; that run's absolutes were discarded).
+    // r10/r11 compared readings taken under DIFFERENT protocols (suite
+    // min-of-2 loop vs burn+ABBA pair) and the spread grew 0.03 → 0.81
+    // on identical plans — protocol mismatch, not drift. Both twins now
+    // run under the pair protocol: b1_monster in the headline pass at the
+    // start of the run, the q_monster twin re-measured HERE (end of the
+    // suite loop) against the same native-SQL control, so the spread is a
+    // pure start-vs-end drift thermometer on identical plans + protocol.
+    val twinTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val twinCtl = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for {
+      twinOurs <- guarded("twin q_monster")(Queries.queries("q_monster")(spark, sfDir))
+      twinControl <- ctl.get("b1_monster")
+    } measurePair(spark, "q_monster_twin", twinOurs, twinControl, twinTimes, twinCtl)
     val twinSpread = (for {
-      a <- results.get("q_monster"); b <- results.get("b1_monster")
+      a <- twinTimes.get("q_monster_twin"); b <- results.get("b1_monster")
     } yield math.abs(a - b) / math.max(math.min(a, b), 1e-9)).getOrElse(0.0)
     val contaminated = twinSpread > 3.0
 
@@ -327,7 +339,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val diag = scaleDiag.toSeq
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val twin = s"""{"q_monster":${results.getOrElse("q_monster", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}}"""
+    // q_monster here is the END-of-suite PAIR-protocol reading (same
+    // protocol as b1_monster), not the suite-loop min-of-2 — see the twin
+    // scaladoc above; the suite-loop reading still appears in `queries`.
+    val twin = s"""{"q_monster":${twinTimes.getOrElse("q_monster_twin", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}}"""
     // field order matters: the round artifact keeps only a TAIL of stdout,
     // so the big maps (per-query timings, 10x scale maps, diag counters)
     // go FIRST and every summary number cited by the judge (controls,
@@ -1183,8 +1198,10 @@ object Bench {
     // track the query-term postings mass (linear); ampDocs would
     // suffix the tokens and zero out every match.
     try {
-      val d20Queries = Seq((1L, "spark join window"),
-        (2L, "slow query scan table"), (3L, "vector hash merge"))
+      // The ONE q_bm25_search query-set definition — referencing it here
+      // (instead of re-listing the tuples) keeps the d20 trend certified
+      // against exactly the query set the correctness row runs.
+      val d20Queries = ExtraQueries.searchQueries
       def search(d: DataFrame) =
         graft.text.TextAnalysis.bm25Search(d, d20Queries, topK = 10)
       measure("d20_bm25_search", ctlTimes)(exec(search(docs1x)))

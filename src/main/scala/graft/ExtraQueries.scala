@@ -24,8 +24,10 @@ object ExtraQueries {
 
   /** The q_bm25_search query set — ONE definition renders both the Spark
     * call and the oracle's VALUES list, so the two can never drift.
+    * `private[graft]` so Bench's d20 trend runs the SAME query set as
+    * the certified q_bm25_search row (it used to re-list the tuples).
     */
-  private val searchQueries: Seq[(Long, String)] = Seq(
+  private[graft] val searchQueries: Seq[(Long, String)] = Seq(
     (1L, "spark join window"),
     (2L, "slow query scan table"),
     (3L, "vector hash merge"))

@@ -1081,7 +1081,8 @@ object PipelineQueries {
     // orthogonal to the Gopher n-gram fractions: a doc cycling a tiny
     // vocabulary scores low even when no single n-gram dominates.
     // Oracle replays the exact H = log2(n) − (Σ c·log2 c)/n form with
-    // the same per-term round-9 / final round-6 discipline. Scale: two
+    // the same per-term 1e-9-integer quantization (BIGINT sum, so the
+    // cross-row total is partition-order-free) / final round-6. Scale: two
     // map-side-combined aggregates, no join — see
     // TextAnalysis.unigramEntropy.
     "q_doc_entropy" -> (((s: SparkSession, dir: String) => {
@@ -1094,7 +1095,8 @@ object PipelineQueries {
       c AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
       SELECT doc_id, sum(c)::BIGINT AS n_tokens,
         count(*)::BIGINT AS n_distinct,
-        round(log2(sum(c)) - sum(round(c * log2(c), 9)) / sum(c), 6) AS entropy
+        round(log2(sum(c)) - (sum(round(c * log2(c) * 1e9, 0)::BIGINT) / 1e9)
+                             / sum(c), 6) AS entropy
       FROM c GROUP BY 1 ORDER BY 1"""))),
 
     // Sequence-length bucketing + padding-waste audit: docs land in the
@@ -1151,14 +1153,18 @@ object PipelineQueries {
     // self-training / auto-labeling filter (keep a machine label only
     // when best − runner-up ≥ τ nats). Margin is a difference of two
     // round-6 scores that are themselves exact-integer-derived, so it
-    // is bit-stable on any engine. Same plan as q_nb_lang plus one
-    // lead over the already-present ranking window — no extra shuffle.
+    // is bit-stable on any engine. A mono-label corpus has no
+    // runner-up: margin saturates to the 1e6-nat SoloMargin sentinel
+    // (mirrored in the oracle's coalesce) instead of going NULL. Same
+    // plan as q_nb_lang plus one lead over the already-present ranking
+    // window — no extra shuffle.
     "q_nb_margin" -> (((s: SparkSession, dir: String) => {
       graft.text.Classifier.nbMargin(t(s, dir, "documents"))
         .orderBy("doc_id")
     }, Some(nbOracle +
-      """ SELECT doc_id, lang, pred, score, round(score - nxt, 6) AS margin,
-        (round(score - nxt, 6) >= 2.0) AS confident
+      """ SELECT doc_id, lang, pred, score,
+        round(coalesce(score - nxt, 1000000.0), 6) AS margin,
+        (round(coalesce(score - nxt, 1000000.0), 6) >= 2.0) AS confident
       FROM win WHERE rn = 1 ORDER BY doc_id"""))),
 
     // Reliability curve: accuracy per integer margin bin (top bin
@@ -1168,7 +1174,8 @@ object PipelineQueries {
       graft.text.Classifier.nbCalibration(t(s, dir, "documents"))
         .orderBy("margin_bin")
     }, Some(nbOracle +
-      """ SELECT least(floor(round(score - nxt, 6)), 20.0)::BIGINT AS margin_bin,
+      """ SELECT least(floor(round(coalesce(score - nxt, 1000000.0), 6)),
+          20.0)::BIGINT AS margin_bin,
         count(*)::BIGINT AS n_docs,
         sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
         round(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE

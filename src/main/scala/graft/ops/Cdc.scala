@@ -123,14 +123,19 @@ object Cdc {
     * classifies every key as `added` (new only), `removed` (old only)
     * or `changed` (both, fingerprints differ); unchanged keys are
     * dropped before anything else happens, so the output is bounded by
-    * churn, not corpus size. NULL compare values fingerprint via a
-    * NUL sentinel so NULL↔'' transitions are visible.
+    * churn, not corpus size. The fingerprint is unambiguous across
+    * column boundaries: each compare column contributes its own md5
+    * (32 hex chars) or the single char `-` for NULL — `-` is not a hex
+    * digit, so the concatenation is uniquely decodable (no value can
+    * shift content across a column boundary, and NULL can never collide
+    * with any literal string, including a literal NUL).
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     def fp(df: DataFrame, as: String): DataFrame =
-      df.select(keyCols.map(col) :+ md5(concat_ws("|",
-        compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+      df.select(keyCols.map(col) :+ md5(concat(
+        compareCols.map(c => when(col(c).isNull, lit("-"))
+          .otherwise(md5(col(c).cast("string")))): _*))
         .as(as): _*)
     val o = fp(oldSnap, "_fp_old")
     val n = fp(newSnap, "_fp_new")

@@ -86,8 +86,10 @@ object Profile {
     */
   def psiDrift(oldDf: DataFrame, newDf: DataFrame, value: Column,
                boundaries: Seq[Long]): DataFrame = {
-    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
-      "boundaries must be ascending")
+    require(boundaries.nonEmpty &&
+        boundaries.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
+      "boundaries must be strictly increasing (a duplicate boundary " +
+        "would double-count its bin's PSI term and inflate n_bins)")
     val bucket = boundaries.init.foldRight(lit(boundaries.last): Column) {
       case (b, acc) => when(value <= b, lit(b)).otherwise(acc)
     }

@@ -67,9 +67,13 @@ object Classifier {
     * best score − runner-up score (nats; both round-6 of exact integer
     * nano-sums, so the difference is bit-stable), `confident` = margin
     * ≥ `minMargin`. Low-margin docs are the ones a pipeline routes to
-    * a stronger model or drops. Same plan as [[nbPredict]] with one
-    * extra `lead` over the already-present per-doc ranking window —
-    * no additional shuffle.
+    * a stronger model or drops. A mono-label corpus has no runner-up:
+    * the margin saturates to the defined sentinel [[SoloMargin]]
+    * (1e6 nats — above any real margin, so `confident` is true) rather
+    * than going NULL and silently dropping every row from downstream
+    * `confident` filters. Same plan as [[nbPredict]] with one extra
+    * `lead` over the already-present per-doc ranking window — no
+    * additional shuffle.
     */
   def nbMargin(docs: DataFrame, minMargin: Double = 2.0,
                labelCol: String = "lang", nBuckets: Int = 64,
@@ -81,9 +85,17 @@ object Classifier {
       .where(col("_rn") === 1)
       .select(col(id), col("_lbl").as(labelCol), col("_cls").as("pred"),
         col("score"),
-        round(col("score") - col("_next"), 6).as("margin"))
+        round(coalesce(col("score") - col("_next"), lit(SoloMargin)), 6)
+          .as("margin"))
       .withColumn("confident", col("margin") >= lit(minMargin))
   }
+
+  /** Saturated margin for a prediction with no runner-up (single
+    * distinct label in the corpus): a defined, finite sentinel so the
+    * margin column is never NULL. 1e6 nats exceeds any achievable real
+    * margin by orders of magnitude.
+    */
+  val SoloMargin: Double = 1e6
 
   /** Reliability curve of the classifier: accuracy per integer margin
     * bin (`least(floor(margin), maxBin)` — the top bin collects the

@@ -747,9 +747,10 @@ object TextAnalysis {
     * token distribution — the repetitiveness signal orthogonal to
     * [[repetitionRatio]]: a doc that cycles a small vocabulary scores
     * low entropy even when no single n-gram dominates. Computed in the
-    * `H = log2(n) − (Σ c·log2 c)/n` form so everything before the final
-    * subtraction is exact integers plus one per-term double rounded at
-    * 9 (hapax terms contribute exactly 0); the result rounds at 6.
+    * `H = log2(n) − (Σ c·log2 c)/n` form with each `c·log2 c` term
+    * quantized to a 1e-9-integer (BIGINT) BEFORE the cross-row sum —
+    * the repo-wide discipline that keeps the sum partition-order-free
+    * (hapax terms contribute exactly 0); the result rounds at 6.
     * Plan shape: one (doc, term) partial-agg shuffle then a per-doc
     * aggregate — no vocabulary table, no join at all, so the operator
     * is two map-side-combined passes regardless of corpus size. Docs
@@ -763,9 +764,11 @@ object TextAnalysis {
       .groupBy(col(id))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        sum(round(col("c") * log2(col("c")), 9)).as("_clc"))
+        sum(round(col("c") * log2(col("c")) * lit(1e9), 0).cast("long"))
+          .as("_clc9"))
       .select(col(id), col("n_tokens"), col("n_distinct"),
-        round(log2(col("n_tokens")) - col("_clc") / col("n_tokens"), 6)
+        round(log2(col("n_tokens"))
+            - (col("_clc9") / lit(1e9)) / col("n_tokens"), 6)
           .as("entropy"))
   }
 
