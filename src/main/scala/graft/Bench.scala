@@ -1220,6 +1220,79 @@ object Bench {
       System.err.println(s"[bench] d20 failed: ${e.getMessage}")
     }
 
+    // d21: byte-BPE encode at production merge-table scale (≥1k merges
+    // through the broadcast merge-array dispatch — q_bpe_bytes_encode's
+    // operator, whose correctness row unrolls only 6). The merge table
+    // trains ONCE on the token-diversified corpus (ampDocs' vocabulary
+    // is ~10x, so the merge space clears 1k; the 1x corpus exhausts at
+    // ~240) via batched generations — 8 corpus aggregates, not 1024.
+    // Two axes: encode 1x vs raw-replicated 10x with the SAME ≥1k table
+    // (occurrence axis — vocab fixed, the fold runs per DISTINCT word,
+    // so wall should grow like the join/agg side, well under 10x), and
+    // 1x with the first-128 prefix vs the full table (merge-count axis —
+    // the broadcast fold's plan depth is O(1) in the step count, so an
+    // 8x longer table must not produce an 8x wall).
+    try {
+      import graft.text.Bpe
+      val m1k = Bpe.batchedByteMerges(docs10x, 1024)
+      scaleDiag("d21_merge_table") = m1k.size.toLong
+      scaleDiag("d21_vocab_1x") = Bpe.byteWordCounts(docs1x).count()
+      measure("d21_bpe1k_encode", ctlTimes)(exec(
+        Bpe.byteEncodeCounts(docs1x, m1k)))
+      measure("d21_bpe1k_encode", times)(exec(
+        Bpe.byteEncodeCounts(rawCopies(10), m1k)))
+      measure("d21_bpe1k_merges", ctlTimes)(exec(
+        Bpe.byteEncodeCounts(docs1x, m1k.take(128))))
+      measure("d21_bpe1k_merges", times)(exec(
+        Bpe.byteEncodeCounts(docs1x, m1k)))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d21 failed: ${e.getMessage}")
+    }
+
+    // d22: incremental NEAR-dup trend (q_dedup_incr_near's operator,
+    // reworked in r11 — suite cost #2 at ~9.5 s deserves its own line).
+    // History FIXED at 1x (docs % 3 = 0), batch 10x-replicated with
+    // DECORRELATED copies: the operator's claim is that the history
+    // contributes one band-table build and per-batch work shuffles only
+    // the batch side, so wall should scale ≈ batch while planted
+    // candidates stay ≈ 1x (only copy-0 recrawls share shingles with
+    // history — the copies' suffixed tokens share nothing, exactly the
+    // no-clone-clique rationale of ampDocs). Diag attributes it:
+    // band-bucket candidates and verified pairs at each scale.
+    try {
+      import graft.dedup.Dedup
+      val history = ampDocs(1).where(col("doc_id") % 3 === 0)
+        .select("doc_id", "text")
+      def batchOf(docs: DataFrame): DataFrame =
+        docs.where(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+          .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+            .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+              concat(col("text"), lit(" graftzz")).as("text")))
+      val b1 = batchOf(ampDocs(1))
+      val b10 = batchOf(docs10x)
+      measure("d22_incr_near_dup", ctlTimes)(exec(
+        Dedup.incrementalNearDups(b1, history, maxBucket = 1000000)))
+      measure("d22_incr_near_dup", times)(exec(
+        Dedup.incrementalNearDups(b10, history, maxBucket = 1000000)))
+      def d22Diag(tag: String, batch: DataFrame): Unit = try {
+        val hB = Dedup.lshBands(Dedup.minhashSignatures(history), 8, 2)
+          .select(col("doc_id").as("hist_id"), col("band"), col("bkey"))
+        val bB = Dedup.lshBands(Dedup.minhashSignatures(batch), 8, 2)
+          .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
+        scaleDiag(s"d22_${tag}_batch_rows") = batch.count()
+        scaleDiag(s"d22_${tag}_candidates") = bB.join(hB, Seq("band", "bkey"))
+          .select("batch_id", "hist_id").distinct().count()
+        scaleDiag(s"d22_${tag}_verified") =
+          Dedup.incrementalNearDups(batch, history, maxBucket = 1000000).count()
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d22 diag $tag failed: ${e.getMessage}")
+      }
+      d22Diag("1x", b1)
+      d22Diag("10x", b10)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d22 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

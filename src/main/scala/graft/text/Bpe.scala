@@ -170,6 +170,69 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Production-vocab merge training in BATCHED generations: each
+    * generation ranks the current state's adjacent-pair counts ONCE
+    * (count desc, then pair — a deterministic total order), takes the
+    * top `batch` pairs as the next `batch` merges, and applies them in
+    * rank order with one vocabulary fold. `steps` merges cost
+    * ceil(steps/batch) driver round-trips instead of `steps` — the only
+    * way a 50k-merge tokenizer trains on a 100 TB corpus, where
+    * [[trainByteMerges]]'s one-argmax-per-merge loop would be 50k
+    * corpus-aggregate barriers.
+    *
+    * Approximation vs strict Sennrich: ranks within a generation come
+    * from the generation-START counts, so merge k does not see merges
+    * k-1's effect until the next generation (within a batch a pair may
+    * even have been consumed — the fold then no-ops). Merge batching is
+    * the standard large-corpus BPE trade; the merge LIST semantics are
+    * unchanged (an ordered pair list applied greedily left-to-right).
+    */
+  def batchedByteMerges(docs: DataFrame, steps: Int, batch: Int = 128,
+                        text: String = "text"): Seq[Merge] = {
+    require(steps >= 1 && batch >= 1, "steps/batch must be >= 1")
+    var cur = Checkpoints.truncateTracked(
+      byteSymbols(byteWordCounts(docs, text)), eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (merges.size < steps && !done) {
+      val take = math.min(batch, steps - merges.size)
+      val best = pairCounts(cur.df)
+        .orderBy(col("c").desc, col("a"), col("b")).limit(take).collect()
+      if (best.isEmpty) done = true
+      else {
+        val gen = best.zipWithIndex.map { case (r, i) =>
+          Merge(merges.size + i + 1L, r.getString(0), r.getString(1),
+            r.getString(0) + r.getString(1), r.getLong(2))
+        }.toSeq
+        val updated = Checkpoints.truncateTracked(
+          applyMergeBatch(cur.df, gen), eager = true)
+        cur.release()
+        cur = updated
+        merges ++= gen
+      }
+    }
+    cur.release()
+    merges.toSeq
+  }
+
+  /** One vocabulary fold applying `merges` in order to the `syms`
+    * column — literal nesting when small, the broadcast merge-array
+    * dispatch past [[MaxLiteralMerges]] (same rule as the encode path).
+    */
+  private def applyMergeBatch(tbl: DataFrame, merges: Seq[Merge]): DataFrame =
+    if (merges.size <= MaxLiteralMerges)
+      tbl.withColumn("syms", applyMerges(col("syms"), merges))
+    else {
+      val spark = tbl.sparkSession
+      import spark.implicits._
+      val mrow = broadcast(
+        Seq(merges.map(m => (m.pair_left, m.pair_right))).toDF("__bpe_merges"))
+      tbl.crossJoin(mrow)
+        .withColumn("syms", aggregate(col("__bpe_merges"), col("syms"),
+          (acc, m) => mergeFoldCol(acc, m.getField("_1"), m.getField("_2"))))
+        .drop("__bpe_merges")
+    }
+
   /** Apply an ordered merge list to a symbol array as nested literal
     * folds. Fine for bounded merge lists; past [[MaxLiteralMerges]] the
     * nested-expression plan itself becomes the problem — use the

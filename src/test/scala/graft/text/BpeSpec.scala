@@ -123,6 +123,32 @@ class BpeSpec extends SparkSpec {
     assert(litB == bcB)
   }
 
+  test("batchedByteMerges at batch=1 degenerates to trainByteMerges") {
+    // per-step re-ranking with batch=1 IS the sequential trainer — same
+    // counts, same tie-break, so the merge lists must be identical
+    val docs = corpus("d1" -> "x é é é é", "d2" -> "éz x")
+    val seq = Bpe.trainByteMerges(docs, steps = 4)
+    val bat = Bpe.batchedByteMerges(docs, steps = 4, batch = 1)
+    assert(bat == seq)
+  }
+
+  test("batchedByteMerges: big batches stop at vocab exhaustion and " +
+    "encode like any ordered merge list") {
+    val docs = corpus("d1" -> "low lowest", "d2" -> "low low")
+    // ask for far more merges than the vocabulary supports: training
+    // must terminate (no pairs left) rather than loop, through the
+    // >MaxLiteralMerges broadcast batch-apply path
+    val m = Bpe.batchedByteMerges(docs, steps = 500,
+      batch = Bpe.MaxLiteralMerges + 36)
+    assert(m.nonEmpty && m.size < 500)
+    assert(m.map(_.step) == (1L to m.size))
+    // fully-merged vocabulary: every pre-token collapses to one symbol
+    val enc = Bpe.byteEncodeCounts(docs, m).orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(enc == Seq(("d1", 2L, 2L), ("d2", 2L, 2L)),
+      s"fully-merged corpus must count 1 token per pre-token: ${enc.toList}")
+  }
+
   test("training plan never re-touches the corpus after the first pass") {
     // initSymbols(wordCounts) is checkpointed eagerly; per-step plans
     // must read the truncated vocab table, not re-scan documents.
