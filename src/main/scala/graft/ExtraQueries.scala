@@ -3126,5 +3126,78 @@ object ExtraQueries {
         count(DISTINCT rd)::BIGINT AS n_domains,
         min(cu) AS min_canonical
       FROM canon GROUP BY source ORDER BY source"""))),
+
+    // FULL Public Suffix List registered-domain extraction
+    // (Urls.registeredDomainsPsl): synthetic hosts off the documents
+    // table exercise every PSL rule class — plain .com, multi-label
+    // ICANN suffix (co.uk), wildcard (*.ck), exception (!www.ck),
+    // PRIVATE-section suffix (github.io), the implicit `*` default on
+    // an unknown TLD, an IP, a single label, and a host that IS a
+    // public suffix (the three pass-through cases). The oracle replays
+    // candidate generation (exact + starred suffix forms) and the
+    // exception-wins/longest-match aggregation over the committed
+    // fixtures/psl_rules.parquet — the SAME rule table the library
+    // parses from its classpath resource (UrlsSpec pins the two
+    // bit-equal). Scale: candidates ride the scan, one broadcast join
+    // against 9.5k rules, one host-keyed partial agg.
+    "q_psl_domains" -> (((s: SparkSession, dir: String) => {
+      import graft.text.Urls
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      def h(c: Column) = d.select(c.as("host"))
+      val hosts = h(concat(lit("www.example-"), col("source"), lit(".com")))
+        .unionByName(h(concat(lit("a.site"), col("doc_id") % 50, lit(".co.uk"))))
+        .unionByName(h(concat(lit("x.zone"), col("doc_id") % 10, lit(".ck"))))
+        .unionByName(h(lit("sub.www.ck")))
+        .unionByName(h(concat(lit("blog.user"), col("doc_id") % 7,
+          lit(".github.io"))))
+        .unionByName(h(concat(lit("192.168.0."), col("doc_id") % 200)))
+        .unionByName(h(lit("localhost")))
+        .unionByName(h(lit("co.uk")))
+        .unionByName(h(concat(lit("deep.foo"), col("doc_id") % 5,
+          lit(".bar.unknowntld"))))
+      Urls.registeredDomainsPsl(hosts).orderBy("host")
+    }, Some("""WITH docs2 AS (SELECT doc_id, source FROM documents),
+      hosts AS (
+        SELECT DISTINCT host FROM (
+          SELECT 'www.example-' || source || '.com' AS host FROM docs2
+          UNION ALL SELECT 'a.site' || (doc_id % 50) || '.co.uk' FROM docs2
+          UNION ALL SELECT 'x.zone' || (doc_id % 10) || '.ck' FROM docs2
+          UNION ALL SELECT 'sub.www.ck' FROM docs2
+          UNION ALL SELECT 'blog.user' || (doc_id % 7) || '.github.io' FROM docs2
+          UNION ALL SELECT '192.168.0.' || (doc_id % 200) FROM docs2
+          UNION ALL SELECT 'localhost' FROM docs2
+          UNION ALL SELECT 'co.uk' FROM docs2
+          UNION ALL SELECT 'deep.foo' || (doc_id % 5) || '.bar.unknowntld'
+          FROM docs2)),
+      rules AS (
+        SELECT rkey, rlabels, rexc
+        FROM read_parquet('/root/repo/fixtures/psl_rules.parquet')),
+      hp AS (
+        SELECT host, string_split(host, '.') AS parts,
+          len(string_split(host, '.')) AS n
+        FROM hosts),
+      ks AS (
+        SELECT host, parts, n, unnest(generate_series(1, n)) AS k FROM hp),
+      cand AS (
+        SELECT host, k,
+          array_to_string(list_slice(parts, n - k + 1, n), '.') AS form
+        FROM ks
+        UNION ALL
+        SELECT host, k,
+          '*.' || array_to_string(list_slice(parts, n - k + 2, n), '.')
+        FROM ks WHERE k >= 2),
+      ps AS (
+        SELECT c.host,
+          coalesce(min(CASE WHEN r.rexc THEN c.k - 1 END),
+                   max(CASE WHEN NOT r.rexc THEN c.k END), 1) AS ps
+        FROM cand c LEFT JOIN rules r ON c.form = r.rkey
+        GROUP BY 1)
+      SELECT h.host,
+        CASE WHEN regexp_matches(h.host, '^[0-9.]+$') OR h.n <= p.ps
+            THEN h.host
+          ELSE array_to_string(list_slice(h.parts, h.n - p.ps, h.n), '.')
+        END AS registered_domain
+      FROM hp h JOIN ps p ON h.host = p.host
+      ORDER BY h.host"""))),
   )
 }

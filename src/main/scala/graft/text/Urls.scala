@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the crawl-corpus identity key.
@@ -84,6 +84,8 @@ object Urls {
   /** Registered domain (site identity for per-domain caps): the last two
     * host labels, or three when the last two are a known multi-part
     * public suffix. IPs and single-label hosts pass through unchanged.
+    * The cheap zero-join heuristic; [[registeredDomainsPsl]] is the
+    * full-Public-Suffix-List path behind the same output contract.
     */
   def registeredDomain(hostCol: Column): Column = {
     val parts = split(hostCol, "\\.")
@@ -95,5 +97,89 @@ object Urls {
       .when(lastTwo.isin(MultiPartSuffixes: _*),
         concat_ws(".", element_at(parts, -3), lastTwo))
       .otherwise(lastTwo)
+  }
+
+  /** One Public Suffix List rule, stored VERBATIM (wildcard rules keep
+    * their `*.` prefix; exception rules drop the `!` into the flag):
+    * `labels` is the rule's label count (the `*` counts as one).
+    */
+  final case class PslRule(rkey: String, rlabels: Int, rexc: Boolean)
+
+  /** The full Mozilla Public Suffix List, parsed from the vendored
+    * `public_suffix_list.dat` classpath resource (publicsuffix.org,
+    * MPL 2.0 — ICANN + PRIVATE sections both included, so e.g.
+    * `alice.github.io` is its own registrable domain, the behavior
+    * per-site crawl caps want). ~9.5k rules: comments/blank lines
+    * dropped, entries lowercased, kept verbatim otherwise.
+    */
+  lazy val pslRules: Seq[PslRule] = {
+    val in = getClass.getResourceAsStream("/public_suffix_list.dat")
+    require(in != null, "public_suffix_list.dat missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      src.getLines()
+        .map(_.trim.toLowerCase)
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .map { l =>
+          val exc = l.startsWith("!")
+          val key = if (exc) l.substring(1) else l
+          PslRule(key, key.count(_ == '.') + 1, exc)
+        }
+        .toVector
+    } finally src.close()
+  }
+
+  /** Registered domain for every DISTINCT host via the FULL PSL —
+    * longest-match semantics per publicsuffix.org's algorithm:
+    * a rule matches when its labels suffix the host's (`*` consuming
+    * exactly one label); a matching exception rule wins outright and
+    * its public suffix is the rule minus the leftmost label; otherwise
+    * the longest match prevails, defaulting to `*` (the bare TLD).
+    * Registered domain = public suffix + one more label; hosts that ARE
+    * a public suffix, single labels, and IPs pass through unchanged
+    * (the [[registeredDomain]] contract).
+    *
+    * Input: any frame with `hostCol`. Output: (host, registered_domain)
+    * for each distinct host — join it back, or feed per-domain caps
+    * directly. Scale shape: distinct hosts × (≤2 candidate forms per
+    * label: the exact suffix and its `*.`-starred variant) explode off
+    * the scan, broadcast-join the ~9.5k-row rule table, and fold back
+    * to one row per host with one partial-agg shuffle on the host —
+    * never a corpus-sized regex or a rules-sized theta join. The rule
+    * table parses driver-side once and ships as ONE broadcast.
+    */
+  def registeredDomainsPsl(hosts: DataFrame,
+                           hostCol: String = "host"): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    val rules = broadcast(pslRules.toDF("rkey", "rlabels", "rexc"))
+    val hp = hosts.select(lower(col(hostCol)).as("host")).distinct()
+      .withColumn("parts", split(col("host"), "\\."))
+      .withColumn("n", size(col("parts")))
+    val ks = hp.select(col("host"), col("parts"), col("n"),
+      explode(expr("sequence(1, n)")).as("k"))
+    // candidate forms: the host's last-k-label suffix, and (k ≥ 2) that
+    // suffix with its leftmost label replaced by '*' — so VERBATIM rule
+    // keys match both concrete and wildcard rules in ONE equi-join
+    val cand = ks.select(col("host"), col("k"),
+        array_join(slice(col("parts"), col("n") - col("k") + 1, col("k")),
+          ".").as("form"))
+      .unionByName(ks.where(col("k") >= 2).select(col("host"), col("k"),
+        concat(lit("*."),
+          array_join(slice(col("parts"), col("n") - col("k") + 2,
+            col("k") - 1), ".")).as("form")))
+    val ps = cand.join(rules, cand("form") === rules("rkey"), "left")
+      .groupBy("host")
+      .agg(coalesce(
+        min(when(col("rexc"), col("k") - 1)),
+        max(when(!col("rexc"), col("k"))),
+        lit(1)).as("ps"))
+    hp.join(ps, "host")
+      .select(col("host"),
+        when(col("host").rlike("^[0-9.]+$") || col("n") <= col("ps"),
+          col("host"))
+          .otherwise(array_join(
+            slice(col("parts"), col("n") - col("ps"), col("ps") + 1), "."))
+          .as("registered_domain"))
   }
 }

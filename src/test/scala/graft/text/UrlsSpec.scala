@@ -53,6 +53,63 @@ class UrlsSpec extends SparkSpec {
     assert(regdom("192.168.0.1") == "192.168.0.1")
   }
 
+  private def pslDoms(hs: String*): Map[String, String] = {
+    import spark.implicits._
+    Urls.registeredDomainsPsl(hs.toDF("host"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("PSL registered domain: every rule class of the full list") {
+    val m = pslDoms(
+      "www.news.example.com",   // plain TLD rule
+      "a.b.site.co.uk",         // multi-label ICANN rule
+      "b.ck",                   // *.ck wildcard: host IS a public suffix
+      "a.b.ck",                 // *.ck wildcard: one label above
+      "www.ck",                 // !www.ck exception: itself registrable
+      "sub.www.ck",             // exception wins over the wildcard
+      "blog.alice.github.io",   // PRIVATE-section rule
+      "deep.foo.bar.unknowntld",// implicit * default rule
+      "localhost",              // single label passes through
+      "192.168.0.1",            // IP passes through
+      "co.uk")                  // host IS a (concrete) public suffix
+    assert(m("www.news.example.com") == "example.com")
+    assert(m("a.b.site.co.uk") == "site.co.uk")
+    assert(m("b.ck") == "b.ck")
+    assert(m("a.b.ck") == "a.b.ck")
+    assert(m("www.ck") == "www.ck")
+    assert(m("sub.www.ck") == "www.ck")
+    assert(m("blog.alice.github.io") == "alice.github.io")
+    assert(m("deep.foo.bar.unknowntld") == "bar.unknowntld")
+    assert(m("localhost") == "localhost")
+    assert(m("192.168.0.1") == "192.168.0.1")
+    assert(m("co.uk") == "co.uk")
+  }
+
+  test("PSL agrees with the heuristic on its whole suffix list") {
+    // every MultiPartSuffixes entry is a real PSL rule, and a host one
+    // label above it resolves identically through both paths
+    import spark.implicits._
+    val hosts = Urls.MultiPartSuffixes.map(sfx => s"www.site.$sfx")
+    val heur = hosts.toDF("h")
+      .select(col("h"), Urls.registeredDomain(col("h")).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val psl = pslDoms(hosts: _*)
+    hosts.foreach(h => assert(psl(h) == heur(h), s"mismatch on $h"))
+  }
+
+  test("committed PSL fixture is bit-equal to the classpath parse") {
+    // the DuckDB oracle replays matching over fixtures/psl_rules.parquet;
+    // this pins that file to what the library actually parses — a PSL
+    // refresh without a fixture regen (or vice versa) fails here
+    val fixture = spark.read.parquet("fixtures/psl_rules.parquet")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
+      .toSeq.sorted
+    val parsed = Urls.pslRules
+      .map(r => (r.rkey, r.rlabels, r.rexc)).sorted
+    assert(parsed.size == fixture.size)
+    assert(parsed == fixture)
+  }
+
   test("canonicalization is idempotent") {
     val urls = Seq(
       "HTTPS://Example.COM:443/a/7?b=2&a=1",
