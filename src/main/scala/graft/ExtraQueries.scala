@@ -2783,6 +2783,40 @@ object ExtraQueries {
       WHERE hamming <= 3 ORDER BY media_a, media_b"""
     })),
 
+    // REAL-pixel perceptual dedup: the deterministic PNG corpus is
+    // generated in-query, DECODED with ImageIO inside dHashReal's
+    // mapPartitions (box-average to the 6×11 integer-luma grid), and
+    // paired through the identical pigeonhole band join as the stub
+    // path. DuckDB cannot decode PNGs, so the oracle starts from the
+    // committed fixtures/media_real_bands.parquet — the same
+    // generate→decode→hash output, pinned bit-equal to a live pass by
+    // MultimodalSpec — and replays everything downstream of decode
+    // (band bucketing, a<b distinct pair join, popcount ≤ 3) in SQL.
+    // Planted structure: one-cell-nudge near-dups at hamming ≤ 2 and
+    // repeating gradient patterns at hamming 0; inversions never pair.
+    "q_media_dedup_real" -> (((s: SparkSession, dir: String) => {
+      import graft.multimodal.Multimodal
+      Multimodal.mediaNearDupsReal(Multimodal.syntheticRealImages(s, 200))
+        .orderBy("media_a", "media_b")
+    }, Some {
+      val bandUnion = (0 until 4).map { b =>
+        s"SELECT media_id, $b AS band, b$b AS bkey, b0, b1, b2, b3 FROM h"
+      }.mkString(" UNION ALL ")
+      s"""WITH h AS (
+        SELECT media_id, b0, b1, b2, b3
+        FROM read_parquet('/root/repo/fixtures/media_real_bands.parquet')),
+      bands AS ($bandUnion),
+      cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+          (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)))::BIGINT
+            AS hamming
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.media_id < b.media_id)
+      SELECT media_a, media_b, hamming FROM cand
+      WHERE hamming <= 3 ORDER BY media_a, media_b"""
+    })),
+
     // Unicode-equivalence dedup: byte-distinct variants of the same text
     // (precomposed vs combining-mark accents) collapse under the canonical
     // NFC + accent-fold key computed by the native codegen expressions in

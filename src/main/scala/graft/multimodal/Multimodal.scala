@@ -419,6 +419,47 @@ object Multimodal {
       .withColumnRenamed("doc_b", "media_b")
   }
 
+  /** Deterministic REAL-PNG corpus for the real-pixel dHash path:
+    * `n` images in groups of 3 — a base horizontal gradient whose wrap
+    * point shifts per group, a one-grid-cell +40 luma nudge of it (a
+    * planted near-dup: the nudge flips at most the two adjacent-cell
+    * comparisons bordering the cell), and its inversion (every
+    * comparison flipped — never pairs with its base). Pixels are a pure
+    * integer function of `media_id` and PNG is lossless, so the decoded
+    * grid — and therefore [[dHashRealBands]] — is bit-reproducible:
+    * that determinism is what lets the committed
+    * `fixtures/media_real_bands.parquet` stand in for the decode step
+    * on the DuckDB oracle side (decode runs in the harness; everything
+    * downstream of it replays in SQL). Gradient wrap points repeat
+    * every 11 groups, so identical-pattern images across groups pair at
+    * hamming 0 — deliberate: the exact-dup limb of the output.
+    */
+  def syntheticRealImages(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val g = (i / 3).toInt; val v = (i % 3).toInt
+      val w = 110; val h = 60
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var p = (((x + 10 * g) % w) * 255) / (w - 1)
+          if (v == 2) p = 255 - p
+          if (v == 1 && x >= 40 && x < 50 && y >= 20 && y < 30)
+            p = math.min(255, p + 40)
+          img.setRGB(x, y, (p << 16) | (p << 8) | p)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (i, bos.toByteArray)
+    }.toDF("media_id", "payload")
+  }
+
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>

@@ -261,6 +261,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairSet.exists(p => p._2 == 4L && p._1 != 4L),
       s"inverted gradient must not pair with the originals: $pairs")
   }
+
+  test("committed media-bands fixture is bit-equal to a live " +
+    "generate→decode→hash pass") {
+    // the q_media_dedup_real oracle starts from this fixture in place
+    // of the ImageIO decode DuckDB can't do; a generator or dHash
+    // change without a fixture regen (or vice versa) fails here
+    import graft.multimodal.Multimodal
+    val live = Multimodal
+      .dHashReal(Multimodal.syntheticRealImages(spark, 200))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    val fixture = spark.read.parquet("fixtures/media_real_bands.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(live.size == 200)
+    assert(live == fixture)
+    // planted structure present: every base (id % 3 == 0) pairs with
+    // its one-cell nudge (id + 1) at hamming ≤ 2
+    val pairs = Multimodal
+      .mediaNearDupsReal(Multimodal.syntheticRealImages(spark, 12))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (0L until 12L by 3).foreach { base =>
+      val p = pairs.find(p => p._1 == base && p._2 == base + 1)
+      assert(p.nonEmpty && p.get._3 <= 2,
+        s"base $base must pair with its nudge: ${pairs.toList}")
+    }
+  }
 }
 
 object MultimodalSpec {
