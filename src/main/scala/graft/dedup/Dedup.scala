@@ -951,42 +951,103 @@ object Dedup {
     * the Column-API parts.
     */
   private def charWindows(docs: DataFrame, winLen: Int, stride: Int,
-                          text: String, id: String): DataFrame = {
+                          text: String, id: String,
+                          spreadChars: Int = DefaultSpreadChars): DataFrame = {
     require(winLen >= 1 && stride >= 1, s"winLen/stride must be >= 1")
+    require(spreadChars > winLen, s"spreadChars must exceed winLen")
     val tq = s"`$text`"
-    // The transform materializes one in-memory array of numPos
-    // (winLen + i + struct overhead)-byte structs PER ROW before explode
-    // streams it — a winLen/stride x blow-up over the text itself, which
-    // at stride 1 turns a 16 MB document into a gigabyte-class
-    // intermediate. Dense strides therefore take a TWO-LEVEL expansion
-    // (outer explode over fixed-size position chunks bounds every
-    // intermediate at `chunk` structs); sparse strides (winLen/stride
-    // ≤ 4: the array is at most ~4x the text, the shape the measured-
-    // fast disjoint/stride-20 paths always had) keep the single
-    // transform — identical window positions either way.
+    // Two pathologies shape this operator, both discovered by measuring
+    // (LongDocProbe), both invisible at the 4 KB-document scale the
+    // suite corpora have:
+    //
+    //  1. QUADRATIC window extraction. SQL `substring(text, i, winLen)`
+    //     on a UTF8String WALKS from byte 0 to find code point i (there
+    //     is no ASCII fast path), so extracting every window of one
+    //     document costs Sigma i ~ len^2/(2*stride) character steps — a
+    //     32 MB document at stride 1 is ~5*10^14 steps, i.e. hours on
+    //     the one core that owns the row (jstack: UTF8String.substring
+    //     dominates). The fix: cut the text ONCE, linearly, into
+    //     `chunk`-position SLICES in a typed flatMap (an incrementally
+    //     advanced String.offsetByCodePoints cursor — one walk over the
+    //     whole text), then window WITHIN slices, where the per-window
+    //     walk is bounded by the slice length, not the document length.
+    //     Total walk: len * (1 + chunk*stride/2/...) ~ len * chunk/2
+    //     character steps per doc inside 512-char-position slices —
+    //     linear in corpus size with a small constant.
+    //
+    //  2. TASK SKEW. All windows of a document otherwise stream through
+    //     the single task that owns its row: one 100 MB document in a
+    //     4 KB corpus serializes ~100 M hashes on one core while the
+    //     rest idle (and its partial-agg hash map OOMs the task long
+    //     before that). The slice rows are therefore REPARTITIONED by
+    //     (doc, chunk), spreading a pathological document across the
+    //     cluster. The shuffled bytes are ~(1 + winLen/(chunk*stride))x
+    //     the sliced documents' text — noise next to the window-hash
+    //     shuffle this operator already pays (~90 bytes PER CHARACTER
+    //     at stride 1).
+    //
+    // Dense strides (winLen/stride > 4, i.e. the stride-1 full-recall
+    // mode) always take the sliced+spread path: every document pays the
+    // quadratic walk otherwise, not just huge ones. Sparse strides
+    // (winLen/stride <= 4; per-doc walk ~ len^2/(2*stride) stays sub-
+    // second below ~256 KB) keep the shuffle-free single in-task
+    // transform, and route only docs >= `spreadChars` through the
+    // sliced path. Window positions are identical on every path.
+    val dense = stride * 4 < winLen
+    val chunk = 512
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val origIdType = docs.select(col(id)).schema.head.dataType
+    def sliced(src: DataFrame): DataFrame = {
+      val rows = src
+        .select(col(id).cast("string").as("_did"), col(text).as("_t"))
+        .as[(String, String)]
+        .flatMap { case (d, t) =>
+          val total = t.codePointCount(0, t.length)
+          if (total < winLen) Iterator.empty
+          else {
+            val numPos = (total - winLen) / stride + 1
+            val nChunks = (numPos + chunk - 1) / chunk
+            var u16 = 0 // UTF-16 index of chunk c's first window start
+            (0 until nChunks).iterator.map { c =>
+              val k = math.min(chunk, numPos - c * chunk)
+              val covered = (k - 1) * stride + winLen
+              val end16 = t.offsetByCodePoints(u16, covered)
+              val out = (d, c, k - 1, t.substring(u16, end16))
+              if (c + 1 < nChunks) u16 = t.offsetByCodePoints(u16, chunk * stride)
+              out
+            }
+          }
+        }
+        .toDF("_did", "_c", "_kmax", "_slice")
+      rows.repartition(col("_did"), col("_c"))
+        .select(col("_did").cast(origIdType).as("doc_id"), explode(expr(
+          s"transform(sequence(0, _kmax), " +
+            s"j -> struct(CAST(1 + (_c * $chunk + j) * $stride AS INT) AS i, " +
+            s"substring(_slice, 1 + j * $stride, $winLen) AS seg))")).as("w"))
+    }
     val windows =
-      if (stride * 4 >= winLen)
-        docs.where(length(col(text)) >= winLen)
+      if (dense) sliced(docs.where(length(col(text)) >= winLen))
+      else {
+        val spreadPred = length(col(text)) >= spreadChars
+        docs.where(length(col(text)) >= winLen && !spreadPred)
           .select(col(id).as("doc_id"), explode(expr(
             s"transform(sequence(1, length($tq)-${winLen - 1}, $stride), " +
               s"i -> struct(i AS i, substring($tq, i, $winLen) AS seg))")).as("w"))
-      else {
-        val chunk = 4096
-        val numPos = s"((length($tq) - $winLen) DIV $stride + 1)"
-        docs.where(length(col(text)) >= winLen)
-          .select(col(id).as("doc_id"), col(text),
-            explode(expr(s"sequence(0, CAST(($numPos - 1) DIV $chunk AS INT))"))
-              .as("_c"))
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(0, CAST(least($chunk - 1, $numPos - 1 - _c * $chunk) AS INT)), " +
-              s"j -> struct(CAST(1 + (_c * $chunk + j) * $stride AS INT) AS i, " +
-              s"substring($tq, 1 + (_c * $chunk + j) * $stride, $winLen) AS seg))"))
-            .as("w"))
+          .unionByName(sliced(docs.where(spreadPred)))
       }
     windows
       .select(col("doc_id"), col("w.i").as("i"), col("w.seg").as("seg"))
       .withColumn("h", md5(col("seg")))
   }
+
+  /** Sparse-stride docs at or above this many chars take
+    * [[charWindows]]'s sliced+spread path instead of the in-task
+    * transform: the in-task per-window `substring` walk is quadratic in
+    * document length (~len²/(2·stride) steps), which stays sub-second
+    * below ~256 KB and cliffs after it. Dense strides always slice.
+    */
+  val DefaultSpreadChars: Int = 1 << 18
 
   /** Window hashes appearing in ≥2 DISTINCT docs — the shared cut/flag
     * rule (a hash aggregate, deliberately never a pair join).
@@ -997,8 +1058,9 @@ object Dedup {
       .select(col("h"), lit(1).as("_dup"))
 
   def duplicateWindows(docs: DataFrame, winLen: Int = 40, stride: Int = 20,
-                       text: String = "text", id: String = "doc_id"): DataFrame = {
-    val wins = charWindows(docs, winLen, stride, text, id)
+                       text: String = "text", id: String = "doc_id",
+                       spreadChars: Int = DefaultSpreadChars): DataFrame = {
+    val wins = charWindows(docs, winLen, stride, text, id, spreadChars)
       .select(col("doc_id"), col("h"))
     val dup = sharedWindowHashes(wins)
     wins.join(dup, Seq("h"), "left")
@@ -1023,8 +1085,9 @@ object Dedup {
     * not the shape (the cut decision is a hash aggregate, not a join).
     */
   def substringTrim(docs: DataFrame, winLen: Int = 40,
-                    text: String = "text", id: String = "doc_id"): DataFrame = {
-    val wins = charWindows(docs, winLen, stride = winLen, text, id)
+                    text: String = "text", id: String = "doc_id",
+                    spreadChars: Int = DefaultSpreadChars): DataFrame = {
+    val wins = charWindows(docs, winLen, stride = winLen, text, id, spreadChars)
     val dup = sharedWindowHashes(wins)
     val body = wins.join(dup, Seq("h"), "left").where(col("_dup").isNull)
       .groupBy("doc_id")
@@ -1059,8 +1122,9 @@ object Dedup {
     * the last full segment is kept verbatim, as in [[substringTrim]].
     */
   def substringTrimExact(docs: DataFrame, winLen: Int = 40,
-                         text: String = "text", id: String = "doc_id"): DataFrame = {
-    val wins1 = charWindows(docs, winLen, stride = 1, text, id)
+                         text: String = "text", id: String = "doc_id",
+                         spreadChars: Int = DefaultSpreadChars): DataFrame = {
+    val wins1 = charWindows(docs, winLen, stride = 1, text, id, spreadChars)
     val dup = sharedWindowHashes(wins1)
     // flagged stride-1 positions → the disjoint segment indexes their
     // [i, i+winLen) span overlaps (0-based; DIV on 1-based positions)
@@ -1070,7 +1134,7 @@ object Dedup {
         .as("_s"))
       .distinct()
       .withColumn("_cut", lit(1))
-    val winsD = charWindows(docs, winLen, stride = winLen, text, id)
+    val winsD = charWindows(docs, winLen, stride = winLen, text, id, spreadChars)
       .withColumn("_s", expr(s"(i - 1) DIV $winLen"))
     val body = winsD.join(cut, Seq("doc_id", "_s"), "left")
       .where(col("_cut").isNull)

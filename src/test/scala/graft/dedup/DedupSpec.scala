@@ -500,6 +500,39 @@ class DedupSpec extends SparkSpec {
     assert(d1.getString(3) == soup(11, 40) + soup(12, 40))
   }
 
+  test("pathological long doc: sliced window generation reproduces " +
+    "exact global positions and cuts") {
+    import spark.implicits._
+    // one 64 KB doc (128 slices of the 512-position chunk) carrying a
+    // 120-char span copied 7-shifted into a short doc — the sliced
+    // path must reproduce exact GLOBAL window positions (the cut
+    // segment math depends on them) and the slice overlap must not
+    // drop or duplicate boundary windows: any off-by-one at a slice
+    // seam would move a cut segment and change these counts/bodies
+    val span = soup(21, 120)
+    val longDoc = soup(22, 40000) + span + soup(23, 25416)
+    val docs = Seq(
+      (1L, longDoc),
+      (2L, soup(24, 47) + span + soup(25, 33))).toDF("doc_id", "text")
+    val exact = Dedup.substringTrimExact(docs, winLen = 40)
+      .orderBy("doc_id").collect()
+    // the long doc loses exactly the segments its span copy touches:
+    // chars [40001, 40120] → segments 1000..1002 (3 of 1638)
+    assert(exact(0).getLong(1) == 1638L && exact(0).getLong(2) == 3L)
+    assert(exact(0).getString(3) ==
+      longDoc.substring(0, 40000) + longDoc.substring(40120))
+    // short doc (200 = 5 segments): span at [48,167] cuts segments 1–4
+    assert(exact(1).getLong(1) == 5L && exact(1).getLong(2) == 4L)
+    assert(exact(1).getString(3) == soup(24, 47).substring(0, 40))
+    // sparse mode: the sliced+spread path (forced by a tiny threshold)
+    // is bit-identical to the in-task transform on the same corpus
+    def dup(spreadChars: Int) =
+      Dedup.duplicateWindows(docs, winLen = 40, stride = 20,
+          spreadChars = spreadChars)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(dup(4096) == dup(1 << 30))
+  }
+
   test("lshBanding: picks the S-curve-optimal split, monotone in the " +
     "threshold, ties break toward recall") {
     // hand-checked error integrals for 16 permutations (midpoint rule):
