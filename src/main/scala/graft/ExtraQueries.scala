@@ -22,6 +22,45 @@ import graft.sources.{Bucketed, Compaction, Jdbc, KVText, MultiOutput, SequenceF
   */
 object ExtraQueries {
 
+  /** The DuckDB side of [[graft.text.Urls.registeredDomainsPsl]] — the
+    * ONE SQL fragment both PSL oracles (q_psl_domains,
+    * q_domain_cap_psl) splice after a `hosts` CTE: candidate suffix
+    * forms (exact + starred), the left join against the committed rule
+    * fixture, exception-wins/longest-match/`*`-default resolution, and
+    * the final `rd(host, registered_domain)` CTE. Plain multiline
+    * string (no interpolation) so the `$`-anchored IP regex survives.
+    */
+  private val pslRdSql: String = """rules AS (
+        SELECT rkey, rlabels, rexc
+        FROM read_parquet('/root/repo/fixtures/psl_rules.parquet')),
+      hp AS (
+        SELECT host, string_split(host, '.') AS parts,
+          len(string_split(host, '.')) AS n
+        FROM hosts),
+      ks AS (
+        SELECT host, parts, n, unnest(generate_series(1, n)) AS k FROM hp),
+      cand AS (
+        SELECT host, k,
+          array_to_string(list_slice(parts, n - k + 1, n), '.') AS form
+        FROM ks
+        UNION ALL
+        SELECT host, k,
+          '*.' || array_to_string(list_slice(parts, n - k + 2, n), '.')
+        FROM ks WHERE k >= 2),
+      pssel AS (
+        SELECT c.host,
+          coalesce(min(CASE WHEN r.rexc THEN c.k - 1 END),
+                   max(CASE WHEN NOT r.rexc THEN c.k END), 1) AS ps
+        FROM cand c LEFT JOIN rules r ON c.form = r.rkey
+        GROUP BY 1),
+      rd AS (
+        SELECT h.host,
+          CASE WHEN regexp_matches(h.host, '^[0-9.]+$') OR h.n <= p.ps
+              THEN h.host
+            ELSE array_to_string(list_slice(h.parts, h.n - p.ps, h.n), '.')
+          END AS registered_domain
+        FROM hp h JOIN pssel p ON h.host = p.host)"""
+
   /** The q_bm25_search query set — ONE definition renders both the Spark
     * call and the oracle's VALUES list, so the two can never drift.
     * `private[graft]` so Bench's d20 trend runs the SAME query set as
@@ -3190,7 +3229,7 @@ object ExtraQueries {
         .unionByName(h(concat(lit("deep.foo"), col("doc_id") % 5,
           lit(".bar.unknowntld"))))
       Urls.registeredDomainsPsl(hosts).orderBy("host")
-    }, Some("""WITH docs2 AS (SELECT doc_id, source FROM documents),
+    }, Some(s"""WITH docs2 AS (SELECT doc_id, source FROM documents),
       hosts AS (
         SELECT DISTINCT host FROM (
           SELECT 'www.example-' || source || '.com' AS host FROM docs2
@@ -3203,35 +3242,57 @@ object ExtraQueries {
           UNION ALL SELECT 'co.uk' FROM docs2
           UNION ALL SELECT 'deep.foo' || (doc_id % 5) || '.bar.unknowntld'
           FROM docs2)),
-      rules AS (
-        SELECT rkey, rlabels, rexc
-        FROM read_parquet('/root/repo/fixtures/psl_rules.parquet')),
-      hp AS (
-        SELECT host, string_split(host, '.') AS parts,
-          len(string_split(host, '.')) AS n
-        FROM hosts),
-      ks AS (
-        SELECT host, parts, n, unnest(generate_series(1, n)) AS k FROM hp),
-      cand AS (
-        SELECT host, k,
-          array_to_string(list_slice(parts, n - k + 1, n), '.') AS form
-        FROM ks
-        UNION ALL
-        SELECT host, k,
-          '*.' || array_to_string(list_slice(parts, n - k + 2, n), '.')
-        FROM ks WHERE k >= 2),
-      ps AS (
-        SELECT c.host,
-          coalesce(min(CASE WHEN r.rexc THEN c.k - 1 END),
-                   max(CASE WHEN NOT r.rexc THEN c.k END), 1) AS ps
-        FROM cand c LEFT JOIN rules r ON c.form = r.rkey
-        GROUP BY 1)
-      SELECT h.host,
-        CASE WHEN regexp_matches(h.host, '^[0-9.]+$') OR h.n <= p.ps
-            THEN h.host
-          ELSE array_to_string(list_slice(h.parts, h.n - p.ps, h.n), '.')
-        END AS registered_domain
-      FROM hp h JOIN ps p ON h.host = p.host
-      ORDER BY h.host"""))),
+      $pslRdSql
+      SELECT host, registered_domain FROM rd ORDER BY host"""))),
+
+    // Per-domain cap keyed by the PSL registered domain — the
+    // composition per-site crawl balancing actually needs: the
+    // two-label heuristic would key every GitHub Pages user under one
+    // "github.io" domain (private-section rule) and mis-split wildcard
+    // TLDs, so the cap would starve or lump sites. Hosts cycle four
+    // rule classes; the www./a.b. subdomain variants of the same site
+    // MUST collapse to one registered domain (that collapse is the
+    // query's point), then the q_domain_cap window (InferWindowGroupLimit
+    // → partial WindowGroupLimit before the exchange) keeps the best 5
+    // docs per domain. Plan: scan-side host expr, broadcast join of the
+    // ~65-row distinct-host→domain mapping (itself one broadcast join
+    // against the 9.5k-rule table), one rank-limited window.
+    "q_domain_cap_psl" -> (((s: SparkSession, dir: String) => {
+      import graft.text.Urls
+      val host = when(col("doc_id") % 4 === 0,
+          concat(lit("www.site"), col("doc_id") % 20, lit(".co.uk")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("a.b.site"), col("doc_id") % 20, lit(".co.uk")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("img.user"), col("doc_id") % 15, lit(".github.io")))
+        .otherwise(concat(lit("x.zone"), col("doc_id") % 10, lit(".ck")))
+      val docs2 = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).withColumn("host", host)
+      val rd = Urls.registeredDomainsPsl(docs2, "host")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("registered_domain")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs2.join(rd, "host")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("registered_domain"), col("doc_id"), col("n_chars"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("registered_domain", "rnk")
+    }, Some(s"""WITH m AS (
+        SELECT doc_id, n_chars,
+          CASE doc_id % 4
+            WHEN 0 THEN 'www.site' || (doc_id % 20) || '.co.uk'
+            WHEN 1 THEN 'a.b.site' || (doc_id % 20) || '.co.uk'
+            WHEN 2 THEN 'img.user' || (doc_id % 15) || '.github.io'
+            ELSE 'x.zone' || (doc_id % 10) || '.ck' END AS host
+        FROM documents),
+      hosts AS (SELECT DISTINCT host FROM m),
+      $pslRdSql
+      SELECT registered_domain, doc_id, n_chars, rnk FROM (
+        SELECT r.registered_domain, m.doc_id, m.n_chars,
+          row_number() OVER (PARTITION BY r.registered_domain
+            ORDER BY m.n_chars DESC, m.doc_id)::BIGINT AS rnk
+        FROM m JOIN rd r ON m.host = r.host)
+      WHERE rnk <= 5 ORDER BY registered_domain, rnk"""))),
   )
 }
