@@ -22,17 +22,27 @@ import graft.sources.{Bucketed, Compaction, Jdbc, KVText, MultiOutput, SequenceF
   */
 object ExtraQueries {
 
+  /** Absolute path of a committed-fixture parquet for oracle SQL.
+    * Resolved against the JVM's working directory (the repo root for
+    * sbt, Verify and the driver alike) instead of a literal `/root/repo`
+    * prefix, so a checkout anywhere still dumps oracle SQL that DuckDB
+    * can read.
+    */
+  private[graft] def fixturePath(name: String): String =
+    new java.io.File(s"fixtures/$name").getAbsolutePath
+
   /** The DuckDB side of [[graft.text.Urls.registeredDomainsPsl]] — the
     * ONE SQL fragment both PSL oracles (q_psl_domains,
     * q_domain_cap_psl) splice after a `hosts` CTE: candidate suffix
     * forms (exact + starred), the left join against the committed rule
     * fixture, exception-wins/longest-match/`*`-default resolution, and
     * the final `rd(host, registered_domain)` CTE. Plain multiline
-    * string (no interpolation) so the `$`-anchored IP regex survives.
+    * string (no interpolation) so the `$`-anchored IP regex survives;
+    * the fixture path splices in via replace.
     */
   private val pslRdSql: String = """rules AS (
         SELECT rkey, rlabels, rexc
-        FROM read_parquet('/root/repo/fixtures/psl_rules.parquet')),
+        FROM read_parquet('__PSL_FIXTURE__')),
       hp AS (
         SELECT host, string_split(host, '.') AS parts,
           len(string_split(host, '.')) AS n
@@ -60,6 +70,7 @@ object ExtraQueries {
             ELSE array_to_string(list_slice(h.parts, h.n - p.ps, h.n), '.')
           END AS registered_domain
         FROM hp h JOIN pssel p ON h.host = p.host)"""
+    .replace("__PSL_FIXTURE__", fixturePath("psl_rules.parquet"))
 
   /** The q_bm25_search query set — ONE definition renders both the Spark
     * call and the oracle's VALUES list, so the two can never drift.
@@ -2843,7 +2854,7 @@ object ExtraQueries {
       }.mkString(" UNION ALL ")
       s"""WITH h AS (
         SELECT media_id, b0, b1, b2, b3
-        FROM read_parquet('/root/repo/fixtures/media_real_bands.parquet')),
+        FROM read_parquet('${fixturePath("media_real_bands.parquet")}')),
       bands AS ($bandUnion),
       cand AS (
         SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,

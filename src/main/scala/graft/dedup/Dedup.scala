@@ -995,14 +995,25 @@ object Dedup {
     // sliced path. Window positions are identical on every path.
     val dense = stride * 4 < winLen
     val chunk = 512
-    val sp = docs.sparkSession
-    import sp.implicits._
     val origIdType = docs.select(col(id)).schema.head.dataType
     def sliced(src: DataFrame): DataFrame = {
+      // the id value rides the typed flatMap AS-IS (Row in, Row out with
+      // an explicit schema) — never cast through a string, which is
+      // lossy for binary/struct/array ids and would land windows under
+      // corrupted or null doc_ids
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_did", origIdType),
+        org.apache.spark.sql.types.StructField("_c",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_kmax",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_slice",
+          org.apache.spark.sql.types.StringType)))
       val rows = src
-        .select(col(id).cast("string").as("_did"), col(text).as("_t"))
-        .as[(String, String)]
-        .flatMap { case (d, t) =>
+        .select(col(id).as("_did"), col(text).as("_t"))
+        .flatMap { row =>
+          val d = row.get(0)
+          val t = row.getString(1)
           val total = t.codePointCount(0, t.length)
           if (total < winLen) Iterator.empty
           else {
@@ -1013,15 +1024,15 @@ object Dedup {
               val k = math.min(chunk, numPos - c * chunk)
               val covered = (k - 1) * stride + winLen
               val end16 = t.offsetByCodePoints(u16, covered)
-              val out = (d, c, k - 1, t.substring(u16, end16))
+              val out = org.apache.spark.sql.Row(d, c, k - 1,
+                t.substring(u16, end16))
               if (c + 1 < nChunks) u16 = t.offsetByCodePoints(u16, chunk * stride)
               out
             }
           }
-        }
-        .toDF("_did", "_c", "_kmax", "_slice")
+        }(org.apache.spark.sql.Encoders.row(outSchema))
       rows.repartition(col("_did"), col("_c"))
-        .select(col("_did").cast(origIdType).as("doc_id"), explode(expr(
+        .select(col("_did").as("doc_id"), explode(expr(
           s"transform(sequence(0, _kmax), " +
             s"j -> struct(CAST(1 + (_c * $chunk + j) * $stride AS INT) AS i, " +
             s"substring(_slice, 1 + j * $stride, $winLen) AS seg))")).as("w"))

@@ -118,7 +118,10 @@ object Urls {
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
       src.getLines()
-        .map(_.trim.toLowerCase)
+        // Locale.ROOT: a Turkish-default-locale JVM would dot-map 'I'
+        // differently from Spark's locale-independent lower(), breaking
+        // the fixture bit-equality contract on a future PSL refresh
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT))
         .filter(l => l.nonEmpty && !l.startsWith("//"))
         .map { l =>
           val exc = l.startsWith("!")
@@ -141,7 +144,11 @@ object Urls {
     *
     * Input: any frame with `hostCol`. Output: (host, registered_domain)
     * for each distinct host — join it back, or feed per-domain caps
-    * directly. Scale shape: distinct hosts × (≤2 candidate forms per
+    * directly. The `host` column is the input value VERBATIM (so a
+    * join-back never misses on case), and `registered_domain` keeps the
+    * input's casing too — rule matching alone happens on the lowered
+    * form, the same never-rewrites-case contract as the heuristic
+    * [[registeredDomain]]. Scale shape: distinct hosts × (≤2 candidate forms per
     * label: the exact suffix and its `*.`-starred variant) explode off
     * the scan, broadcast-join the ~9.5k-row rule table, and fold back
     * to one row per host with one partial-agg shuffle on the host —
@@ -153,28 +160,37 @@ object Urls {
     val spark = hosts.sparkSession
     import spark.implicits._
     val rules = broadcast(pslRules.toDF("rkey", "rlabels", "rexc"))
-    val hp = hosts.select(lower(col(hostCol)).as("host")).distinct()
-      .withColumn("parts", split(col("host"), "\\."))
-      .withColumn("n", size(col("parts")))
-    val ks = hp.select(col("host"), col("parts"), col("n"),
+    // hosts kept VERBATIM; the rule match runs once per distinct
+    // LOWERED form and joins back, so case-variant inputs share one
+    // match pass and none is ever dropped or rewritten
+    val hp = hosts.select(col(hostCol).as("host")).distinct()
+      .withColumn("lhost", lower(col("host")))
+    val lh = hp.select(col("lhost")).distinct()
+      .withColumn("lparts", split(col("lhost"), "\\."))
+      .withColumn("n", size(col("lparts")))
+    val ks = lh.select(col("lhost"), col("lparts"), col("n"),
       explode(expr("sequence(1, n)")).as("k"))
     // candidate forms: the host's last-k-label suffix, and (k ≥ 2) that
     // suffix with its leftmost label replaced by '*' — so VERBATIM rule
     // keys match both concrete and wildcard rules in ONE equi-join
-    val cand = ks.select(col("host"), col("k"),
-        array_join(slice(col("parts"), col("n") - col("k") + 1, col("k")),
+    val cand = ks.select(col("lhost"), col("k"),
+        array_join(slice(col("lparts"), col("n") - col("k") + 1, col("k")),
           ".").as("form"))
-      .unionByName(ks.where(col("k") >= 2).select(col("host"), col("k"),
+      .unionByName(ks.where(col("k") >= 2).select(col("lhost"), col("k"),
         concat(lit("*."),
-          array_join(slice(col("parts"), col("n") - col("k") + 2,
+          array_join(slice(col("lparts"), col("n") - col("k") + 2,
             col("k") - 1), ".")).as("form")))
     val ps = cand.join(rules, cand("form") === rules("rkey"), "left")
-      .groupBy("host")
+      .groupBy("lhost")
       .agg(coalesce(
         min(when(col("rexc"), col("k") - 1)),
         max(when(!col("rexc"), col("k"))),
         lit(1)).as("ps"))
-    hp.join(ps, "host")
+    // slice the ORIGINAL host's labels with the ps resolved on the
+    // lowered form: registered_domain preserves input casing
+    hp.join(ps, "lhost")
+      .withColumn("parts", split(col("host"), "\\."))
+      .withColumn("n", size(col("parts")))
       .select(col("host"),
         when(col("host").rlike("^[0-9.]+$") || col("n") <= col("ps"),
           col("host"))
