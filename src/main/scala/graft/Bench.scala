@@ -40,6 +40,27 @@ object Bench {
   // untimed attribution counters for the scale-trend steps (d1a bucket sizes)
   private val scaleDiag = scala.collection.mutable.LinkedHashMap[String, Long]()
 
+  // ---- wall-clock budget. The driver kills the bench process on a hard
+  // timeout (BENCH_r12.json was rc=124 with nothing parseable), so this
+  // run (a) emits a valid summary artifact EARLY and re-emits it as
+  // stages complete, and (b) tracks a soft budget: a step the remaining
+  // budget can't fund is skipped into the explicit `skipped` list —
+  // never silently — and the artifact stays honest about what didn't
+  // run. The default sits well under the observed driver timeout
+  // (r11's full run: 3535 s, barely alive).
+  private val benchT0 = System.nanoTime()
+  private def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+  private lazy val budgetS: Double =
+    sys.env.getOrElse("BENCH_BUDGET_S", "2700").toDouble
+  private def remainingS: Double = budgetS - elapsedS
+  private val skipped = scala.collection.mutable.LinkedHashSet[String]()
+
+  /** True when `need` more seconds still fit the budget; else records
+    * the skip under `what` and returns false.
+    */
+  private def budgetOk(what: String, need: Double): Boolean =
+    if (remainingS >= need) true else { skipped += what; false }
+
   /** Record + dump whether ours/control plan identically (per scale tag). */
   private def checkPlanMatch(tag: String, ours: DataFrame, ctl: DataFrame): Unit =
     try {
@@ -72,6 +93,7 @@ object Bench {
                           times: scala.collection.mutable.Map[String, Double],
                           ctlTimes: scala.collection.mutable.Map[String, Double]): Unit =
     try {
+      if (!budgetOk(name, 120)) return
       hygiene(spark)
       exec(ctl); exec(ours) // burn pair — see scaladoc
       val cs = scala.collection.mutable.ArrayBuffer[Double]()
@@ -107,6 +129,17 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // Unload state-store providers left by finished streaming queries.
+    // Each micro-batch run loads stateful-operator-count × 32 partitions
+    // of providers that outlive the query (StreamAgeProbe: 128/run,
+    // ~640 before Spark's reaper catches up), and their maintenance
+    // task keeps snapshotting/cleaning against checkpoint dirs this
+    // hygiene has already deleted — measured at +3–6 s on every later
+    // q_stream_* reading (attribution: 10.8–14.5 s accumulated vs
+    // 7.9–8.6 s unloaded — the r12 suite-loop stream inflation).
+    // No active query runs during hygiene, so unloading is safe; the
+    // method is private[sql] at the Scala level only, hence reflection.
+    unloadStateStores()
     // this JVM's ExtraQueries round-trip scratch ONLY — deleting the
     // shared root would yank a concurrent process's staging mid-write
     rmrf(new java.io.File(ExtraQueries.scratchRoot))
@@ -121,6 +154,15 @@ object Bench {
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
     f.delete()
+  }
+
+  /** `StateStore.unloadAll()` via reflection — see the hygiene note. */
+  private def unloadStateStores(): Unit = try {
+    val cls = Class.forName(
+      "org.apache.spark.sql.execution.streaming.state.StateStore$")
+    cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
+  } catch { case NonFatal(e) =>
+    System.err.println(s"[bench] state-store unload failed: ${e.getMessage}")
   }
 
   /** Guard for plan CONSTRUCTION (load/analysis): one broken table or
@@ -210,7 +252,10 @@ object Bench {
       // Render plans in full — this config only affects explain strings.
       .config("spark.sql.maxMetadataStringLength", "100000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only a TAIL of the combined
+    // output — local-checkpoint WARN spam printed after a summary line
+    // would push it out of the captured window on a timeout
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm-up: JIT + codegen + broadcast machinery + FS metadata + page
     // cache for the big tables, not counted (otherwise whichever variant
@@ -226,6 +271,90 @@ object Bench {
         guarded(s"warmup $t")(exec(Tables.load(spark, sfDir, t))))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val controlTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val streamEarly = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val scaleTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val scaleCtl = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val twinTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val twinCtl = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var b5PlanMatch: Option[Boolean] = None
+    var suiteAttempted = false
+
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+
+    // Emit the artifact pair from whatever state exists RIGHT NOW.
+    // Called after the headline pass (so a mid-suite timeout still
+    // leaves a valid, parseable, honest artifact), after the suite+twin,
+    // and finally after the scale step. `run_stage`/`suite_incomplete`
+    // mark how far the run got; `skipped` lists every budget-skipped
+    // step explicitly.
+    def emit(stage: String, printFull: Boolean, printSummary: Boolean): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val ratios = controlTimes.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + k + "\":" + f"${results.getOrElse(k, -1.0) / math.max(v, 1e-9)}%.2f" }
+        .mkString("{", ",", "}")
+      val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val skippedJson = skipped.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.values.sum
+      // artifact-completeness gate: every registry query must appear in
+      // this run's own results, failed, or (budget-)skipped list — the
+      // r8 failure mode was a suite that silently shrank. Meaningless
+      // before the suite loop starts, so [] at the headline stage.
+      val missingFromSuite =
+        if (!suiteAttempted) Seq.empty[String]
+        else (Queries.queries.keySet -- results.keySet -- failed.toSet
+          -- skipped.toSet).toSeq.sorted
+      val missingJson = missingFromSuite.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val pm = planMatches.toSeq
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val diag = scaleDiag.toSeq
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // q_monster is the END-of-suite PAIR-protocol reading (same
+      // protocol as b1_monster) — a pure start-vs-end drift thermometer.
+      // An ABSENT reading is UNKNOWN, not perfect (r12 advisor): spread
+      // reads -1 and the run stays `contaminated` until both exist.
+      val twinSpreadOpt = for {
+        a <- twinTimes.get("q_monster_twin"); b <- results.get("b1_monster")
+      } yield math.abs(a - b) / math.max(math.min(a, b), 1e-9)
+      val twinSpread = twinSpreadOpt.getOrElse(-1.0)
+      val contaminated = twinSpreadOpt.map(_ > 3.0).getOrElse(true)
+      val twin = s"""{"q_monster":${twinTimes.getOrElse("q_monster_twin", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}}"""
+      val b5pm = b5PlanMatch.map(_.toString).getOrElse("null")
+      val incomplete = stage != "complete"
+      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"stream_early":${jmap(streamEarly)},"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
+      // field order matters: the round artifact keeps only a TAIL of
+      // stdout, so the big maps (per-query timings, 10x scale maps, diag
+      // counters) go FIRST and every summary number cited by the judge
+      // goes LAST — they survive truncation.
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"scale10x":${jmap(scaleTimes)},"scale10x_controls":${jmap(scaleCtl)},"scale10x_diag":$diag,"failed":$failedJson,$tailFields}"""
+      // compact summary (≤1.5 KB): fully self-contained valid JSON with
+      // only the HEADLINE timings in `queries`, printed as its own
+      // stdout line so a tail capture of any length parses it.
+      val headlineQs = results.filter { case (k, _) => k.startsWith("b") }
+      val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${jmap(headlineQs)},"failed":$failedJson,$tailFields,"full_artifact":"BENCH_FULL.json","summary_artifact":"BENCH_SUMMARY.json"}"""
+      try {
+        val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
+        try w.println(json) finally w.close()
+      } catch { case NonFatal(_) => () } // repo may be elsewhere; stdout is canonical
+      try {
+        // the compact summary ALSO lands as a file: pure JSON, no log
+        // framing, for parsers the stdout tail defeats
+        val w = new java.io.PrintWriter("/root/repo/BENCH_SUMMARY.json")
+        try w.println(summary) finally w.close()
+      } catch { case NonFatal(_) => () }
+      try {
+        val w = new java.io.PrintWriter("/root/repo/BENCH_PLANS.txt")
+        try w.print(planDump.toString) finally w.close()
+      } catch { case NonFatal(_) => () }
+      if (printFull) println(json)
+      if (printSummary) println(summary)
+      System.out.flush()
+    }
 
     // headline benches timed INTERLEAVED with their native-SQL controls
     // via measurePair (burn pair + symmetric ABBA + adaptive retries — see
@@ -233,7 +362,6 @@ object Bench {
     // per pair: a reported ratio on matching plans measures environment
     // spread, and the retries bound it
     val ctl = controls(spark, sfDir).toMap
-    val controlTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline(spark, sfDir).foreach { case (name, df) =>
       ctl.get(name) match {
         case Some(c) =>
@@ -264,20 +392,52 @@ object Bench {
       controlTimes("b6_mrbench_avg") = b6c / 5
     }
 
+    // r12 watch: the q_stream_* family read 1.3–2x its r11 absolutes in
+    // the LATE suite loop of every r12 run while fresh-JVM re-reads
+    // landed in band. Measure the two worst HERE — early JVM, the same
+    // min-of-2 + hygiene protocol as the suite loop — so every artifact
+    // carries its own early-vs-late stream pair (`stream_early` vs the
+    // suite-loop entries in `queries`) and an inflation is attributed to
+    // JVM age per run instead of suspected across rounds.
+    Seq("q_stream_attribution", "q_stream_join_outer").foreach { name =>
+      Queries.queries.get(name).foreach { fn =>
+        try {
+          hygiene(spark)
+          streamEarly(name) = math.min(
+            time(exec(fn(spark, sfDir))), time(exec(fn(spark, sfDir))))
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] stream-early $name failed: ${e.getMessage}")
+        }
+      }
+    }
+
+    // EARLY artifact: headline ratios + plan bits are certified; a
+    // timeout anywhere past this point still leaves this valid artifact
+    // (marked suite_incomplete, twin unknown → contaminated)
+    emit("headline", printFull = false, printSummary = true)
+
     // full correctness-suite queries (operator coverage under timing) —
-    // min-of-2 like the headliners: a single run times GC/page-cache
-    // noise, not the plan. A failed query is recorded in `failed`, NOT
-    // as a (misleadingly short) fail-fast elapsed time.
-    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // min-of-2 for short queries; a single run for ≥5 s readings (the
+    // round-over-round drift the extra run bounds lives in the SHORT
+    // denominators — r12's budget post-mortem trades the second long
+    // run for finishing inside the driver's timeout). A failed query is
+    // recorded in `failed`, NOT as a (misleadingly short) fail-fast
+    // elapsed time; a budget-skipped one lands in `skipped`.
+    suiteAttempted = true
     Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
+      // reserve room for the twin + artifact writes + a rump of the
+      // d-series before the budget wall
+      if (budgetOk(name, 420)) try {
         hygiene(spark) // clean slate per query — see hygiene scaladoc
         val runs = scala.collection.mutable.ArrayBuffer(
-          time(exec(fn(spark, sfDir))), time(exec(fn(spark, sfDir))))
-        // two runs disagreeing >50% means one hit a drift window (GC,
-        // cleanup, page-cache churn) — a third run resolves which
-        if (math.abs(runs(0) - runs(1)) / math.max(runs.min, 1e-9) > 0.5)
+          time(exec(fn(spark, sfDir))))
+        if (runs.head < 5.0) {
           runs += time(exec(fn(spark, sfDir)))
+          // two runs disagreeing >50% means one hit a drift window (GC,
+          // cleanup, page-cache churn) — a third run resolves which
+          if (math.abs(runs(0) - runs(1)) / math.max(runs.min, 1e-9) > 0.5)
+            runs += time(exec(fn(spark, sfDir)))
+        }
         results(name) = runs.min
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -298,87 +458,27 @@ object Bench {
     // start of the run, the q_monster twin re-measured HERE (end of the
     // suite loop) against the same native-SQL control, so the spread is a
     // pure start-vs-end drift thermometer on identical plans + protocol.
-    val twinTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val twinCtl = scala.collection.mutable.LinkedHashMap[String, Double]()
     for {
       twinOurs <- guarded("twin q_monster")(Queries.queries("q_monster")(spark, sfDir))
       twinControl <- ctl.get("b1_monster")
     } measurePair(spark, "q_monster_twin", twinOurs, twinControl, twinTimes, twinCtl)
-    val twinSpread = (for {
-      a <- twinTimes.get("q_monster_twin"); b <- results.get("b1_monster")
-    } yield math.abs(a - b) / math.max(math.min(a, b), 1e-9)).getOrElse(0.0)
-    val contaminated = twinSpread > 3.0
+
+    // post-suite artifact: suite + twin certified, d-series still to come
+    emit("suite", printFull = false, printSummary = false)
 
     // 10x scale step for the headline shapes: same plans over the input
     // amplified with a range-explode (keys re-salted to stay unique), to
     // catch super-linearity an order of magnitude early. Single tables
     // are amplified, not re-generated — this times plan scaling, it is
     // not a correctness input.
-    val scaleTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val scaleCtl = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val b5PlanMatch = runScaleStep(spark, sfDir, scaleTimes, scaleCtl)
+    b5PlanMatch = Some(runScaleStep(spark, sfDir, scaleTimes, scaleCtl))
 
-    def jmap(m: scala.collection.Map[String, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val ratios = controlTimes.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"${results(k) / math.max(v, 1e-9)}%.2f" }
-      .mkString("{", ",", "}")
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.sum
-    // artifact-completeness gate: every registry query must appear in
-    // this run's own results or failed list — the r8 failure mode was a
-    // suite that silently shrank (a registry key never even attempted).
-    // Non-empty means the bench loop itself dropped queries.
-    val missingFromSuite = (Queries.queries.keySet -- results.keySet -- failed.toSet)
-      .toSeq.sorted
-    val missingJson = missingFromSuite.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val pm = planMatches.toSeq
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val diag = scaleDiag.toSeq
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // q_monster here is the END-of-suite PAIR-protocol reading (same
-    // protocol as b1_monster), not the suite-loop min-of-2 — see the twin
-    // scaladoc above; the suite-loop reading still appears in `queries`.
-    val twin = s"""{"q_monster":${twinTimes.getOrElse("q_monster_twin", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}}"""
-    // field order matters: the round artifact keeps only a TAIL of stdout,
-    // so the big maps (per-query timings, 10x scale maps, diag counters)
-    // go FIRST and every summary number cited by the judge (controls,
-    // ratio_vs_control, plan_match, twin check, contamination,
-    // missing_from_suite) goes LAST — they survive truncation. r9's
-    // artifact was unparseable because ratio_vs_control sat BEFORE the
-    // ~100 KB scale maps and was truncated out of the driver's tail.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"scale10x":${jmap(scaleTimes)},"scale10x_controls":${jmap(scaleCtl)},"scale10x_diag":$diag,"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5PlanMatch,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson}"""
-    // compact summary (≤1 KB): a fully self-contained, valid JSON object
-    // repeating every judge-cited number with only the HEADLINE timings in
-    // `queries`. Printed as the very last stdout line so a tail capture of
-    // any length parses it — this is the driver-certified artifact; the
-    // full per-query detail lives in the big line and BENCH_FULL.json.
-    val headlineQs = results.filter { case (k, _) => k.startsWith("b") }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":${jmap(headlineQs)},"failed":$failedJson,"controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5PlanMatch,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"full_artifact":"BENCH_FULL.json","summary_artifact":"BENCH_SUMMARY.json"}"""
-    try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
-      try w.println(json) finally w.close()
-    } catch { case NonFatal(_) => () } // repo may be elsewhere; stdout is canonical
-    try {
-      // the compact summary ALSO lands as a file: sbt's `[info] ` stdout
-      // prefix and trailing `[success]` line defeat line-oriented JSON
-      // parsers reading the captured tail, so a parser that fails on
-      // stdout reads this file instead — pure JSON, no log framing
-      val w = new java.io.PrintWriter("/root/repo/BENCH_SUMMARY.json")
-      try w.println(summary) finally w.close()
-    } catch { case NonFatal(_) => () }
-    try {
-      // full normalized plan dumps behind every plan_match bit, for
-      // inspection (replaces the r4 b5-only BENCH_B5_PLANS.txt)
-      val w = new java.io.PrintWriter("/root/repo/BENCH_PLANS.txt")
-      try w.print(planDump.toString) finally w.close()
-    } catch { case NonFatal(_) => () }
-    println(json)
-    println(summary)
+    // final artifact: the full line + summary, printed as the LAST
+    // stdout lines so any tail capture parses the summary
+    emit("complete", printFull = true, printSummary = true)
     spark.stop()
+    val missingFromSuite = (Queries.queries.keySet -- results.keySet
+      -- failed.toSet -- skipped.toSet).toSeq.sorted
     if (failed.nonEmpty || missingFromSuite.nonEmpty) sys.exit(1)
   }
 
@@ -517,13 +617,20 @@ object Bench {
     // 10x absolutes nearly unchanged — the 1x point alone drifted).
     def measure(key: String, into: scala.collection.mutable.Map[String, Double])
                (fn: => Unit): Unit = {
+      if (!budgetOk(key, 120)) return
       def one(i: Int): Option[Double] =
         try { hygiene(spark); Some(time(fn)) }
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] scale-step $key run $i failed: ${e.getMessage}")
           None
         }
-      var runs = (1 to 2).flatMap(one)
+      // ≥5 s readings take a SINGLE run: the between-round trend drift
+      // lived in the short denominators (d3's 1x point alone moved its
+      // ratio 3.4x→7.5x), while the long 10x sides were stable — and
+      // their second runs were the biggest wall cost in the r12 run the
+      // driver timed out. Short points keep min-of-2 (+1 if sub-2 s).
+      var runs = one(1).toSeq
+      if (runs.isEmpty || runs.min < 5.0) runs ++= one(2)
       if (runs.nonEmpty && runs.min < 2.0) runs ++= one(3)
       if (runs.nonEmpty) into(key) = runs.min
     }
@@ -558,12 +665,14 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] bucket diag $tag failed: ${e.getMessage}")
     }
-    bucketDiag("1x", docs1x)
-    bucketDiag("10x", docs10x)
-    // d1a at 30x, counters only (single untimed pass): the 10x counters
-    // prove linearity; this point shows sum_bucket_sq stays ∝ rows as
-    // bucket occupancy keeps rising another 3x
-    bucketDiag("30x", ampDocs(30))
+    if (budgetOk("d1a_diag", 120)) {
+      bucketDiag("1x", docs1x)
+      bucketDiag("10x", docs10x)
+      // d1a at 30x, counters only (single untimed pass): the 10x counters
+      // prove linearity; this point shows sum_bucket_sq stays ∝ rows as
+      // bucket occupancy keeps rising another 3x
+      bucketDiag("30x", ampDocs(30))
+    }
     // same attribution counters for the pigeonhole-band simhash buckets
     // (4-band/64-bit = d3, 8-band/128-bit = d3b), so a moved trend
     // decomposes the same way — and the two widths' bucket profiles are
@@ -586,8 +695,10 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] simhash diag $prefix $tag failed: ${e.getMessage}")
     }
-    simhashDiag("d3", "1x", 4, docs1x)
-    simhashDiag("d3", "10x", 4, docs10x)
+    if (budgetOk("d3_diag", 90)) {
+      simhashDiag("d3", "1x", 4, docs1x)
+      simhashDiag("d3", "10x", 4, docs10x)
+    }
     measure("d2_near_dup_embed", ctlTimes)(exec(
       Dedup.embeddingNearDups(emb1x, dim = 64, threshold = 0.99, nBits = 8)))
     measure("d2_near_dup_embed", times)(exec(
@@ -610,8 +721,10 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] emb diag $tag failed: ${e.getMessage}")
     }
-    embDiag("1x", emb1x)
-    embDiag("10x", emb10x)
+    if (budgetOk("d2_diag", 90)) {
+      embDiag("1x", emb1x)
+      embDiag("10x", emb10x)
+    }
     measure("d3_simhash_pairs", ctlTimes)(exec(Dedup.simhashPairs(docs1x)))
     measure("d3_simhash_pairs", times)(exec(Dedup.simhashPairs(docs10x)))
     // d3b: the 128-bit/8-band mitigation on the same two scales. The d3
@@ -621,8 +734,10 @@ object Bench {
     // sum_bucket_sq growth ≈ rows growth, drops → 0)
     measure("d3b_simhash128_pairs", ctlTimes)(exec(Dedup.simhashPairs128(docs1x)))
     measure("d3b_simhash128_pairs", times)(exec(Dedup.simhashPairs128(docs10x)))
-    simhashDiag("d3b", "1x", 8, docs1x)
-    simhashDiag("d3b", "10x", 8, docs10x)
+    if (budgetOk("d3b_diag", 90)) {
+      simhashDiag("d3b", "1x", 8, docs1x)
+      simhashDiag("d3b", "10x", 8, docs10x)
+    }
     // d5: SemDeDup semantic dedup trend — trained k-means cells are the
     // candidate buckets, so the self-join costs Σcell². Fixed k at 1x and
     // 10x exposes cells deepening with the corpus (sum_cell_sq ≈ n²/k);
@@ -652,9 +767,11 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] cell diag $tag failed: ${e.getMessage}")
     }
-    cellDiag("1x_k16", emb1x, 16)
-    cellDiag("10x_k16", emb10x, 16)
-    cellDiag("10x_k160", emb10x, 160)
+    if (budgetOk("d5_diag", 90)) {
+      cellDiag("1x_k16", emb1x, 16)
+      cellDiag("10x_k16", emb10x, 16)
+      cellDiag("10x_k160", emb10x, 160)
+    }
 
     // d6: token-block batching trend — the distributed prefix sum's
     // claim is work ∝ rows with driver state ∝ PARTITIONS (the collected
@@ -685,53 +802,30 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] token-block diag $tag failed: ${e.getMessage}")
     }
-    tbDiag("1x", docs1x)
-    tbDiag("10x", docs10x)
+    if (budgetOk("d6_diag", 60)) {
+      tbDiag("1x", docs1x)
+      tbDiag("10x", docs10x)
+    }
 
-    // d7: count-min heavy-hitter trend on decorrelated lineitem keys
+    // d7a: count-min heavy-hitter trend on decorrelated lineitem keys
     // (per-copy partkey offset: distinct keys and true hitters grow 10x,
-    // per-key counts stay 1x). The gate's claim is that the exact-count
-    // shuffle sees ~hitters, not ~distinct keys — but with an ABSOLUTE
-    // threshold the fixed width saturates as occurrences grow (cells
-    // average N/width; once that clears T the gate stops pruning — still
-    // exact, no benefit). So d7 measures the fixed-width pair to EXPOSE
-    // the knee in its counters, and d7w re-runs 10x with width ∝ N — the
-    // sizing discipline the scaladoc prescribes (same pattern as d5/d5k's
-    // fixed-k vs k∝corpus) — sharing d7's 1x denominator.
+    // per-key counts stay 1x) through the AUTO-sized path — the pre-pass
+    // + derived width at both scales, so the trend includes the sizing
+    // cost it claims is cheap, auto-vs-auto apples to apples. The fixed-
+    // width d7/d7w pairs (r9–r12 artifacts) exposed the absolute-
+    // threshold saturation knee and the width-∝-N fix; with auto-width
+    // the certified operator, they're retired (r12 verdict: the two
+    // steps were 100 s of redundant wall in a timed-out run) — the
+    // counters below still pin the gate's shuffle bound at each scale.
     val li1x = Tables.load(spark, sfDir, "lineitem").select(col("l_partkey"))
     val li10xKeys = li1x
       .crossJoin(spark.range(10).select(col("id").as("_k")))
       .withColumn("l_partkey", col("l_partkey") + col("_k") * lit(1000000000L))
       .drop("_k")
-    // width sized so the 1x point is UNSATURATED at the sf the bench
-    // runs on (sf0.1: 600k occurrences / 65,536 cells ≈ 9 mean, well
-    // under T=42) — the fixed-width 10x point then saturates (mean ≈ 92)
-    // while d7w's width ∝ N restores mean ≈ 9
-    val hhW = 65536
-    measure("d7_heavy_hitters", ctlTimes)(exec(
-      graft.agg.CountMin.heavyHitters(li1x, col("l_partkey"), 42, width = hhW)))
-    measure("d7_heavy_hitters", times)(exec(
-      graft.agg.CountMin.heavyHitters(li10xKeys, col("l_partkey"), 42, width = hhW)))
-    measure("d7w_heavy_hitters_wprop", times)(exec(
-      graft.agg.CountMin.heavyHitters(li10xKeys, col("l_partkey"), 42,
-        width = hhW * 10)))
-    ctlTimes.get("d7_heavy_hitters").foreach(v =>
-      ctlTimes("d7w_heavy_hitters_wprop") = v)
-    // d7a: the AUTO-sized path (r11) — the pre-pass + derived width at
-    // both scales, so the trend includes the sizing cost it claims is
-    // cheap. Its own 1x denominator: auto-vs-auto, apples to apples.
     measure("d7a_heavy_hitters_auto", ctlTimes)(exec(
       graft.agg.CountMin.heavyHittersAuto(li1x, col("l_partkey"), 42)))
     measure("d7a_heavy_hitters_auto", times)(exec(
       graft.agg.CountMin.heavyHittersAuto(li10xKeys, col("l_partkey"), 42)))
-    try {
-      scaleDiag("d7a_1x_auto_width") =
-        graft.agg.CountMin.autoWidth(li1x, col("l_partkey"), 42).toLong
-      scaleDiag("d7a_10x_auto_width") =
-        graft.agg.CountMin.autoWidth(li10xKeys, col("l_partkey"), 42).toLong
-    } catch { case NonFatal(e) =>
-      System.err.println(s"[bench] d7a width diag failed: ${e.getMessage}")
-    }
     def hhDiag(tag: String, occ: DataFrame, width: Int): Unit = try {
       val bm = graft.agg.CountMin.hotCellBitmaps(occ, col("l_partkey"), 42, 4, width)
       scaleDiag(s"d7_${tag}_hot_cells") = bm.map(_.map(java.lang.Long.bitCount(_).toLong).sum).min
@@ -748,14 +842,15 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] heavy-hitter diag $tag failed: ${e.getMessage}")
     }
-    hhDiag("1x", li1x, hhW)
-    hhDiag("10x", li10xKeys, hhW)
-    hhDiag("10x_wprop", li10xKeys, hhW * 10)
-    try {
-      hhDiag("10x_auto", li10xKeys,
-        graft.agg.CountMin.autoWidth(li10xKeys, col("l_partkey"), 42))
+    if (budgetOk("d7a_diag", 120)) try {
+      val w1 = graft.agg.CountMin.autoWidth(li1x, col("l_partkey"), 42)
+      val w10 = graft.agg.CountMin.autoWidth(li10xKeys, col("l_partkey"), 42)
+      scaleDiag("d7a_1x_auto_width") = w1.toLong
+      scaleDiag("d7a_10x_auto_width") = w10.toLong
+      hhDiag("1x_auto", li1x, w1)
+      hhDiag("10x_auto", li10xKeys, w10)
     } catch { case NonFatal(e) =>
-      System.err.println(s"[bench] d7a survivor diag failed: ${e.getMessage}")
+      System.err.println(s"[bench] d7a diag failed: ${e.getMessage}")
     }
 
     // d8: PageRank trend — 10 DISJOINT graph copies (per-copy node-id
@@ -785,8 +880,10 @@ object Bench {
     } catch { case NonFatal(ex) =>
       System.err.println(s"[bench] pagerank diag $tag failed: ${ex.getMessage}")
     }
-    prDiag("1x", edges1x)
-    prDiag("10x", edges10x)
+    if (budgetOk("d8_diag", 60)) {
+      prDiag("1x", edges1x)
+      prDiag("10x", edges10x)
+    }
 
     // d9: inverted-index trend — the one shuffle-heavy text operator
     // without a d-point until now. Decorrelated 10x (ampDocs suffixes
@@ -822,13 +919,15 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] inverted-index diag $tag failed: ${e.getMessage}")
     }
-    invDiag("1x", docs1x)
-    invDiag("10x", docs10x)
-    // correlated copies: same text repeated, doc ids distinct — df ×10
-    invDiag("10x_corr", docs1x
-      .crossJoin(spark.range(10).select(col("id").as("_k")))
-      .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
-      .drop("_k"))
+    if (budgetOk("d9_diag", 90)) {
+      invDiag("1x", docs1x)
+      invDiag("10x", docs10x)
+      // correlated copies: same text repeated, doc ids distinct — df ×10
+      invDiag("10x_corr", docs1x
+        .crossJoin(spark.range(10).select(col("id").as("_k")))
+        .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
+        .drop("_k"))
+    }
 
     // d10: batched-IVFPQ trend — fixed query set, corpus ×10 (the sign-
     // flipped decorrelated emb10x). With centroids/codebooks/nprobe held
@@ -868,7 +967,12 @@ object Bench {
         }
         val sizes = cells.collect()
           .map(rr => rr.getAs[Number](0).intValue -> rr.getLong(1)).toMap
-        val pairs = pqQueries
+        // limit(256): pqQueries is a corpus FRACTION (vec_id % 100), so
+        // an uncapped collect here would be the one driver-side pull in
+        // the repo that grows with corpus scale (r12 verdict #3). The
+        // diag needs representative probes, not every query; at sf0.1
+        // the limit is not even reached.
+        val pairs = pqQueries.limit(256)
           .select(col("embedding").cast("array<double>")).collect()
           .map(_.getSeq[Double](0)).map { qv =>
             cent10.map { case (cid, cv) => (cosSeq(qv, cv), cid) }
@@ -880,8 +984,10 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] ivfpq diag $tag failed: ${e.getMessage}")
       }
-      ivfpqDiag("1x", emb1x)
-      ivfpqDiag("10x", emb10x)
+      if (budgetOk("d10_diag", 60)) {
+        ivfpqDiag("1x", emb1x)
+        ivfpqDiag("10x", emb10x)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d10 failed: ${e.getMessage}")
     }
@@ -923,8 +1029,10 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d12 diag $tag failed: ${e.getMessage}")
       }
-      incDiag("1x", b1)
-      incDiag("10x", b10)
+      if (budgetOk("d12_diag", 60)) {
+        incDiag("1x", b1)
+        incDiag("10x", b10)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d12 failed: ${e.getMessage}")
     }
@@ -956,8 +1064,10 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d13 diag $tag failed: ${e.getMessage}")
       }
-      winDiag("1x", w1)
-      winDiag("10x", docs10x)
+      if (budgetOk("d13_diag", 90)) {
+        winDiag("1x", w1)
+        winDiag("10x", docs10x)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d13 failed: ${e.getMessage}")
     }
@@ -992,9 +1102,11 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d14 diag $tag failed: ${e.getMessage}")
       }
-      bpeDiag("1x", ampDocs(1))
-      bpeDiag("10x", docs10x)
-      bpeDiag("10x_corr", corrDocs10)
+      if (budgetOk("d14_diag", 90)) {
+        bpeDiag("1x", ampDocs(1))
+        bpeDiag("10x", docs10x)
+        bpeDiag("10x_corr", corrDocs10)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d14 failed: ${e.getMessage}")
     }
@@ -1049,8 +1161,10 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d15 diag $tag failed: ${e.getMessage}")
       }
-      capDiag("1x", sk1)
-      capDiag("10x", sk10)
+      if (budgetOk("d15_diag", 60)) {
+        capDiag("1x", sk1)
+        capDiag("10x", sk10)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d15 failed: ${e.getMessage}")
     }
@@ -1086,10 +1200,12 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d16 diag $tag failed: ${e.getMessage}")
       }
-      trimDiag("1x", ampDocs(1))
-      trimDiag("10x", docs10x)
-      trimDiag("1x_raw", docs1x)
-      trimDiag("10x_raw", raw10)
+      if (budgetOk("d16_diag", 120)) {
+        trimDiag("1x", ampDocs(1))
+        trimDiag("10x", docs10x)
+        trimDiag("1x_raw", docs1x)
+        trimDiag("10x_raw", raw10)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d16 failed: ${e.getMessage}")
     }
@@ -1129,9 +1245,11 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d17 diag $tag failed: ${e.getMessage}")
       }
-      dcDiag("1x", train1x, eval1x)
-      dcDiag("10x_train", raw10Of(train1x), eval1x)
-      dcDiag("10x_eval", train1x, raw10Of(eval1x))
+      if (budgetOk("d17_diag", 120)) {
+        dcDiag("1x", train1x, eval1x)
+        dcDiag("10x_train", raw10Of(train1x), eval1x)
+        dcDiag("10x_eval", train1x, raw10Of(eval1x))
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d17 failed: ${e.getMessage}")
     }
@@ -1184,8 +1302,10 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d19 diag $tag failed: ${e.getMessage}")
       }
-      triDiag("1x", docs1x)
-      triDiag("10x", docs10x)
+      if (budgetOk("d19_diag", 90)) {
+        triDiag("1x", docs1x)
+        triDiag("10x", docs10x)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d19 failed: ${e.getMessage}")
     }
@@ -1214,8 +1334,10 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d20 diag $tag failed: ${e.getMessage}")
       }
-      d20Diag("1x", docs1x)
-      d20Diag("10x", rawCopies(10))
+      if (budgetOk("d20_diag", 60)) {
+        d20Diag("1x", docs1x)
+        d20Diag("10x", rawCopies(10))
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d20 failed: ${e.getMessage}")
     }
@@ -1287,10 +1409,67 @@ object Bench {
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d22 diag $tag failed: ${e.getMessage}")
       }
-      d22Diag("1x", b1)
-      d22Diag("10x", b10)
+      if (budgetOk("d22_diag", 120)) {
+        d22Diag("1x", b1)
+        d22Diag("10x", b10)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d22 failed: ${e.getMessage}")
+    }
+
+    // d23: full-PSL registered-domain trend (q_psl_domains' operator,
+    // r12 verdict #4: the operator was plan-audited but had no measured
+    // line). DISTINCT hosts ×10 with DECORRELATED copies — the copy
+    // label is baked INSIDE the leftmost label (c<k>-prefix), so label
+    // counts, rule matches and the candidate-form shape are
+    // copy-invariant while distinct hosts grow exactly 10×. The
+    // operator's claim: work ∝ distinct hosts × ≤(2·labels−1) candidate
+    // forms through ONE broadcast join against the fixed 9.5k-rule
+    // table and one host-keyed partial agg — wall should read ≈10× with
+    // candidate_forms exactly 10× and the rule broadcast unchanged. The
+    // host mix cycles every rule class (plain .com, multi-label ICANN,
+    // wildcard *.ck, PRIVATE-section github.io, implicit-* unknown TLD).
+    try {
+      import graft.text.Urls
+      def pslHosts(n: Int): DataFrame = {
+        val base = docs1x.select(col("doc_id"), col("source"))
+          .crossJoin(spark.range(n).select(col("id").as("_k")))
+        def h(c: org.apache.spark.sql.Column): DataFrame =
+          base.select(c.as("host"))
+        h(concat(lit("c"), col("_k"), lit("-www.example-"), col("source"),
+            lit(".com")))
+          .unionByName(h(concat(lit("c"), col("_k"), lit("-site"),
+            col("doc_id") % 5000, lit(".co.uk"))))
+          .unionByName(h(concat(lit("c"), col("_k"), lit("-zone"),
+            col("doc_id") % 1000, lit(".ck"))))
+          .unionByName(h(concat(lit("c"), col("_k"), lit("-user"),
+            col("doc_id") % 997, lit(".github.io"))))
+          .unionByName(h(concat(lit("c"), col("_k"), lit("-deep.foo"),
+            col("doc_id") % 499, lit(".bar.unknowntld"))))
+      }
+      val h1 = pslHosts(1)
+      val h10 = pslHosts(10)
+      measure("d23_psl_domains", ctlTimes)(exec(Urls.registeredDomainsPsl(h1)))
+      measure("d23_psl_domains", times)(exec(Urls.registeredDomainsPsl(h10)))
+      def pslDiag(tag: String, hosts: DataFrame): Unit = try {
+        val hp = hosts.select(lower(col("host")).as("h")).distinct()
+          .withColumn("n", size(split(col("h"), "\\.")))
+        val r = hp.agg(count(lit(1)).as("hosts"),
+          coalesce(sum(col("n") * 2 - 1), lit(0L)).as("forms")).head()
+        scaleDiag(s"d23_${tag}_distinct_hosts") = r.getLong(0)
+        scaleDiag(s"d23_${tag}_candidate_forms") = r.getLong(1)
+        scaleDiag(s"d23_${tag}_out_rows") =
+          Urls.registeredDomainsPsl(hosts).count()
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d23 diag $tag failed: ${e.getMessage}")
+      }
+      if (budgetOk("d23_diag", 90)) {
+        pslDiag("1x", h1)
+        pslDiag("10x", h10)
+      }
+      scaleDiag("d23_psl_rules") = Urls.pslRules.size.toLong
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d23 failed: ${e.getMessage}")
     }
 
     // d4: Structured Streaming at scale — the same watermarked
@@ -1382,8 +1561,10 @@ object Bench {
           System.err.println(s"[bench] d11 $tag failed: ${e.getMessage}")
           None
         }
-      d11("1x").foreach(t => ctlTimes("d11_stream_restart") = t)
-      d11("10x").foreach(t => times("d11_stream_restart") = t)
+      if (budgetOk("d11_stream_restart", 180)) {
+        d11("1x").foreach(t => ctlTimes("d11_stream_restart") = t)
+        d11("10x").foreach(t => times("d11_stream_restart") = t)
+      }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d4 staging failed: ${e.getMessage}")
     } finally rmrf(new java.io.File(d4root))

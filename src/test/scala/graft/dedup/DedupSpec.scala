@@ -533,6 +533,41 @@ class DedupSpec extends SparkSpec {
     assert(dup(4096) == dup(1 << 30))
   }
 
+  test("pathological-doc guard: a 2 MB doc at stride 1 trims exactly " +
+    "and completes inside a linear-path wall bound") {
+    import spark.implicits._
+    // Regression guard for the r12 quadratic-substring fix: SQL
+    // substring() on a UTF8String walks from byte 0 per call, so
+    // per-position windowing of one doc costs ~len²/2 char steps —
+    // ~2·10¹² for this 2 MB doc (tens of minutes on the one core that
+    // owns the row; 32 MB OOMed outright), while the sliced+spread path
+    // measured ~93 s for 32 MB and low seconds here. The bound is ~20×
+    // a healthy reading and ~10× under the quadratic one, so it fails
+    // on a regression without flaking on a slow run.
+    val big = soup(31, 2 * 1000 * 1000)
+    // 600-char span at an aligned 40-char segment boundary (500000 =
+    // 12500·40), copied into a short doc: cut accounting stays exact
+    val span = big.substring(500000, 500600)
+    val docs = Seq(
+      (1L, big),
+      (2L, soup(32, 80) + span + soup(33, 90))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val exact = Dedup.substringTrimExact(docs, winLen = 40)
+      .orderBy("doc_id").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // 2 MB doc: 50000 segments, the span's 15 cut; kept text = the doc
+    // minus exactly the span's characters
+    assert(exact(0).getLong(1) == 50000L && exact(0).getLong(2) == 15L)
+    assert(exact(0).getString(3) ==
+      big.substring(0, 500000) + big.substring(500600))
+    // short doc (770 chars = 19 segments): span chars [81,680] touch
+    // segments 2..16 → 15 cut, segments 0,1,17,18 kept
+    assert(exact(1).getLong(1) == 19L && exact(1).getLong(2) == 15L)
+    assert(secs < 180.0,
+      f"stride-1 trim of a 2 MB doc took $secs%.1f s — the sliced " +
+        "window path has regressed toward the quadratic walk")
+  }
+
   test("lshBanding: picks the S-curve-optimal split, monotone in the " +
     "threshold, ties break toward recall") {
     // hand-checked error integrals for 16 permutations (midpoint rule):
