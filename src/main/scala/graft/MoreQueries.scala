@@ -693,5 +693,49 @@ object MoreQueries {
             ORDER BY n_chars DESC, doc_id)::BIGINT AS rnk
         FROM documents)
       WHERE rnk <= 10 ORDER BY source, rnk"""))),
+
+    // The SQL surface end-to-end (graft.sql.GraftSql): a curation
+    // pipeline written ENTIRELY in spark.sql — token accounting, quality
+    // scoring, dedup fingerprints and URL domain keys through registered
+    // graft_* functions. The functions expand to the same Catalyst trees
+    // the Scala API builds (SqlSurfaceSpec pins the plans bit-equal), so
+    // this row certifies the registration + expansion plumbing against
+    // the independent DuckDB replay of the underlying expressions.
+    // Quality sums in exact micro-units (round(q*1e6) per doc, BIGINT
+    // sum) — q is already round-6 so the micro value is integer-exact.
+    // The synthesized 3-label hosts never hit a multi-part suffix, so
+    // the oracle's registered-domain replay is the plain last-two-labels
+    // arm of the heuristic.
+    "q_sql_pipeline" -> (((s: SparkSession, dir: String) => {
+      graft.sql.GraftSql.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("gsql_docs")
+      s.sql("""SELECT lang,
+          count(1) AS n_docs,
+          sum(graft_token_count(text)) AS tokens,
+          sum(CAST(round(graft_quality(text) * 1000000, 0) AS BIGINT))
+            AS quality_micros,
+          count(DISTINCT graft_fingerprint(text)) AS n_fingerprints,
+          count(DISTINCT graft_registered_domain(graft_url_host(
+            concat('https://www.Example-', source, '.COM:443/p/', doc_id))))
+            AS n_domains
+        FROM gsql_docs GROUP BY lang ORDER BY lang""")
+    }, Some {
+      val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+      val fp = "md5(array_to_string(list_sort(list_distinct(" +
+        "list_filter(string_split(lower(text), ' '), x -> len(x) > 0))), ' '))"
+      val host = "regexp_replace(regexp_replace(regexp_replace(lower(" +
+        "regexp_extract('https://www.Example-' || source || '.COM:443/p/' " +
+        "|| doc_id, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), " +
+        "'^[^@]*@', ''), ':[0-9]*$', ''), '\\.$', '')"
+      s"""WITH hosts AS (
+        SELECT lang, text, string_split($host, '.') AS hp FROM documents)
+      SELECT lang, count(*)::BIGINT AS n_docs,
+        sum(len($toks))::BIGINT AS tokens,
+        sum(CAST(round(${Queries.qualityExprSql} * 1000000, 0) AS BIGINT))::BIGINT
+          AS quality_micros,
+        count(DISTINCT $fp)::BIGINT AS n_fingerprints,
+        count(DISTINCT hp[len(hp)-1] || '.' || hp[len(hp)])::BIGINT AS n_domains
+      FROM hosts GROUP BY lang ORDER BY lang"""
+    })),
   )
 }

@@ -1,0 +1,103 @@
+package graft.sql
+
+import graft.functions.{CosineSimilarity, DotProduct, StripAccents,
+  TextExpressions, UnicodeNormalize}
+import graft.text.{TextAnalysis, Urls}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.ColumnShim.{column => toCol,
+  eagerExpression => toExpr}
+
+/** The engine's SQL surface: every scalar operator of the LLM-pipeline
+  * library, callable from plain `spark.sql` — so a SQL-only consumer can
+  * run quality gates, URL identity keys, token accounting and dedup
+  * fingerprints without writing Scala.
+  *
+  * Two registration routes, one function table:
+  *
+  *  - [[GraftSql.register]] — session-scoped, call once per
+  *    `SparkSession` (what [[graft.SparkEntry]]-driven jobs and the
+  *    correctness suite use);
+  *  - [[GraftSqlExtensions]] — a `SparkSessionExtensions` injector for
+  *    `spark.sql.extensions=graft.sql.GraftSqlExtensions`, which
+  *    registers the same functions at session build time (the
+  *    deployment route: no code change in the consuming job at all).
+  *
+  * Every function is a NATIVE expression tree: the Column-composed ones
+  * expand to the same codegen'd Catalyst operators the library's Scala
+  * API builds (macro-style — the analyzer sees the expanded tree, so
+  * predicate pushdown, constant folding and whole-stage codegen all
+  * apply), and the custom ones (`unicode_nfc`, `vec_cosine`, …) are the
+  * library's own `doGenCode` expressions. No function here is a black-box
+  * UDF; plans through this surface are bit-identical to plans through
+  * the Scala API (SqlSurfaceSpec asserts exactly that).
+  *
+  * Reference seam: the reference exposes its operator library to
+  * hive-streaming SQL via TRANSFORM scripts
+  * (`/root/reference/src/contrib/hive-streaming`); this surface is the
+  * Spark-native equivalent — in-plan functions instead of forked
+  * script processes.
+  */
+object GraftSql {
+
+  private def c1(f: Column => Column): Seq[Expression] => Expression = {
+    exprs =>
+      require(exprs.length == 1, s"expected 1 argument, got ${exprs.length}")
+      toExpr(f(toCol(exprs.head)))
+  }
+
+  private def c2(f: (Column, Column) => Column): Seq[Expression] => Expression = {
+    exprs =>
+      require(exprs.length == 2, s"expected 2 arguments, got ${exprs.length}")
+      toExpr(f(toCol(exprs(0)), toCol(exprs(1))))
+  }
+
+  /** The one name→builder table both registration routes share.
+    * Names are `graft_`-prefixed except the custom expressions that
+    * have shipped unprefixed since their introduction
+    * (`unicode_nfc/nfkc`, `strip_accents`, `vec_dot`, `vec_cosine`).
+    */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // URL identity (crawl dedup keys, per-domain caps)
+    "graft_url_canonical" -> c1(Urls.canonicalizeUrl),
+    "graft_url_host" -> c1(Urls.host),
+    "graft_registered_domain" -> c1(Urls.registeredDomain),
+    // token accounting + quality gates
+    "graft_token_count" -> c1(TextAnalysis.tokenCount),
+    "graft_subword_count" -> c1(TextAnalysis.subwordCount),
+    "graft_quality" -> c1(TextAnalysis.qualityScore),
+    "graft_punct_ratio" -> c1(TextAnalysis.punctRatio),
+    "graft_stopword_ratio" -> c1(TextAnalysis.stopwordRatio),
+    "graft_mean_token_len" -> c1(TextAnalysis.meanTokenLen),
+    // dedup / spoof fingerprints
+    "graft_fingerprint" -> c1(TextAnalysis.fingerprint),
+    "graft_canonical_key" -> c1(TextExpressions.canonicalTextKey),
+    "graft_homoglyph_fold" -> c1(TextAnalysis.homoglyphFold),
+    // custom codegen expressions (same names their register() methods use)
+    "unicode_nfc" -> (exprs => UnicodeNormalize(exprs.head, "NFC")),
+    "unicode_nfkc" -> (exprs => UnicodeNormalize(exprs.head, "NFKC")),
+    "strip_accents" -> (exprs => StripAccents(exprs.head)),
+    "vec_dot" -> c2((a, b) => toCol(DotProduct(toExpr(a), toExpr(b)))),
+    "vec_cosine" -> c2((a, b) => toCol(CosineSimilarity(toExpr(a), toExpr(b)))),
+  )
+
+  /** Register every function on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftSqlExtensions` — build-time
+  * injection of the same function table (see [[GraftSql]]).
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftSql.functions.foreach { case (name, builder) =>
+      extensions.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql.GraftSql", name), builder))
+    }
+}

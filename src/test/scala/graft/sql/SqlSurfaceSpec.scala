@@ -1,0 +1,142 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.text.{TextAnalysis, Urls}
+import graft.functions.TextExpressions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SQL surface's contract: every registered function produces the
+  * SAME expression tree the Scala Column API builds — plans through
+  * `spark.sql` are bit-identical (modulo expr ids) to plans through the
+  * library, so nothing behind this surface is a black-box UDF.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def normPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+      .replaceAll("#\\d+L?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\bid=#?\\d+\\b", "id=x")
+      // the lambda-variable counter is JVM-global; x_1 in one plan is
+      // x_3 in the other with identical structure
+      .replaceAll("\\bx_\\d+", "x_n")
+
+  private lazy val docs = {
+    GraftSql.register(spark)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    d.createOrReplaceTempView("sqlsurface_docs")
+    d
+  }
+
+  test("scalar functions: SQL route ≡ Column route, value for value") {
+    val pairs: Seq[(String, String, DataFrame)] = Seq(
+      ("graft_token_count", "graft_token_count(text)",
+        docs.select(TextAnalysis.tokenCount(col("text")).as("v"))),
+      ("graft_subword_count", "graft_subword_count(text)",
+        docs.select(TextAnalysis.subwordCount(col("text")).as("v"))),
+      ("graft_quality", "graft_quality(text)",
+        docs.select(TextAnalysis.qualityScore(col("text")).as("v"))),
+      ("graft_punct_ratio", "graft_punct_ratio(text)",
+        docs.select(TextAnalysis.punctRatio(col("text")).as("v"))),
+      ("graft_stopword_ratio", "graft_stopword_ratio(text)",
+        docs.select(TextAnalysis.stopwordRatio(col("text")).as("v"))),
+      ("graft_mean_token_len", "graft_mean_token_len(text)",
+        docs.select(TextAnalysis.meanTokenLen(col("text")).as("v"))),
+      ("graft_fingerprint", "graft_fingerprint(text)",
+        docs.select(TextAnalysis.fingerprint(col("text")).as("v"))),
+      ("graft_canonical_key", "graft_canonical_key(text)",
+        docs.select(TextExpressions.canonicalTextKey(col("text")).as("v"))),
+      ("graft_homoglyph_fold", "graft_homoglyph_fold(text)",
+        docs.select(TextAnalysis.homoglyphFold(col("text")).as("v"))),
+      ("unicode_nfkc", "unicode_nfkc(text)",
+        docs.select(TextExpressions.nfkc(col("text")).as("v"))),
+    )
+    pairs.foreach { case (name, sqlExpr, viaColumn) =>
+      val viaSql = spark.sql(
+        s"SELECT $sqlExpr AS v FROM sqlsurface_docs ORDER BY v")
+      val a = viaSql.collect().map(_.get(0)).toSeq
+      val b = viaColumn.orderBy("v").collect().map(_.get(0)).toSeq
+      assert(a == b, s"$name: SQL route diverged from the Column route")
+    }
+  }
+
+  test("url functions: SQL route ≡ Column route on messy inputs") {
+    val urls = docs.select(concat(lit("HTTPS://user@www.Example-"),
+      col("source"), lit(".COM:443/p/"), col("doc_id"),
+      lit("?b=2&a=1&utm_source=x#f")).as("u"))
+    urls.createOrReplaceTempView("sqlsurface_urls")
+    val viaSql = spark.sql("""SELECT graft_url_canonical(u) AS cu,
+        graft_url_host(u) AS h,
+        graft_registered_domain(graft_url_host(u)) AS rd
+      FROM sqlsurface_urls ORDER BY cu""").collect().map(_.toSeq).toSeq
+    val viaCol = urls.select(Urls.canonicalizeUrl(col("u")).as("cu"),
+        Urls.host(col("u")).as("h"),
+        Urls.registeredDomain(Urls.host(col("u"))).as("rd"))
+      .orderBy("cu").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.head(0).toString.startsWith("https://www.example-"))
+    assert(!viaSql.head(2).toString.contains("www."))
+  }
+
+  test("vector functions: SQL route ≡ Column route") {
+    import graft.functions.VectorExpressions
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .limit(50).select(col("vec_id"), col("embedding"))
+    emb.createOrReplaceTempView("sqlsurface_emb")
+    val viaSql = spark.sql("""SELECT vec_id,
+        vec_cosine(embedding, embedding) AS c,
+        vec_dot(embedding, embedding) AS d
+      FROM sqlsurface_emb ORDER BY vec_id""").collect().map(_.toSeq).toSeq
+    val viaCol = emb.select(col("vec_id"),
+        VectorExpressions.vecCosine(col("embedding"), col("embedding")).as("c"),
+        VectorExpressions.vecDot(col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("plans through the SQL surface are the Column-API plans — no UDF") {
+    docs.createOrReplaceTempView("sqlsurface_docs") // force registration
+    val viaSql = spark.sql("""SELECT lang, sum(graft_token_count(text)) AS t,
+        count(DISTINCT graft_fingerprint(text)) AS f
+      FROM sqlsurface_docs GROUP BY lang""")
+    val viaCol = docs.groupBy("lang").agg(
+      sum(TextAnalysis.tokenCount(col("text"))).as("t"),
+      countDistinct(TextAnalysis.fingerprint(col("text"))).as("f"))
+    assert(normPlan(viaSql) == normPlan(viaCol),
+      "SQL-surface plan diverged from the Column-API plan")
+    val p = normPlan(viaSql)
+    assert(!p.contains("UDF") && !p.contains("BatchEval"),
+      "SQL surface must never introduce a black-box UDF")
+  }
+
+  test("GraftSqlExtensions injects the same table at session build time") {
+    // create() builds a NEW session over the shared context with the
+    // injector applied at build time — the same code path the
+    // spark.sql.extensions config invokes (instantiate by reflection,
+    // apply to the session's SparkSessionExtensions). No register()
+    // call anywhere on this session.
+    val injector = Class.forName("graft.sql.GraftSqlExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(injector)
+      .create()
+    // NEVER s2.stop()/close() here: the new session SHARES the suite
+    // JVM's SparkContext, and stopping it kills every later suite. The
+    // session itself is a lightweight state holder — drop the reference
+    // and restore the shared session as active.
+    try {
+      val r = s2.sql(
+        "SELECT graft_token_count('a b  c'), graft_registered_domain('a.b.co.uk')")
+        .head()
+      assert(r.getInt(0) == 3)
+      assert(r.getString(1) == "b.co.uk")
+    } finally
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
+  test("function table has no duplicate names") {
+    val names = GraftSql.functions.map(_._1)
+    assert(names.distinct.size == names.size)
+  }
+}
