@@ -12,6 +12,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# GRAFT_JAVA_OPTS: optional extra JVM flags (diagnostics: GC logs, code
+# cache sizing) — empty in normal runs
+exec java $ADD_OPENS ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" -cp "$CP" "$@"

@@ -431,7 +431,12 @@ object Bench {
         hygiene(spark) // clean slate per query — see hygiene scaladoc
         val runs = scala.collection.mutable.ArrayBuffer(
           time(exec(fn(spark, sfDir))))
-        if (runs.head < 5.0) {
+        // q_stream_* keeps min-of-2 at any duration: the micro-batch
+        // family is the one documented to catch machine-level drift
+        // windows (r13 run 1: five consecutive stream readings 2–8×
+        // while everything after landed in band), and a single reading
+        // can't tell a window from a regression
+        if (runs.head < 5.0 || name.startsWith("q_stream")) {
           runs += time(exec(fn(spark, sfDir)))
           // two runs disagreeing >50% means one hit a drift window (GC,
           // cleanup, page-cache churn) — a third run resolves which
