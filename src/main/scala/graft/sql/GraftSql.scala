@@ -64,6 +64,13 @@ object GraftSql {
     "graft_url_host" -> c1(Urls.host),
     "graft_registered_domain" -> c1(Urls.registeredDomain),
     // token accounting + quality gates
+    "graft_tokenize" -> c1(TextAnalysis.tokenize),
+    "graft_shingles" -> c1(c => graft.dedup.Dedup.shingles(c)),
+    "graft_lang_id" -> c1(TextAnalysis.langId),
+    "graft_mojibake_count" -> c1(TextAnalysis.mojibakeCount),
+    "graft_replacement_count" -> c1(TextAnalysis.replacementCount),
+    "graft_control_count" -> c1(TextAnalysis.controlCount),
+    "graft_encoding_keep" -> c1(TextAnalysis.encodingKeep),
     "graft_token_count" -> c1(TextAnalysis.tokenCount),
     "graft_subword_count" -> c1(TextAnalysis.subwordCount),
     "graft_quality" -> c1(TextAnalysis.qualityScore),

@@ -32,6 +32,20 @@ class SqlSurfaceSpec extends SparkSpec {
     val pairs: Seq[(String, String, DataFrame)] = Seq(
       ("graft_token_count", "graft_token_count(text)",
         docs.select(TextAnalysis.tokenCount(col("text")).as("v"))),
+      ("graft_lang_id", "graft_lang_id(text)",
+        docs.select(TextAnalysis.langId(col("text")).as("v"))),
+      ("graft_mojibake_count", "graft_mojibake_count(text)",
+        docs.select(TextAnalysis.mojibakeCount(col("text")).as("v"))),
+      ("graft_replacement_count", "graft_replacement_count(text)",
+        docs.select(TextAnalysis.replacementCount(col("text")).as("v"))),
+      ("graft_control_count", "graft_control_count(text)",
+        docs.select(TextAnalysis.controlCount(col("text")).as("v"))),
+      ("graft_encoding_keep", "cast(graft_encoding_keep(text) as string)",
+        docs.select(TextAnalysis.encodingKeep(col("text")).cast("string").as("v"))),
+      ("graft_tokenize", "array_join(graft_tokenize(text), ' ')",
+        docs.select(array_join(TextAnalysis.tokenize(col("text")), " ").as("v"))),
+      ("graft_shingles", "array_join(graft_shingles(text), '|')",
+        docs.select(array_join(graft.dedup.Dedup.shingles(col("text")), "|").as("v"))),
       ("graft_subword_count", "graft_subword_count(text)",
         docs.select(TextAnalysis.subwordCount(col("text")).as("v"))),
       ("graft_quality", "graft_quality(text)",
