@@ -47,12 +47,6 @@ object GraftSql {
       toExpr(f(toCol(exprs.head)))
   }
 
-  private def c2(f: (Column, Column) => Column): Seq[Expression] => Expression = {
-    exprs =>
-      require(exprs.length == 2, s"expected 2 arguments, got ${exprs.length}")
-      toExpr(f(toCol(exprs(0)), toCol(exprs(1))))
-  }
-
   /** The one name→builder table both registration routes share.
     * Names are `graft_`-prefixed except the custom expressions that
     * have shipped unprefixed since their introduction
@@ -85,8 +79,8 @@ object GraftSql {
     "unicode_nfc" -> (exprs => UnicodeNormalize(exprs.head, "NFC")),
     "unicode_nfkc" -> (exprs => UnicodeNormalize(exprs.head, "NFKC")),
     "strip_accents" -> (exprs => StripAccents(exprs.head)),
-    "vec_dot" -> c2((a, b) => toCol(DotProduct(toExpr(a), toExpr(b)))),
-    "vec_cosine" -> c2((a, b) => toCol(CosineSimilarity(toExpr(a), toExpr(b)))),
+    "vec_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "vec_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
   )
 
   /** Register every function on an existing session (idempotent). */
