@@ -65,6 +65,10 @@ object GraftSql {
     "graft_replacement_count" -> c1(TextAnalysis.replacementCount),
     "graft_control_count" -> c1(TextAnalysis.controlCount),
     "graft_encoding_keep" -> c1(TextAnalysis.encodingKeep),
+    // the fused front-door gate: struct(lang_pred, tok_cnt, quality) in
+    // ONE tokenization pass (composing the separate functions re-splits
+    // the text ~8x per row — the README's corpus-filter rationale)
+    "graft_signals" -> c1(TextAnalysis.signals),
     "graft_token_count" -> c1(TextAnalysis.tokenCount),
     "graft_subword_count" -> c1(TextAnalysis.subwordCount),
     "graft_quality" -> c1(TextAnalysis.qualityScore),

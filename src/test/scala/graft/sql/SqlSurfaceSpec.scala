@@ -34,6 +34,11 @@ class SqlSurfaceSpec extends SparkSpec {
         docs.select(TextAnalysis.tokenCount(col("text")).as("v"))),
       ("graft_lang_id", "graft_lang_id(text)",
         docs.select(TextAnalysis.langId(col("text")).as("v"))),
+      ("graft_signals", "concat_ws(':', graft_signals(text).lang_pred, " +
+        "graft_signals(text).tok_cnt, graft_signals(text).quality)",
+        docs.select(concat_ws(":", TextAnalysis.signals(col("text"))("lang_pred"),
+          TextAnalysis.signals(col("text"))("tok_cnt"),
+          TextAnalysis.signals(col("text"))("quality")).as("v"))),
       ("graft_mojibake_count", "graft_mojibake_count(text)",
         docs.select(TextAnalysis.mojibakeCount(col("text")).as("v"))),
       ("graft_replacement_count", "graft_replacement_count(text)",
