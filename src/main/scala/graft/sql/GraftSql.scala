@@ -80,12 +80,24 @@ object GraftSql {
     "graft_canonical_key" -> c1(TextExpressions.canonicalTextKey),
     "graft_homoglyph_fold" -> c1(TextAnalysis.homoglyphFold),
     // custom codegen expressions (same names their register() methods use)
-    "unicode_nfc" -> (exprs => UnicodeNormalize(exprs.head, "NFC")),
-    "unicode_nfkc" -> (exprs => UnicodeNormalize(exprs.head, "NFKC")),
-    "strip_accents" -> (exprs => StripAccents(exprs.head)),
-    "vec_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "vec_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "unicode_nfc" -> e1(UnicodeNormalize(_, "NFC")),
+    "unicode_nfkc" -> e1(UnicodeNormalize(_, "NFKC")),
+    "strip_accents" -> e1(StripAccents(_)),
+    "vec_dot" -> e2(DotProduct(_, _)),
+    "vec_cosine" -> e2(CosineSimilarity(_, _)),
   )
+
+  private def e1(f: Expression => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      require(exprs.length == 1, s"expected 1 argument, got ${exprs.length}")
+      f(exprs.head)
+  }
+
+  private def e2(f: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      require(exprs.length == 2, s"expected 2 arguments, got ${exprs.length}")
+      f(exprs(0), exprs(1))
+  }
 
   /** Register every function on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
