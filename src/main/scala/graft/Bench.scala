@@ -1477,6 +1477,55 @@ object Bench {
       System.err.println(s"[bench] d23 failed: ${e.getMessage}")
     }
 
+    // d24: HTML main-text extraction trend (round 13b's operator family)
+    // — pure scan-side scalar regex/HOF work, so wall must read ≈10× for
+    // 10× pages with zero shuffle on either side (the noop sink sees a
+    // bare project). Copies are DECORRELATED by baking the copy index
+    // into the title and footer link text (page bytes differ per copy;
+    // structure and the density gate's keep/drop pattern are
+    // copy-invariant). Diag pins the gate itself: pages, main-text chars
+    // and blocks_kept must all read exactly 10×.
+    try {
+      import graft.text.Html
+      def pages(n: Int): DataFrame =
+        docs1x.select(col("doc_id"), col("source"), col("text"))
+          .crossJoin(spark.range(n).select(col("id").as("_k")))
+          .withColumn("html", concat(
+            lit("<html><head><title>c"), col("_k"), lit(" "), col("source"),
+            lit("</title><style>p { margin: 0 }</style></head><body>"),
+            lit("<nav><a href=\"/\">Home</a> <a href=\"/t\">Tags</a> " +
+              "<a href=\"/a\">About</a></nav><h1>Doc "), col("doc_id"),
+            lit("</h1><p>"),
+            replace(col("text"), lit("\n"), lit("</p><p>")),
+            lit("</p><script>var id = "), col("doc_id"),
+            lit(";</script><footer><a href=\"/c\">copy "), col("_k"),
+            lit("</a> <a href=\"/p\">Privacy</a></footer></body></html>")))
+      val p1 = pages(1)
+      val p10 = pages(10)
+      def run(df: DataFrame): DataFrame =
+        df.select(md5(Html.htmlExtract(col("html"))).as("e"),
+          md5(Html.htmlMainText(col("html"))).as("m"))
+      measure("d24_html_extract", ctlTimes)(exec(run(p1)))
+      measure("d24_html_extract", times)(exec(run(p10)))
+      def htmlDiag(tag: String, df: DataFrame): Unit = try {
+        val r = df.agg(count(lit(1)).as("pages"),
+          sum(length(Html.htmlMainText(col("html")))).as("main_chars"),
+          sum(Html.mainBlocksKept(col("html")).cast("long")).as("kept"))
+          .head()
+        scaleDiag(s"d24_${tag}_pages") = r.getLong(0)
+        scaleDiag(s"d24_${tag}_main_chars") = r.getLong(1)
+        scaleDiag(s"d24_${tag}_blocks_kept") = r.getLong(2)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] d24 diag $tag failed: ${e.getMessage}")
+      }
+      if (budgetOk("d24_diag", 60)) {
+        htmlDiag("1x", p1)
+        htmlDiag("10x", p10)
+      }
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d24 failed: ${e.getMessage}")
+    }
+
     // d4: Structured Streaming at scale — the same watermarked
     // hourly-window plan through REAL AvailableNow micro-batch runs at 1x
     // and 10x staged events. Copies shift ts by k*(span+2h) so each

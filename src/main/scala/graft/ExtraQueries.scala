@@ -3305,5 +3305,53 @@ object ExtraQueries {
             ORDER BY m.n_chars DESC, m.doc_id)::BIGINT AS rnk
         FROM m JOIN rd r ON m.host = r.host)
       WHERE rnk <= 5 ORDER BY registered_domain, rnk"""))),
+
+    // The SCALAR full-PSL registered domain (graft.functions.PslDomain):
+    // the same 9.5k-rule longest-match resolution as registeredDomainsPsl
+    // but as one whole-stage-codegen expression probing the jar-resident
+    // rule index per row — zero joins, zero shuffle, the form the SQL
+    // surface exposes as graft_psl_domain(host). Hosts here are
+    // MIXED-CASE on purpose: rule matching runs on the lowered form while
+    // host and registered_domain keep input casing (the contract both
+    // PSL paths share; UrlExpressionsSpec pins them row-equal). The
+    // oracle replays the fixture-join resolution on the lowered host,
+    // then re-slices the ORIGINAL host's labels to the resolved label
+    // count — lowercasing never adds or removes '.', so the slice is
+    // exactly the scalar's case-preserving output.
+    "q_psl_scalar" -> (((s: SparkSession, dir: String) => {
+      import graft.functions.UrlExpressions
+      val host = when(col("doc_id") % 6 === 0,
+          concat(lit("WWW.Site"), col("doc_id") % 20, lit(".CO.UK")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("Alice"), col("doc_id") % 15, lit(".GitHub.IO")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("a.b.Zone"), col("doc_id") % 10, lit(".ck")))
+        .when(col("doc_id") % 6 === 3, lit("Sub.WWW.CK"))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("192.168.1."), col("doc_id") % 200))
+        .otherwise(concat(lit("Deep.Foo"), col("doc_id") % 5,
+          lit(".Example")))
+      t(s, dir, "documents").select(host.as("host")).distinct()
+        .select(col("host"),
+          UrlExpressions.pslDomain(col("host")).as("registered_domain"))
+        .orderBy("host")
+    }, Some(s"""WITH raw AS (
+        SELECT DISTINCT CASE doc_id % 6
+            WHEN 0 THEN 'WWW.Site' || (doc_id % 20) || '.CO.UK'
+            WHEN 1 THEN 'Alice' || (doc_id % 15) || '.GitHub.IO'
+            WHEN 2 THEN 'a.b.Zone' || (doc_id % 10) || '.ck'
+            WHEN 3 THEN 'Sub.WWW.CK'
+            WHEN 4 THEN '192.168.1.' || (doc_id % 200)
+            ELSE 'Deep.Foo' || (doc_id % 5) || '.Example' END AS horig
+        FROM documents),
+      hosts AS (SELECT DISTINCT lower(horig) AS host FROM raw),
+      $pslRdSql
+      SELECT r.horig AS host,
+        array_to_string(list_slice(r.op,
+          len(r.op) - len(string_split(d.registered_domain, '.')) + 1,
+          len(r.op)), '.') AS registered_domain
+      FROM (SELECT horig, string_split(horig, '.') AS op FROM raw) r
+      JOIN rd d ON lower(r.horig) = d.host
+      ORDER BY host"""))),
   )
 }

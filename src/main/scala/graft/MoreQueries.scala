@@ -737,5 +737,137 @@ object MoreQueries {
         count(DISTINCT hp[len(hp)-1] || '.' || hp[len(hp)])::BIGINT AS n_domains
       FROM hosts GROUP BY lang ORDER BY lang"""
     })),
+
+    // HTML → text extraction (graft.text.Html.htmlExtract): every doc
+    // wrapped into a deterministic page (head/title, style block, a
+    // 3-link nav bar, h1, the text as <p> blocks, a script tag, a
+    // 2-link footer with an &amp; entity), then the full extraction
+    // pipeline — container drop, block segmentation, tag strip,
+    // whitespace collapse, entity decode. Pure scan-side scalar work
+    // (regex star-height 1, no backtracking cliff); the oracle replays
+    // the IDENTICAL pattern table via Html.extractSql, so the md5 pins
+    // the two engines byte-equal on every page.
+    "q_html_extract" -> (((s: SparkSession, dir: String) => {
+      import graft.text.Html
+      val html = MoreQueries.docHtml
+      t(s, dir, "documents")
+        .select(col("doc_id"), Html.htmlExtract(html).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_chars"))
+        .orderBy("doc_id")
+    }, Some(s"""SELECT doc_id, md5(clean) AS clean_md5,
+        length(clean)::BIGINT AS clean_chars
+      FROM (SELECT doc_id, ${graft.text.Html.extractSql(docHtmlSql)} AS clean
+            FROM documents)
+      ORDER BY doc_id"""))),
+
+    // Main-text extraction (Html.htmlMainText): the link-density gate on
+    // top of the same block segmentation — a block survives only with
+    // ≥40 chars of stripped text per <a anchor, so the nav bar (3 links,
+    // ~16 chars) and footer (2 links, ~19 chars) die while the h1, the
+    // <p> content and the single-link long paragraph survive. blocks_kept
+    // certifies the gate decision count page by page, the md5 the
+    // surviving bytes.
+    "q_html_main" -> (((s: SparkSession, dir: String) => {
+      import graft.text.Html
+      val html = MoreQueries.docHtml
+      t(s, dir, "documents")
+        .select(col("doc_id"), Html.htmlMainText(html).as("main"),
+          Html.mainBlocksKept(html).cast("long").as("blocks_kept"))
+        .select(col("doc_id"), md5(col("main")).as("main_md5"),
+          length(col("main")).cast("long").as("main_chars"),
+          col("blocks_kept"))
+        .orderBy("doc_id")
+    }, Some(s"""SELECT doc_id, md5(main) AS main_md5,
+        length(main)::BIGINT AS main_chars, blocks_kept
+      FROM (SELECT doc_id, ${graft.text.Html.mainTextSql(docHtmlSql)} AS main,
+              ${graft.text.Html.mainBlocksKeptSql(docHtmlSql)}::BIGINT
+                AS blocks_kept
+            FROM documents)
+      ORDER BY doc_id"""))),
+
+    // The crawl-ingest pipeline END TO END: page → main text (the
+    // link-density gate) → the fused signals struct (lang-ID, token
+    // count, quality in ONE tokenization pass) → per-source corpus
+    // accounting. This is the composition a 100 TB ingest actually runs
+    // — markup in, curation signals out — and it certifies the new front
+    // door COMPOSES with the existing gates: every fragment of the
+    // oracle (mainTextSql, langScores/Best/Cases, qualityExprSql) is the
+    // same shared definition its standalone row uses, spliced over the
+    // extracted text instead of `documents.text`. Quality in exact
+    // integer micros; the whole per-doc stage is scan-side scalar work,
+    // one partial-agg shuffle on source.
+    "q_crawl_ingest" -> (((s: SparkSession, dir: String) => {
+      import graft.text.{Html, TextAnalysis}
+      // block joints flattened to spaces: the signal fragments are
+      // space-tokenizer contracts (string_split(text, ' ') in the
+      // oracle, \s+ in the library — equal only on single-line text)
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          replace(Html.htmlMainText(docHtml), lit("\n"), lit(" "))
+            .as("text"))
+      pages
+        .select(col("source"), TextAnalysis.signals(col("text")).as("s"))
+        .select(col("source"), col("s.lang_pred").as("lang_pred"),
+          col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_cnt")).cast("long").as("tokens"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(round(col("quality") * 1000000, 0).cast("long"))
+            .as("quality_micros"))
+        .orderBy("source")
+    }, Some(s"""WITH pages AS (
+        SELECT doc_id, source,
+          replace(${graft.text.Html.mainTextSql(docHtmlSql)}, chr(10), ' ')
+            AS text
+        FROM documents),
+      sc AS (SELECT doc_id, source, text, ${Queries.langScoresSql}
+             FROM pages),
+      b AS (SELECT doc_id, source, text, s_de, s_en, s_es, s_fr,
+          ${Queries.langBestSql} AS best FROM sc),
+      lang AS (SELECT doc_id, source, text,
+          CASE ${Queries.langCasesSql} ELSE 'und' END AS lang_pred FROM b)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0)))::BIGINT
+          AS tokens,
+        sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+        sum(CAST(round(${Queries.qualityExprSql} * 1000000, 0) AS BIGINT))::BIGINT
+          AS quality_micros
+      FROM lang GROUP BY source ORDER BY source"""))),
   )
+
+  /** The synthesized page for the q_html_* rows — ONE shape rendered by
+    * both engines: [[docHtml]] (Column) and [[docHtmlSql]] (DuckDB) build
+    * the byte-identical string, so the extraction oracles test the
+    * PIPELINE, not the wrapper. Newlines in `text` become `</p><p>`
+    * boundaries; the trailing paragraph carries one legitimate link over
+    * the first 120 chars of the doc so the density gate's keep-with-anchor
+    * arm is exercised alongside the nav/footer drop arm.
+    */
+  private[graft] def docHtml: Column = concat(
+    lit("<html><head><title>"), col("source"), lit(" #"), col("doc_id"),
+    lit("</title><style>p { margin: 0 }</style></head><body>"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/t\">Tags</a> " +
+      "<a href=\"/a\">About</a></nav>"),
+    lit("<h1>Doc "), col("doc_id"), lit("</h1><p>"),
+    replace(col("text"), lit("\n"), lit("</p><p>")),
+    lit("</p><p>More: <a href=\"/d/"), col("doc_id"),
+    lit("\">deep link</a> &mdash; "), substring(col("text"), 1, 120),
+    lit("</p><script>var id = "), col("doc_id"),
+    lit(";</script><footer><a href=\"/terms\">Terms</a> &amp; " +
+      "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+
+  private[graft] def docHtmlSql: String =
+    """('<html><head><title>' || source || ' #' || doc_id ||
+      '</title><style>p { margin: 0 }</style></head><body>' ||
+      '<nav><a href="/">Home</a> <a href="/t">Tags</a> ' ||
+      '<a href="/a">About</a></nav>' ||
+      '<h1>Doc ' || doc_id || '</h1><p>' ||
+      replace(text, chr(10), '</p><p>') ||
+      '</p><p>More: <a href="/d/' || doc_id ||
+      '">deep link</a> &mdash; ' || substr(text, 1, 120) ||
+      '</p><script>var id = ' || doc_id ||
+      ';</script><footer><a href="/terms">Terms</a> &amp; ' ||
+      '<a href="/privacy">Privacy</a></footer></body></html>')"""
 }

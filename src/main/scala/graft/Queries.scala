@@ -77,6 +77,25 @@ object Queries {
           .where(col("rep_ratio") <= 0.2)
       }
 
+  /** Shared DuckDB lang-ID fragments over the `text` column — q_lang_id,
+    * [[corpusKeepSql]] and the crawl-ingest composition all splice these
+    * (ONE definition, so the tie-break and threshold semantics can never
+    * drift between oracles): per-lang stopword hit scores, the winner
+    * expression, and the winner→label CASE arms.
+    */
+  private[graft] def langIdLangs: Seq[String] =
+    TextAnalysis.stopwords.keys.toSeq.sorted
+  private[graft] def langHitsSql(l: String): String = {
+    val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
+  }
+  private[graft] def langScoresSql: String =
+    langIdLangs.map(l => s"${langHitsSql(l)} AS s_$l").mkString(", ")
+  private[graft] def langBestSql: String =
+    "greatest(" + langIdLangs.map(l => s"s_$l").mkString(", ") + ")"
+  private[graft] def langCasesSql: String =
+    langIdLangs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+
   /** DuckDB expression replaying [[TextAnalysis.qualityScore]] over the
     * `text` column — the shared fragment [[corpusKeepSql]] and the
     * budget-selection oracle both embed, so the two can never drift.
@@ -97,14 +116,7 @@ object Queries {
   private[graft] def corpusKeepSql: String = {
         // composed from the q_lang_id / q_quality / q_repetition oracle
         // fragments (same generated stopword lists, same arithmetic)
-        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        def hits(l: String) = {
-          val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
-        }
-        val scores = langs.map(l => s"${hits(l)} AS s_$l").mkString(", ")
-        val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
-        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+        val (scores, best, cases) = (langScoresSql, langBestSql, langCasesSql)
         val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
         s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
           b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $best AS best FROM sc),
@@ -1436,19 +1448,10 @@ object Queries {
     "q_lang_id" -> Q(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")),
-      Some {
-        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        def hits(l: String) = {
-          val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(list_filter(string_split(lower(text), ' '), x -> len(x) > 0), t -> list_contains([$words], t)))"
-        }
-        val scores = langs.map(l => s"${hits(l)} AS s_$l").mkString(", ")
-        val best = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
-        val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
-        s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
-        b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $best AS best FROM sc)
-        SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
-      }),
+      Some(
+        s"""WITH sc AS (SELECT doc_id, $langScoresSql FROM documents),
+        b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, $langBestSql AS best FROM sc)
+        SELECT doc_id, CASE $langCasesSql ELSE 'und' END AS lang_pred FROM b""")),
 
     "q_quality" -> Q(
       (s, dir) => t(s, dir, "documents").select(col("doc_id"),

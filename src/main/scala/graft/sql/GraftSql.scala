@@ -1,8 +1,8 @@
 package graft.sql
 
-import graft.functions.{CosineSimilarity, DotProduct, StripAccents,
-  TextExpressions, UnicodeNormalize}
-import graft.text.{TextAnalysis, Urls}
+import graft.functions.{CosineSimilarity, DotProduct, PslDomain,
+  StripAccents, TextExpressions, UnicodeNormalize}
+import graft.text.{Html, TextAnalysis, Urls}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,6 +57,12 @@ object GraftSql {
     "graft_url_canonical" -> c1(Urls.canonicalizeUrl),
     "graft_url_host" -> c1(Urls.host),
     "graft_registered_domain" -> c1(Urls.registeredDomain),
+    // full-PSL registered domain: a native codegen expression probing
+    // the jar-resident 9.5k-rule index — zero joins from SQL
+    "graft_psl_domain" -> e1(PslDomain(_)),
+    // crawl-ingest: markup → text (all of it / link-density-gated main)
+    "graft_html_extract" -> c1(Html.htmlExtract),
+    "graft_html_main" -> c1(Html.htmlMainText),
     // token accounting + quality gates
     "graft_tokenize" -> c1(TextAnalysis.tokenize),
     "graft_shingles" -> c1(c => graft.dedup.Dedup.shingles(c)),

@@ -69,6 +69,21 @@ class SqlSurfaceSpec extends SparkSpec {
         docs.select(TextAnalysis.homoglyphFold(col("text")).as("v"))),
       ("unicode_nfkc", "unicode_nfkc(text)",
         docs.select(TextExpressions.nfkc(col("text")).as("v"))),
+      ("graft_psl_domain",
+        "graft_psl_domain(concat('a.b.Site-', source, '.CO.UK'))",
+        docs.select(graft.functions.UrlExpressions.pslDomain(
+          concat(lit("a.b.Site-"), col("source"), lit(".CO.UK"))).as("v"))),
+      ("graft_html_extract",
+        "graft_html_extract(concat('<p>', text, '</p><script>x</script>'))",
+        docs.select(graft.text.Html.htmlExtract(
+          concat(lit("<p>"), col("text"), lit("</p><script>x</script>")))
+          .as("v"))),
+      ("graft_html_main",
+        "graft_html_main(concat('<nav><a href=\"/\">x</a> <a href=\"/\">y</a>" +
+          "</nav><p>', text, '</p>'))",
+        docs.select(graft.text.Html.htmlMainText(
+          concat(lit("<nav><a href=\"/\">x</a> <a href=\"/\">y</a></nav><p>"),
+            col("text"), lit("</p>"))).as("v"))),
     )
     pairs.foreach { case (name, sqlExpr, viaColumn) =>
       val viaSql = spark.sql(
