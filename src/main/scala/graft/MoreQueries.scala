@@ -835,6 +835,61 @@ object MoreQueries {
         sum(CAST(round(${Queries.qualityExprSql} * 1000000, 0) AS BIGINT))::BIGINT
           AS quality_micros
       FROM lang GROUP BY source ORDER BY source"""))),
+
+    // The same front door as a STREAM: crawl firehose → main-text
+    // extraction → fused signals, through a real AvailableNow
+    // micro-batch run (file source staged from the documents table,
+    // parquet sink + checkpoint). The per-doc stage is STATELESS scalar
+    // work — no watermark, no state store, no sentinel needed; state is
+    // zero regardless of stream length, which is the 100 TB property
+    // (a quality gate on an ingest firehose must never accumulate). The
+    // oracle is the batch replay of the identical per-doc signal rows —
+    // certifying stream ≡ batch for the whole extraction+signals chain.
+    "q_stream_ingest" -> (((s: SparkSession, dir: String) => {
+      import graft.text.{Html, TextAnalysis}
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = ExtraQueries.tmp("stream_ingest_in", dir)
+      val sink = ExtraQueries.tmp("stream_ingest_out", dir)
+      val ckpt = ExtraQueries.tmp("stream_ingest_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(ExtraQueries.rmrf)
+      new java.io.File(stage).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        java.nio.file.Paths.get(s"$stage/documents.parquet"))
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(raw).parquet(s"$stage/*.parquet")
+      val pages = stream.select(col("doc_id"), col("source"),
+        replace(Html.htmlMainText(docHtml), lit("\n"), lit(" ")).as("text"))
+      val out = pages
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.signals(col("text")).as("s"))
+        .select(col("doc_id"), col("source"),
+          col("s.lang_pred").as("lang_pred"),
+          col("s.tok_cnt").cast("long").as("tok_cnt"),
+          round(col("s.quality") * 1000000, 0).cast("long")
+            .as("quality_micros"))
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink).orderBy("doc_id")
+    }, Some(s"""WITH pages AS (
+        SELECT doc_id, source,
+          replace(${graft.text.Html.mainTextSql(docHtmlSql)}, chr(10), ' ')
+            AS text
+        FROM documents),
+      sc AS (SELECT doc_id, source, text, ${Queries.langScoresSql}
+             FROM pages),
+      b AS (SELECT doc_id, source, text, s_de, s_en, s_es, s_fr,
+          ${Queries.langBestSql} AS best FROM sc),
+      lang AS (SELECT doc_id, source, text,
+          CASE ${Queries.langCasesSql} ELSE 'und' END AS lang_pred FROM b)
+      SELECT doc_id, source, lang_pred,
+        len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT
+          AS tok_cnt,
+        CAST(round(${Queries.qualityExprSql} * 1000000, 0) AS BIGINT)
+          AS quality_micros
+      FROM lang ORDER BY doc_id"""))),
   )
 
   /** The synthesized page for the q_html_* rows — ONE shape rendered by
