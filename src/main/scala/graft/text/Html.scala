@@ -99,7 +99,12 @@ object Html {
   private def blockText(b: Column): Column =
     trim(regexp_replace(regexp_replace(b, AnyTagRe, " "), "[ \\t]+", " "))
 
-  /** `<a ` anchor count of one raw block. */
+  /** `<a ` anchor count of one raw block. Counts the canonical
+    * lowercase form only — lowercasing the block for the count would
+    * tie the oracle to engine-specific Unicode case-mapping LENGTHS
+    * (the count is a length difference), a divergence risk worth more
+    * than the odd uppercase `<A HREF` nav bar slipping the gate.
+    */
   private def anchors(b: Column): Column =
     (length(b) - length(replace(b, lit("<a "), lit("")))) / 3
 
