@@ -159,6 +159,24 @@ object Queries {
       s"min((x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})::BIGINT AS sig$i"
     }.mkString(", ")
 
+  /** The FULL q_minhash_sig oracle — shared verbatim by the aggregate
+    * row and q_minhash_scalar, so the scalar Column is certified against
+    * the exact same replay the DataFrame path is.
+    */
+  private def minhashSigOracleSql(numPerms: Int): String =
+    s"""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
+          FROM w),
+        hx AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+          FROM sh)
+        SELECT doc_id, ${minhashSigSql(numPerms)}
+        FROM hx GROUP BY 1"""
+
   // ---------------------------------------------------------------- specs
 
   final case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
@@ -1387,18 +1405,21 @@ object Queries {
 
     "q_minhash_sig" -> Q(
       (s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 4),
-      Some(s"""WITH w AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
-          FROM documents),
-        sh AS (
-          SELECT doc_id, unnest(list_transform(range(greatest(len(tk)-2, 1)),
-            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS sh
-          FROM w),
-        hx AS (
-          SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
-          FROM sh)
-        SELECT doc_id, ${minhashSigSql(4)}
-        FROM hx GROUP BY 1""")),
+      Some(minhashSigOracleSql(4))),
+
+    // The SCALAR signature (Dedup.minhashSigArray / graft_minhash_sig)
+    // against the SAME oracle as the aggregate row above: the dedup KEY
+    // as a zero-shuffle scan-side Column for SQL consumers. The array
+    // unpacks to sig0..sig3 so the replay is column-identical.
+    "q_minhash_scalar" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            Dedup.minhashSigArray(col("text"), numPerms = 4).as("sig"))
+        d.select(col("doc_id") +: (0 until 4).map(i =>
+          element_at(col("sig"), i + 1).as(s"sig$i")): _*)
+      },
+      Some(minhashSigOracleSql(4))),
 
     "q_minhash_pairs" -> Q(
       (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"),

@@ -202,6 +202,27 @@ object Dedup {
     ex.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-row MinHash signature as a SCALAR array<bigint> Column — the
+    * dedup-key surface SQL consumers reach as `graft_minhash_sig(text)`.
+    * Arithmetic identical to [[minhashSignatures]]: one md5 per distinct
+    * shingle (the hash array let-binds via [[bindOnce]] so all k affine
+    * permutations share it — without the binding Catalyst re-inlines the
+    * md5 map into every array_min, a k× md5 cost), so the scalar equals
+    * the aggregate path row for row; q_minhash_scalar certifies that
+    * against the SAME DuckDB replay the aggregate row uses. Scale: zero
+    * shuffle — the signature rides the scan. The aggregate path stays
+    * preferable when downstream also consumes the exploded shingles
+    * (LSH banding reuses the explode).
+    */
+  def minhashSigArray(text: Column, numPerms: Int = 8,
+                      shingleN: Int = 3): Column =
+    bindOnce(
+      transform(array_distinct(shingles(text, shingleN)),
+        s => shingleHash(s) % MinhashP),
+      xs => array((0 until numPerms).map { i =>
+        array_min(transform(xs, v => (v * minhashA(i) + minhashB(i)) % MinhashP))
+      }: _*))
+
   /** LSH banding over minhash signatures: band b's key is the md5 of its
     * `rowsPerBand` concatenated signature components. Docs sharing any
     * (band, key) are near-dup candidates.

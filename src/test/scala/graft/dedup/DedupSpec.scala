@@ -616,4 +616,23 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.contaminationSpans(clean, eval, shingleN = 13).count() == 0)
   }
+
+  test("scalar minhashSigArray ≡ the aggregate minhashSignatures path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val viaAgg = Dedup.minhashSignatures(docs, numPerms = 6)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getLong)).toMap
+    val sig = Dedup.minhashSigArray(col("text"), numPerms = 6)
+    val viaScalar = docs.select(col("doc_id"), sig.as("s"))
+      .select(col("doc_id") +: (0 until 6).map(i =>
+        element_at(col("s"), i + 1).as(s"sig$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getLong)).toMap
+    assert(viaScalar == viaAgg)
+    // degenerate docs: empty and single-word still produce signatures
+    val edge = Seq((1L, ""), (2L, "word")).toDF("doc_id", "text")
+    val es = edge.select(Dedup.minhashSigArray(col("text"), 4)).collect()
+    assert(es.forall(r => r.getSeq[Long](0).length == 4))
+  }
 }

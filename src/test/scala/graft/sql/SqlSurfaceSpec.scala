@@ -69,6 +69,11 @@ class SqlSurfaceSpec extends SparkSpec {
         docs.select(TextAnalysis.homoglyphFold(col("text")).as("v"))),
       ("unicode_nfkc", "unicode_nfkc(text)",
         docs.select(TextExpressions.nfkc(col("text")).as("v"))),
+      ("graft_minhash_sig",
+        "array_join(transform(graft_minhash_sig(text), v -> cast(v AS string)), ',')",
+        docs.select(array_join(transform(
+          graft.dedup.Dedup.minhashSigArray(col("text")),
+          v => v.cast("string")), ",").as("v"))),
       ("graft_psl_domain",
         "graft_psl_domain(concat('a.b.Site-', source, '.CO.UK'))",
         docs.select(graft.functions.UrlExpressions.pslDomain(
