@@ -1421,6 +1421,31 @@ object Queries {
       },
       Some(minhashSigOracleSql(4))),
 
+    // Scalar LSH band keys (Dedup.minhashBandKeys / graft_minhash_bands):
+    // position = band, element = bucket key — posexplode recovers the
+    // (band, bkey) rows lshBands emits, and the oracle rebuilds the
+    // same md5(sig_a || '|' || sig_b) keys from the shared signature
+    // replay. With this row green, a SQL consumer can run the whole
+    // near-dup candidate pass: bands → GROUP BY bucket → pair join.
+    "q_minhash_bands" -> Q(
+      (s, dir) => {
+        val bands = Dedup.minhashBandKeys(col("text"), numPerms = 4,
+          rowsPerBand = 2)
+        t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(bands).as(Seq("band", "bkey")))
+          .select(col("doc_id"), col("band").cast("long").as("band"),
+            col("bkey"))
+          .orderBy("doc_id", "band")
+      },
+      Some(s"""WITH sig AS (${minhashSigOracleSql(4)})
+        SELECT doc_id, band, md5(key) AS bkey FROM (
+          SELECT doc_id, 0::BIGINT AS band,
+            sig0 || '|' || sig1 AS key FROM sig
+          UNION ALL
+          SELECT doc_id, 1::BIGINT AS band,
+            sig2 || '|' || sig3 AS key FROM sig)
+        ORDER BY doc_id, band""")),
+
     "q_minhash_pairs" -> Q(
       (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"),
         numPerms = 8, rowsPerBand = 2, maxBucket = 1000000),

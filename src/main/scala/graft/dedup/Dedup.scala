@@ -223,6 +223,24 @@ object Dedup {
         array_min(transform(xs, v => (v * minhashA(i) + minhashB(i)) % MinhashP))
       }: _*))
 
+  /** LSH band keys from the SCALAR signature — array<string> where the
+    * INDEX is the band and the element is the band's bucket key, the
+    * same md5-of-joined-components construction as [[lshBands]], so
+    * scalar keys land in the exact buckets the aggregate path builds
+    * (DedupSpec pins the two band-for-band). SQL consumers get the
+    * whole candidate-bucket join in plain SQL:
+    * `posexplode(graft_minhash_bands(text))` → GROUP BY (pos, col).
+    */
+  def minhashBandKeys(text: Column, numPerms: Int = 8, rowsPerBand: Int = 2,
+                      shingleN: Int = 3): Column = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    bindOnce(minhashSigArray(text, numPerms, shingleN), sig =>
+      array((0 until numPerms / rowsPerBand).map { b =>
+        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1)): _*))
+      }: _*))
+  }
+
   /** LSH banding over minhash signatures: band b's key is the md5 of its
     * `rowsPerBand` concatenated signature components. Docs sharing any
     * (band, key) are near-dup candidates.

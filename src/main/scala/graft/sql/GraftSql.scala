@@ -87,6 +87,8 @@ object GraftSql {
     "graft_homoglyph_fold" -> c1(TextAnalysis.homoglyphFold),
     // the near-dup KEY itself: 8-perm MinHash signature (array<bigint>)
     "graft_minhash_sig" -> c1(c => graft.dedup.Dedup.minhashSigArray(c)),
+    // its LSH bucket keys (position = band): posexplode → candidate join
+    "graft_minhash_bands" -> c1(c => graft.dedup.Dedup.minhashBandKeys(c)),
     // custom codegen expressions (same names their register() methods use)
     "unicode_nfc" -> e1(UnicodeNormalize(_, "NFC")),
     "unicode_nfkc" -> e1(UnicodeNormalize(_, "NFKC")),

@@ -635,4 +635,20 @@ class DedupSpec extends SparkSpec {
     val es = edge.select(Dedup.minhashSigArray(col("text"), 4)).collect()
     assert(es.forall(r => r.getSeq[Long](0).length == 4))
   }
+
+  test("scalar minhashBandKeys lands in the same buckets as lshBands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(40)
+    val viaAgg = Dedup.lshBands(Dedup.minhashSignatures(docs, numPerms = 8),
+        numPerms = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaScalar = docs
+      .select(col("doc_id"),
+        posexplode(Dedup.minhashBandKeys(col("text"), 8, 2))
+          .as(Seq("band", "bkey")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaScalar == viaAgg)
+  }
 }

@@ -74,6 +74,10 @@ class SqlSurfaceSpec extends SparkSpec {
         docs.select(array_join(transform(
           graft.dedup.Dedup.minhashSigArray(col("text")),
           v => v.cast("string")), ",").as("v"))),
+      ("graft_minhash_bands",
+        "array_join(graft_minhash_bands(text), ',')",
+        docs.select(array_join(
+          graft.dedup.Dedup.minhashBandKeys(col("text")), ",").as("v"))),
       ("graft_psl_domain",
         "graft_psl_domain(concat('a.b.Site-', source, '.CO.UK'))",
         docs.select(graft.functions.UrlExpressions.pslDomain(
