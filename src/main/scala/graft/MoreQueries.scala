@@ -909,6 +909,12 @@ object MoreQueries {
     replace(col("text"), lit("\n"), lit("</p><p>")),
     lit("</p><p>More: <a href=\"/d/"), col("doc_id"),
     lit("\">deep link</a> &mdash; "), substring(col("text"), 1, 120),
+    // the case-arm pin: 54 chars of stripped text over TWO anchors (one
+    // uppercase <A HREF) — counted both, the gate needs 80 and DROPS the
+    // block; a lowercase-only count would see one anchor, need 40, and
+    // KEEP it, flipping main_md5/blocks_kept loudly
+    lit("</p><p>Extra: <A HREF=\"/arc\">the full archive of older " +
+      "articles</A> and <a href=\"/m\">a mirror</a>"),
     lit("</p><script>var id = "), col("doc_id"),
     lit(";</script><footer><a href=\"/terms\">Terms</a> &amp; " +
       "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
@@ -922,6 +928,8 @@ object MoreQueries {
       replace(text, chr(10), '</p><p>') ||
       '</p><p>More: <a href="/d/' || doc_id ||
       '">deep link</a> &mdash; ' || substr(text, 1, 120) ||
+      '</p><p>Extra: <A HREF="/arc">the full archive of older ' ||
+      'articles</A> and <a href="/m">a mirror</a>' ||
       '</p><script>var id = ' || doc_id ||
       ';</script><footer><a href="/terms">Terms</a> &amp; ' ||
       '<a href="/privacy">Privacy</a></footer></body></html>')"""

@@ -72,13 +72,28 @@ object Html {
     */
   val AnyTagRe: String = "(?s)<[^<>]*>"
 
-  /** The named/numeric entities decoded (the high-frequency set; order
-    * matters — `&amp;` decodes LAST so `&amp;lt;` yields the literal
-    * text `&lt;`, not a `<`).
+  /** The named/numeric entities decoded — the high-frequency set plus
+    * the numeric character references real crawl text is full of
+    * (`&#8217;` outnumbers `&rsquo;` in the wild). A bounded LITERAL
+    * table, not a regex callback: every entry is one `replace`, so the
+    * fold renders identically in both engines. Order matters — the
+    * ampersand forms (`&#38;`, `&amp;`) decode LAST so `&amp;lt;`
+    * yields the literal text `&lt;`, not a `<`. Known cost of the
+    * fold shape: a double-escaped `&#38;amp;` decodes one level too
+    * far (to `&`); `&amp;#8217;` is handled right because the numeric
+    * pass runs first.
     */
   val Entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&mdash;" -> "—", "&ndash;" -> "–", "&hellip;" -> "…",
+    "&#34;" -> "\"", "&#60;" -> "<", "&#62;" -> ">", "&#160;" -> " ",
+    "&#169;" -> "©", "&#174;" -> "®",
+    "&#8211;" -> "–", "&#8212;" -> "—",
+    "&#8216;" -> "‘", "&#8217;" -> "’",
+    "&#8220;" -> "“", "&#8221;" -> "”", "&#8230;" -> "…",
+    "&#x27;" -> "'", "&#x2019;" -> "’",
+    "&#38;" -> "&", "&amp;" -> "&")
 
   /** Link-density gate: a block with k `<a ` anchors needs ≥ 40·k chars
     * of stripped text to survive [[htmlMainText]].
@@ -99,14 +114,45 @@ object Html {
   private def blockText(b: Column): Column =
     trim(regexp_replace(regexp_replace(b, AnyTagRe, " "), "[ \\t]+", " "))
 
-  /** `<a ` anchor count of one raw block. Counts the canonical
-    * lowercase form only — lowercasing the block for the count would
-    * tie the oracle to engine-specific Unicode case-mapping LENGTHS
-    * (the count is a length difference), a divergence risk worth more
-    * than the odd uppercase `<A HREF` nav bar slipping the gate.
+  /** Anchor-open forms the link-density gate counts: `<a` in BOTH ASCII
+    * cases, followed by space, tab, newline or an immediate `>` — the
+    * shapes minified and uppercase nav bars actually emit. ASCII
+    * literals only (no lowercasing of the block): a case-mapped count
+    * would tie the oracle to engine-specific Unicode case-mapping
+    * LENGTHS, since the count is a length difference. Every form is
+    * exactly 3 chars, so one chained strip + length diff / 3 counts
+    * them all in a single engine-portable expression.
+    */
+  val AnchorForms: Seq[String] =
+    Seq("<a ", "<A ", "<a\t", "<A\t", "<a\n", "<A\n", "<a>", "<A>")
+
+  /** Anchor count of one raw block — see [[AnchorForms]]. The strips
+    * chain left to right in both engines, so any (pathological) match
+    * a removal juxtaposes is counted identically by the oracle.
     */
   private def anchors(b: Column): Column =
-    (length(b) - length(replace(b, lit("<a "), lit("")))) / 3
+    (length(b) - length(AnchorForms.foldLeft(b)((acc, f) =>
+      replace(acc, lit(f), lit(""))))) / 3
+
+  /** Let-binding (same technique as `Dedup.bindOnce`, see the scaladoc
+    * there): a lambda variable evaluates once per row; a plain alias is
+    * re-inlined into every use site by Catalyst.
+    */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    get(transform(array(value), body), lit(0))
+
+  /** Per-block `(text, keep)` pair with [[blockText]] (two regexp
+    * passes) and [[anchors]] (an 8-replace chain) each bound ONCE per
+    * block — composing [[keepBlock]]-style predicates from the raw
+    * pieces re-evaluates blockText three times per block on the
+    * crawl-ingest hot path (twice in the gate, once in the survivor
+    * projection).
+    */
+  private def blockInfo(b: Column): Column =
+    bindOnce(blockText(b), bt => bindOnce(anchors(b), a =>
+      struct(bt.as("text"),
+        (bt =!= "" && (a === 0 || length(bt) >= a * MinCharsPerAnchor))
+          .as("keep"))))
 
   /** Raw blocks of a document: content containers gone, block tags →
     * newline, split. Shared by both operators and their diag columns.
@@ -121,25 +167,22 @@ object Html {
       array_join(filter(cleaned, l => l =!= ""), NL))
   }
 
-  /** Per-block link-density keep decision (exposed for diag columns). */
-  private def keepBlock(b: Column): Column =
-    blockText(b) =!= "" &&
-      (anchors(b) === 0 ||
-        length(blockText(b)) >= anchors(b) * MinCharsPerAnchor)
-
   /** Content text of the page: link-dense blocks (nav/footer/sidebar)
     * dropped, survivors joined by newline, entities decoded once at the
     * end (the density test runs on raw text so thresholds are
-    * markup-stable).
+    * markup-stable). The keep decision and the survivor text come from
+    * ONE [[blockInfo]] evaluation per block.
     */
   def htmlMainText(html: Column): Column =
     decodeEntities(array_join(
-      transform(filter(blocks(html), b => keepBlock(b)), b => blockText(b)),
+      transform(
+        filter(transform(blocks(html), b => blockInfo(b)), i => i("keep")),
+        i => i("text")),
       NL))
 
   /** Number of blocks the link-density gate keeps (diag/oracle column). */
   def mainBlocksKept(html: Column): Column =
-    size(filter(blocks(html), b => keepBlock(b)))
+    size(filter(transform(blocks(html), b => blockInfo(b)), i => i("keep")))
 
   // ---- DuckDB renderers: the SAME pattern table, rendered as SQL ----
 
@@ -158,8 +201,11 @@ object Html {
     s"trim(regexp_replace(regexp_replace($b, ${sqlLit(AnyTagRe)}, ' ', 'g')," +
       s" '[ \t]+', ' ', 'g'))"
 
-  private def anchorsSql(b: String): String =
-    s"(length($b) - length(replace($b, '<a ', ''))) / 3"
+  private def anchorsSql(b: String): String = {
+    val stripped = AnchorForms.foldLeft(b)((acc, f) =>
+      s"replace($acc, ${sqlLit(f)}, '')")
+    s"(length($b) - length($stripped)) / 3"
+  }
 
   private def blocksSql(in: String): String =
     s"string_split_regex(regexp_replace(${dropScriptsSql(in)}, " +

@@ -68,6 +68,43 @@ class HtmlSpec extends SparkSpec {
     assert(all.contains("A B"))
   }
 
+  test("uppercase, tab-separated and attribute-less anchors are counted") {
+    // an uppercase nav bar must die exactly like its lowercase twin
+    val upNav = "<nav><A HREF=\"/\">Home</A> <A HREF=\"/t\">Tags</A> " +
+      "<A HREF=\"/a\">About</A></nav><p>" +
+      ("plain prose sentence here. " * 4).trim + "</p>"
+    val um = main(upNav)
+    assert(!um.contains("Home") && um.contains("plain prose"))
+    // minified (<a>) and tab-separated (<a\t) forms count too
+    val minified = "<div><a>x</a>\t<a\thref=\"/y\">y</a> <a>z</a></div>" +
+      "<p>real paragraph content long enough to clear the gate easily.</p>"
+    val mm = main(minified)
+    assert(!mm.contains("x") || mm.startsWith("real"),
+      s"minified anchors slipped the gate: $mm")
+    assert(mm.contains("real paragraph content"))
+    // the flip case: 54 chars over one lowercase + one UPPERCASE anchor
+    // — both counted → needs 80 → dropped (a lowercase-only count would
+    // see 1 anchor, need 40, and wrongly keep it)
+    val mixed = "<p>Extra: <A HREF=\"/arc\">the full archive of older " +
+      "articles</A> and <a href=\"/m\">a mirror</a></p>"
+    assert(main(mixed) == "")
+    assert(extract(mixed).startsWith("Extra:"))
+  }
+
+  test("numeric character references decode via the literal table") {
+    assert(extract("<p>it&#8217;s &#8212; fine</p>") == "it’s — fine")
+    assert(extract("<p>&#34;q&#34; &#60;tag&#62; a&#160;b &#169; &#8230;</p>")
+      == "\"q\" <tag> a b © …")
+    assert(extract("<p>hex&#x27;s &#x2019;curly&#x2019;</p>")
+      == "hex's ’curly’")
+    assert(extract("<p>dash &mdash; ndash &ndash; more&hellip;</p>")
+      == "dash — ndash – more…")
+    // &amp;#8217; is the TEXT "&#8217;": the numeric pass runs BEFORE
+    // the ampersand decode, so it is not double-decoded
+    assert(extract("<p>literal &amp;#8217; stays</p>")
+      == "literal &#8217; stays")
+  }
+
   test("mainBlocksKept counts exactly the gate survivors") {
     import spark.implicits._
     val h = "<nav><a href=\"/\">x</a><a href=\"/\">y</a></nav>" +
