@@ -145,6 +145,20 @@ object ExtraQueries {
     rm(new java.io.File(path))
   }
 
+  /** Bounded replacement for `StreamingQuery.awaitTermination()` on
+    * every AvailableNow micro-batch run in the suite: a wedged batch
+    * fails ITS query row (and stops the stream) instead of hanging the
+    * whole correctness run. 10 min is ~40× the slowest observed batch.
+    */
+  private[graft] def awaitBounded(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 600000L): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new RuntimeException(
+        s"stream query did not finish within ${timeoutMs / 1000}s")
+    }
+
   /** Deterministic hyperplane sign literal for the LSH oracle — must match
     * [[graft.sim.Similarity.lshBucket]] bit for bit (`table` selects the
     * independent multi-table family, same seed function).
@@ -1408,7 +1422,7 @@ object ExtraQueries {
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       // exactly-once fold: sum(cnt) per window — a double emission would
       // double a count and break the hash compare, not hide
       s.read.parquet(sink)
@@ -1444,7 +1458,7 @@ object ExtraQueries {
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       s.read.parquet(sink).groupBy("n_name").agg(count(lit(1)).as("cnt"))
     }, Some("""SELECT n_name, count(*)::BIGINT AS cnt
         FROM events JOIN nation ON user_id % 25 = n_nationkey
@@ -1490,7 +1504,7 @@ object ExtraQueries {
         .toDF().writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       s.read.parquet(sink)
         .where(col("startSec") <= maxRealSec)
         .select(col("user_id"),
@@ -1552,7 +1566,7 @@ object ExtraQueries {
         .toDF().writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       s.read.parquet(sink)
         .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
           col("reached"))
@@ -1614,7 +1628,7 @@ object ExtraQueries {
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       s.read.parquet(sink)
         .where(col("event_type") =!= "sentinel")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1661,7 +1675,7 @@ object ExtraQueries {
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       s.read.parquet(sink).select("purchase_id", "user_id", "click_id")
     }, Some("""WITH ev AS (
         SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
@@ -1707,7 +1721,7 @@ object ExtraQueries {
           .writeStream.format("parquet")
           .option("path", sink).option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        ExtraQueries.awaitBounded(q)
       }
       stageFile(raw.where(col("ts") <= Tables.tsLitAsRaw(raw, midNs)), "aa_events_run1")
       runOnce() // emits pre-watermark windows, parks the rest in state
@@ -2126,7 +2140,7 @@ object ExtraQueries {
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       s.read.parquet(sink).where(col("view_id") >= 0)
         .select("view_id", "user_id", "purchase_id")
     }, Some("""WITH ev AS (
@@ -2525,7 +2539,7 @@ object ExtraQueries {
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       s.read.parquet(Compaction.resolve(s, root)).select(
         col("c_custkey"), col("c_name"), col("c_nationkey"),
         cents(col("c_acctbal")).as("bal_cents"), col("c_mktsegment"))

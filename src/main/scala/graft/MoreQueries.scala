@@ -871,8 +871,18 @@ object MoreQueries {
       val q = out.writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(sink).orderBy("doc_id")
+      // bounded wait: a wedged micro-batch must fail THIS row, not hang
+      // the whole correctness run
+      try {
+        ExtraQueries.awaitBounded(q)
+        s.read.parquet(sink).orderBy("doc_id").localCheckpoint()
+      } finally {
+        // the sink is localCheckpoint-materialized above, so the staged
+        // input/sink/checkpoint dirs can go now instead of accumulating
+        // across repeated runs (the pre-clean at the top only covers the
+        // NEXT run of this same query)
+        Seq(stage, sink, ckpt).foreach(ExtraQueries.rmrf)
+      }
     }, Some(s"""WITH pages AS (
         SELECT doc_id, source,
           replace(${graft.text.Html.mainTextSql(docHtmlSql)}, chr(10), ' ')

@@ -632,7 +632,7 @@ object PipelineQueries {
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ExtraQueries.awaitBounded(q)
       // drop the sentinel's own far-future window, then exactly-once fold
       val maxHourSec = maxNs / 1000000000L / 3600L * 3600L
       val hist = s.read.parquet(sink)

@@ -219,9 +219,16 @@ object Dedup {
     bindOnce(
       transform(array_distinct(shingles(text, shingleN)),
         s => shingleHash(s) % MinhashP),
-      xs => array((0 until numPerms).map { i =>
-        array_min(transform(xs, v => (v * minhashA(i) + minhashB(i)) % MinhashP))
-      }: _*))
+      xs =>
+        // NULL text (or a null/empty shingle set) → NULL signature, one
+        // whole-array null — matching the aggregate path, which emits NO
+        // row for such a doc (explode of nothing). Without the guard the
+        // k array_min calls each return null and the doc gets a
+        // signature of k null components that would band-join with every
+        // other null-text doc.
+        when(size(xs) > 0, array((0 until numPerms).map { i =>
+          array_min(transform(xs, v => (v * minhashA(i) + minhashB(i)) % MinhashP))
+        }: _*)))
 
   /** LSH band keys from the SCALAR signature — array<string> where the
     * INDEX is the band and the element is the band's bucket key, the
@@ -235,10 +242,14 @@ object Dedup {
                       shingleN: Int = 3): Column = {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
     bindOnce(minhashSigArray(text, numPerms, shingleN), sig =>
-      array((0 until numPerms / rowsPerBand).map { b =>
-        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-          element_at(sig, b * rowsPerBand + r + 1)): _*))
-      }: _*))
+      // sig is NULL for null/empty text (see minhashSigArray) → NULL
+      // band keys, not md5-of-empty keys that would bucket all such
+      // docs together
+      when(sig.isNotNull,
+        array((0 until numPerms / rowsPerBand).map { b =>
+          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+            element_at(sig, b * rowsPerBand + r + 1)): _*))
+        }: _*)))
   }
 
   /** LSH banding over minhash signatures: band b's key is the md5 of its

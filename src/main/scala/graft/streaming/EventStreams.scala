@@ -330,6 +330,12 @@ object EventStreams {
       .format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // bounded for the same reason as ExtraQueries.awaitBounded: a wedged
+    // micro-batch fails this call, never hangs the caller
+    if (!q.awaitTermination(600000L)) {
+      q.stop()
+      throw new RuntimeException(
+        s"stream query $name did not finish within 600s")
+    }
   }
 }

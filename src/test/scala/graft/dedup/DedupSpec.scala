@@ -634,6 +634,18 @@ class DedupSpec extends SparkSpec {
     val edge = Seq((1L, ""), (2L, "word")).toDF("doc_id", "text")
     val es = edge.select(Dedup.minhashSigArray(col("text"), 4)).collect()
     assert(es.forall(r => r.getSeq[Long](0).length == 4))
+    // NULL text → NULL signature and NULL band keys (one whole-array
+    // null, never k null components / md5-of-nothing bucket keys) —
+    // matching the aggregate path, which emits NO row for such a doc
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("word")))
+      .toDF("doc_id", "text")
+    val nr = withNull.orderBy("doc_id")
+      .select(Dedup.minhashSigArray(col("text"), 4).as("s"),
+        Dedup.minhashBandKeys(col("text"), 4, 2).as("b"))
+      .collect()
+    assert(nr(0).isNullAt(0) && nr(0).isNullAt(1))
+    assert(nr(1).getSeq[Long](0).length == 4 &&
+      nr(1).getSeq[String](1).length == 2)
   }
 
   test("scalar minhashBandKeys lands in the same buckets as lshBands") {
