@@ -177,7 +177,7 @@ object ExtraQueries {
     * md5-hex-digit bit extraction, same band packing, so both engines
     * compute the IDENTICAL four 16-bit bands per doc.
     */
-  private def simhashBandsSql(nBands: Int): String = {
+  private[graft] def simhashBandsSql(nBands: Int): String = {
     def hexSet(b: Int): String = (0 until 16)
       .filter(d => ((d >> b) & 1) == 1)
       .map(d => s"'${d.toHexString}'").mkString("(", ",", ")")

@@ -738,6 +738,77 @@ object MoreQueries {
       FROM hosts GROUP BY lang ORDER BY lang"""
     })),
 
+    // The SQL surface's REDACTION + per-doc-repetitiveness arm
+    // (q_sql_pipeline's complement — r13 verdict Next #3): pii_scrub,
+    // repetition, entropy, the 64-bit SimHash bands and the
+    // mixed-script count, all invoked from ONE spark.sql string over
+    // registered graft_* functions. The scalar forms fold per row
+    // (order-free integer-quantized arithmetic), so the independent
+    // DuckDB replay can use the aggregate formulations — the same
+    // fragments the standalone q_pii_scrub / q_repetition /
+    // q_doc_entropy / q_simhash_pairs oracles run — and still hash
+    // identical values. PII is planted per doc exactly as q_pii_scrub
+    // plants it, so the scrub has something to redact.
+    "q_sql_redact" -> (((s: SparkSession, dir: String) => {
+      graft.sql.GraftSql.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("gsql_docs")
+      s.sql("""WITH sigs AS (
+          SELECT doc_id,
+            graft_pii_scrub(concat(text, ' contact user', doc_id,
+              '@example.com from 10.20.', doc_id % 256, '.7 call +1 555 01',
+              doc_id % 90 + 10, ' now')) AS scrubbed,
+            graft_repetition(text) AS rep_ratio,
+            graft_entropy(text) AS entropy,
+            graft_simhash64(text) AS sig,
+            graft_mixed_script_count(text) AS mixed_script
+          FROM gsql_docs)
+        SELECT doc_id, md5(scrubbed) AS scrubbed_md5, rep_ratio, entropy,
+          array_join(transform(sig, v -> cast(v AS string)), ',')
+            AS simhash_bands,
+          mixed_script
+        FROM sigs ORDER BY doc_id""")
+    }, Some(s"""WITH ${ExtraQueries.simhashBandsSql(4)},
+        etok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)) AS term
+          FROM documents),
+        ec AS (SELECT doc_id, term, count(*)::BIGINT AS c
+               FROM etok GROUP BY 1, 2),
+        ent AS (SELECT doc_id,
+            round(log2(sum(c)) - (sum(round(c * log2(c) * 1e9, 0)::BIGINT)
+              / 1e9) / sum(c), 6) AS entropy
+          FROM ec GROUP BY 1),
+        rw AS (SELECT doc_id, list_filter(string_split(text, ' '),
+            x -> len(x) > 0) AS tk
+          FROM documents),
+        rg AS (SELECT doc_id, unnest(list_transform(
+            range(greatest(len(tk)-2, 1)),
+            i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS g
+          FROM rw),
+        rc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM rg GROUP BY 1, 2),
+        rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6)
+              AS rep_ratio
+          FROM rc GROUP BY 1)
+      SELECT d.doc_id,
+        md5(regexp_replace(regexp_replace(regexp_replace(
+          d.text || ' contact user' || d.doc_id
+            || '@example.com from 10.20.' || (d.doc_id % 256)
+            || '.7 call +1 555 01' || (d.doc_id % 90 + 10) || ' now',
+          '${graft.text.TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+          '${graft.text.TextAnalysis.PiiIpv4}', '<IP>', 'g'),
+          '${graft.text.TextAnalysis.PiiDigitRun}', '<PHONE>', 'g'))
+          AS scrubbed_md5,
+        rep.rep_ratio, ent.entropy,
+        b.b0 || ',' || b.b1 || ',' || b.b2 || ',' || b.b3 AS simhash_bands,
+        len(regexp_extract_all(d.text,
+          '${graft.text.TextAnalysis.MixedScriptRe}'))::BIGINT
+          AS mixed_script
+      FROM documents d
+      LEFT JOIN ent ON d.doc_id = ent.doc_id
+      LEFT JOIN rep ON d.doc_id = rep.doc_id
+      LEFT JOIN bands b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id"""))),
+
     // HTML → text extraction (graft.text.Html.htmlExtract): every doc
     // wrapped into a deterministic page (head/title, style block, a
     // 3-link nav bar, h1, the text as <p> blocks, a script tag, a

@@ -831,11 +831,46 @@ object Dedup {
     * 4k..4k+3 at in-band position (j-4k)·4 + b. md5 supplies 32 hex
     * digits, so nBands ≤ 8.
     */
+  /** Hex digits whose value has bit `b` set — the vote sets shared by
+    * the aggregate and scalar SimHash forms (and mirrored verbatim by
+    * the DuckDB oracle generator).
+    */
+  private def hexWithBit(b: Int): Seq[String] =
+    (0 until 16).filter(d => ((d >> b) & 1) == 1).map(_.toHexString)
+
+  /** [[simhash64]]'s four 16-bit bands as ONE scalar `array<int>`
+    * Column — the SQL surface's `graft_simhash64(text)`. Identical bit
+    * layout (hex digit j of md5(token) votes on bits (d_j>>b)&1; band k
+    * packs digits 4k..4k+3 at in-band position (j−4k)·4+b), folded per
+    * row: one md5 per distinct token (the hash array binds once via
+    * [[bindOnce]]), then per band a single 16-counter vote fold.
+    * Integer votes make the fold order-free, so the scalar equals the
+    * aggregate path row for row. NULL for null text / zero-token docs —
+    * the aggregate path emits no row for those. Zero shuffle (rides the
+    * scan); the aggregate path stays preferable when the whole corpus
+    * needs signatures anyway (one explode + partial-agg shuffle beats
+    * per-row folds at equal output).
+    */
+  def simhash64Array(text: Column): Column =
+    bindOnce(transform(array_distinct(toks(text)), t => md5(t)), hs =>
+      when(size(hs) > 0,
+        array((0 until 4).map { k =>
+          bindOnce(
+            aggregate(hs,
+              array_repeat(lit(0), 16),
+              (acc, h) => zip_with(acc,
+                array((for { jj <- 0 until 4; b <- 0 until 4 } yield
+                  when(substring(h, 4 * k + jj + 1, 1)
+                    .isin(hexWithBit(b): _*), lit(1)).otherwise(lit(-1))): _*),
+                (a, v) => a + v)),
+            vs => (for { jj <- 0 until 4; b <- 0 until 4 } yield
+              when(element_at(vs, jj * 4 + b + 1) > 0, lit(1 << (jj * 4 + b)))
+                .otherwise(lit(0))).reduce(_ + _))
+        }: _*)))
+
   private def simhashBands(docs: DataFrame, nBands: Int,
                            text: String, id: String): DataFrame = {
     require(nBands >= 1 && nBands <= 8, s"md5 has 32 hex digits: nBands <= 8, got $nBands")
-    def hexWithBit(b: Int): Seq[String] =
-      (0 until 16).filter(d => ((d >> b) & 1) == 1).map(_.toHexString)
     val tok = docs.select(col(id),
       explode(array_distinct(toks(col(text)))).as("t"))
       .withColumn("h", md5(col("t")))

@@ -81,6 +81,23 @@ object GraftSql {
     "graft_punct_ratio" -> c1(TextAnalysis.punctRatio),
     "graft_stopword_ratio" -> c1(TextAnalysis.stopwordRatio),
     "graft_mean_token_len" -> c1(TextAnalysis.meanTokenLen),
+    // redaction + per-doc repetitiveness: the SQL-only consumer's FIX
+    // functions, not just its gates (a corpus curator must be able to
+    // scrub, not only drop, from plain SQL)
+    "graft_pii_scrub" -> c1(TextAnalysis.scrubPii),
+    "graft_repetition" -> c1(c => TextAnalysis.repetitionRatioScalar(c)),
+    "graft_entropy" -> c1(c => TextAnalysis.unigramEntropyScalar(c)),
+    // the 64-bit SimHash signature as its four 16-bit bands (array<int>,
+    // index = band) — with graft_minhash_sig this completes the dedup-key
+    // family reachable from SQL
+    "graft_simhash64" -> c1(c => graft.dedup.Dedup.simhash64Array(c)),
+    // script profiling / homoglyph-spoof counts (explicit code-point
+    // ranges — public constants, so oracle SQL embeds the same patterns)
+    "graft_latin_count" -> c1(TextAnalysis.latinCount),
+    "graft_cyrillic_count" -> c1(TextAnalysis.cyrillicCount),
+    "graft_cjk_count" -> c1(TextAnalysis.cjkCount),
+    "graft_mixed_script_count" -> c1(TextAnalysis.mixedScriptCount),
+    "graft_script_spoof" -> c1(TextAnalysis.scriptSpoofFlag),
     // dedup / spoof fingerprints
     "graft_fingerprint" -> c1(TextAnalysis.fingerprint),
     "graft_canonical_key" -> c1(TextExpressions.canonicalTextKey),

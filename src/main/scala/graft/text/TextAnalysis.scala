@@ -822,6 +822,57 @@ object TextAnalysis {
           .as("rep_ratio"))
   }
 
+  /** Run lengths of a PRE-SORTED array — the multiset of per-value
+    * occurrence counts, in O(n) array ops: run starts are the indices
+    * whose element differs from its predecessor, lengths the gaps
+    * between consecutive starts. The per-doc frequency table the scalar
+    * forms of [[unigramEntropy]]/[[repetitionRatio]] fold over (a
+    * `transform(array_distinct, count-occurrences)` formulation would
+    * be O(n·distinct) per document — quadratic on repetitive docs, the
+    * exact shape those gates exist to catch).
+    */
+  private def runLengths(sorted: Column): Column =
+    bindOnce(sorted, gs =>
+      when(size(gs) === 0, array().cast("array<int>"))
+        .otherwise(bindOnce(
+          filter(sequence(lit(1), size(gs)), i =>
+            (i === 1) || (element_at(gs, i) =!= element_at(gs, i - 1))),
+          starts => zip_with(
+            starts,
+            concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+              array(size(gs) + 1)),
+            (st, en) => en - st))))
+
+  /** [[unigramEntropy]]'s per-doc value as a SCALAR Column — what the
+    * SQL surface registers as `graft_entropy`. Identical arithmetic:
+    * H = log2(n) − (Σ round(c·log2 c · 1e9)::BIGINT / 1e9) / n over the
+    * doc's own token run-lengths; the per-term quantized integers make
+    * the fold order-free, so the scalar equals the aggregate path row
+    * for row. NULL for null text and zero-token docs — the aggregate
+    * path emits no row for those. Zero shuffle: rides the scan.
+    */
+  def unigramEntropyScalar(text: Column): Column =
+    bindOnce(toks(text), ts =>
+      when(size(ts) > 0,
+        bindOnce(runLengths(array_sort(ts)), cs =>
+          round(log2(size(ts)) -
+            (aggregate(cs, lit(0L), (acc, c) =>
+              acc + round(c.cast("long") * log2(c) * lit(1e9), 0).cast("long"))
+              / lit(1e9)) / size(ts), 6))))
+
+  /** [[repetitionRatio]]'s per-doc value as a SCALAR Column
+    * (`graft_repetition` on the SQL surface): the most frequent word
+    * n-gram's share of all n-gram occurrences, from the sorted shingle
+    * run-lengths. NULL for null text; a doc shorter than n words
+    * shingles to the whole text (ratio 1.0) exactly like the aggregate
+    * path.
+    */
+  def repetitionRatioScalar(text: Column, n: Int = 3): Column =
+    bindOnce(runLengths(array_sort(graft.dedup.Dedup.shingles(text, n))), cs =>
+      when(size(cs) > 0,
+        round(array_max(cs).cast("double") /
+          aggregate(cs, lit(0L), (a, c) => a + c).cast("double"), 6)))
+
   /** Source-profiling audit: the topK most DISTINCTIVE terms per source
     * by the Dirichlet-prior log-odds z-score of Monroe et al. 2008
     * ("Fightin' Words"), flat prior α=1/2 — what a raw frequency top-k

@@ -648,6 +648,24 @@ class DedupSpec extends SparkSpec {
       nr(1).getSeq[String](1).length == 2)
   }
 
+  test("scalar simhash64Array ≡ the aggregate simhash64 bands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val viaAgg = Dedup.simhash64(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt).toList).toMap
+    val viaScalar = docs.select(col("doc_id"),
+        Dedup.simhash64Array(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(viaScalar == viaAgg)
+    // NULL text → NULL signature (the aggregate path emits no row)
+    val nr = Seq((1L, Option.empty[String]), (2L, Some("a b c")))
+      .toDF("doc_id", "text").orderBy("doc_id")
+      .select(Dedup.simhash64Array(col("text"))).collect()
+    assert(nr(0).isNullAt(0) && nr(1).getSeq[Int](0).length == 4)
+  }
+
   test("scalar minhashBandKeys lands in the same buckets as lshBands") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, posexplode}

@@ -69,6 +69,32 @@ class SqlSurfaceSpec extends SparkSpec {
         docs.select(TextAnalysis.homoglyphFold(col("text")).as("v"))),
       ("unicode_nfkc", "unicode_nfkc(text)",
         docs.select(TextExpressions.nfkc(col("text")).as("v"))),
+      ("graft_pii_scrub",
+        "graft_pii_scrub(concat(text, ' u@example.com 10.1.2.3 5551234567 .'))",
+        docs.select(TextAnalysis.scrubPii(concat(col("text"),
+          lit(" u@example.com 10.1.2.3 5551234567 ."))).as("v"))),
+      ("graft_repetition", "cast(graft_repetition(text) AS string)",
+        docs.select(TextAnalysis.repetitionRatioScalar(col("text"))
+          .cast("string").as("v"))),
+      ("graft_entropy", "cast(graft_entropy(text) AS string)",
+        docs.select(TextAnalysis.unigramEntropyScalar(col("text"))
+          .cast("string").as("v"))),
+      ("graft_simhash64",
+        "array_join(transform(graft_simhash64(text), v -> cast(v AS string)), ',')",
+        docs.select(array_join(transform(
+          graft.dedup.Dedup.simhash64Array(col("text")),
+          v => v.cast("string")), ",").as("v"))),
+      ("graft_latin_count", "graft_latin_count(text)",
+        docs.select(TextAnalysis.latinCount(col("text")).as("v"))),
+      ("graft_cyrillic_count", "graft_cyrillic_count(text)",
+        docs.select(TextAnalysis.cyrillicCount(col("text")).as("v"))),
+      ("graft_cjk_count", "graft_cjk_count(text)",
+        docs.select(TextAnalysis.cjkCount(col("text")).as("v"))),
+      ("graft_mixed_script_count", "graft_mixed_script_count(text)",
+        docs.select(TextAnalysis.mixedScriptCount(col("text")).as("v"))),
+      ("graft_script_spoof", "cast(graft_script_spoof(text) AS string)",
+        docs.select(TextAnalysis.scriptSpoofFlag(col("text"))
+          .cast("string").as("v"))),
       ("graft_minhash_sig",
         "array_join(transform(graft_minhash_sig(text), v -> cast(v AS string)), ',')",
         docs.select(array_join(transform(

@@ -504,4 +504,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flags.forall(identity),
       "legit Latin-1-range accents must pass the gate")
   }
+
+  test("scalar entropy/repetition ≡ their aggregate paths, incl. edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val viaAggE = TextAnalysis.unigramEntropy(docs)
+      .select("doc_id", "entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaScalarE = docs.select(col("doc_id"),
+        TextAnalysis.unigramEntropyScalar(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaScalarE == viaAggE)
+    val viaAggR = TextAnalysis.repetitionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaScalarR = docs.select(col("doc_id"),
+        TextAnalysis.repetitionRatioScalar(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaScalarR == viaAggR)
+    // edges: empty text → NULL entropy (the aggregate path emits no
+    // row) but rep 1.0 (the whole-text shingle); a doc cycling one
+    // word → entropy 0, rep 1.0; NULL text → NULL for both
+    val edge = Seq((1L, Some("")), (2L, Some("w w w w")),
+        (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val er = edge.orderBy("doc_id").select(
+      TextAnalysis.unigramEntropyScalar(col("text")),
+      TextAnalysis.repetitionRatioScalar(col("text"))).collect()
+    assert(er(0).isNullAt(0) && er(0).getDouble(1) == 1.0)
+    assert(er(1).getDouble(0) == 0.0 && er(1).getDouble(1) == 1.0)
+    assert(er(2).isNullAt(0) && er(2).isNullAt(1))
+  }
 }
