@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Generate src/main/resources/graft/bench_bands.json — the per-key
+expected bench readings (seconds) the Bench band guard compares against
+(r13 verdict Next #1).
+
+Input: one or more BENCH_FULL.json artifacts (typically the last few
+committed versions: `git show <rev>:BENCH_FULL.json > /tmp/b_<rev>.json`).
+Per key the band is the MEDIAN across artifacts — robust to the
+single-run outliers the guard exists to catch (BENCH_r13.json carried
+q_substring_trim_exact at 79 s against a 8.5–14.4 s cross-round band).
+
+Keys: suite/headline names verbatim from `queries`; d-series trend
+points as `<key>_10x` (scale10x) and `<key>_1x` (scale10x_controls).
+
+Usage: python3 dev/make_bands.py artifact1.json [artifact2.json ...] \
+         > src/main/resources/graft/bench_bands.json
+"""
+import json, statistics, sys
+
+
+def main():
+    per_key = {}
+    for path in sys.argv[1:]:
+        art = json.load(open(path))
+        for key, val in art.get("queries", {}).items():
+            per_key.setdefault(key, []).append(float(val))
+        for key, val in art.get("scale10x", {}).items():
+            per_key.setdefault(key + "_10x", []).append(float(val))
+        for key, val in art.get("scale10x_controls", {}).items():
+            per_key.setdefault(key + "_1x", []).append(float(val))
+    bands = {k: round(statistics.median(v), 3)
+             for k, v in sorted(per_key.items())}
+    json.dump(bands, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()

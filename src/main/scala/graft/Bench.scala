@@ -40,6 +40,76 @@ object Bench {
   // untimed attribution counters for the scale-trend steps (d1a bucket sizes)
   private val scaleDiag = scala.collection.mutable.LinkedHashMap[String, Long]()
 
+  // ---- band guard (r13 verdict #1). BENCH_r13.json shipped single-run
+  // outliers the artifact could not attribute (q_substring_trim_exact
+  // 79.0 s vs its 8.5–14.4 s cross-round band; d22 at 21.8x vs 3.6–3.9x)
+  // — out-of-band re-measurement showed machine drift, but no consumer
+  // of the artifact could re-do that. The guard makes the artifact
+  // self-attributing: any suite/d-series reading that exceeds
+  // [[BandFactor]]x its committed prior-round band gets ONE more
+  // hygiene-separated run, and BOTH readings land in the `out_of_band`
+  // artifact field — a drift window shows a confirming in-band second
+  // run; a real regression shows two agreeing out-of-band runs.
+  // Near-zero cost in a clean run (nothing re-runs).
+  //
+  // Bands: src/main/resources/graft/bench_bands.json — per-key MEDIANS
+  // over the last five committed BENCH_FULL.json artifacts (median is
+  // what makes the r13 outliers not poison their own bands), generated
+  // by dev/make_bands.py; regenerate after each certified round. Keys
+  // absent from the file (new queries) simply skip the guard one round.
+  private val BandFactor = 2.0
+  private[graft] lazy val bands: Map[String, Double] = try {
+    // override path (tests/driver experiments) > classpath > the repo
+    // file (class-dir runs where resources were not copied — dev/run.sh
+    // after a bare compile)
+    val txt = sys.props.get("graft.bench.bands")
+      .map(p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+      .orElse(Option(getClass.getResourceAsStream("/graft/bench_bands.json"))
+        .map { in =>
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        })
+      .orElse {
+        val f = new java.io.File(
+          "/root/repo/src/main/resources/graft/bench_bands.json")
+        if (f.isFile)
+          Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        else None
+      }
+      .getOrElse("")
+    """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  } catch { case NonFatal(e) =>
+    System.err.println(s"[bench] bands load failed: ${e.getMessage}")
+    Map.empty
+  }
+  private[graft] val outOfBand =
+    scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+
+  /** Apply the band guard to a completed measurement: returns the final
+    * reading (min over all runs incl. the confirming one) and records
+    * out-of-band evidence. `rerun` must be hygiene-separated and return
+    * None on failure or when the remaining budget cannot fund it (the
+    * original reading then stands, still flagged out_of_band).
+    */
+  private[graft] def bandGuarded(key: String, runs: Seq[Double],
+                                 rerun: () => Option[Double]): Double = {
+    val best = runs.min
+    bands.get(key) match {
+      case Some(b) if best > b * BandFactor =>
+        (if (remainingS >= best * 1.5 + 30) rerun() else None) match {
+          case Some(again) =>
+            outOfBand(key) = runs :+ again
+            math.min(best, again)
+          case None =>
+            outOfBand(key) = runs
+            best
+        }
+      case _ => best
+    }
+  }
+
   // ---- wall-clock budget. The driver kills the bench process on a hard
   // timeout (BENCH_r12.json was rc=124 with nothing parseable), so this
   // run (a) emits a valid summary artifact EARLY and re-emits it as
@@ -326,7 +396,15 @@ object Bench {
       val twin = s"""{"q_monster":${twinTimes.getOrElse("q_monster_twin", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}}"""
       val b5pm = b5PlanMatch.map(_.toString).getOrElse("null")
       val incomplete = stage != "complete"
-      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"stream_early":${jmap(streamEarly)},"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
+      // out_of_band: key → ALL its readings (the original run(s) plus
+      // the confirming re-run when the budget funded one). Empty in a
+      // clean run. A key whose last reading is in band = drift window,
+      // attributed; all readings out of band = investigate as a real
+      // regression against bench_bands.json.
+      val oob = outOfBand.toSeq.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"stream_early":${jmap(streamEarly)},"out_of_band":$oob,"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
       // field order matters: the round artifact keeps only a TAIL of
       // stdout, so the big maps (per-query timings, 10x scale maps, diag
       // counters) go FIRST and every summary number cited by the judge
@@ -443,7 +521,13 @@ object Bench {
           if (math.abs(runs(0) - runs(1)) / math.max(runs.min, 1e-9) > 0.5)
             runs += time(exec(fn(spark, sfDir)))
         }
-        results(name) = runs.min
+        // band guard: the single-run-for-≥5 s protocol saved the budget
+        // but let one drifty reading ship unconfirmed (r13's 79 s
+        // q_substring_trim_exact) — an out-of-band reading now buys its
+        // own confirming run and the artifact records both
+        results(name) = bandGuarded(name, runs.toSeq, () =>
+          try { hygiene(spark); Some(time(exec(fn(spark, sfDir)))) }
+          catch { case NonFatal(_) => None })
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name
@@ -637,7 +721,15 @@ object Bench {
       var runs = one(1).toSeq
       if (runs.isEmpty || runs.min < 5.0) runs ++= one(2)
       if (runs.nonEmpty && runs.min < 2.0) runs ++= one(3)
-      if (runs.nonEmpty) into(key) = runs.min
+      // band guard, same rationale as the suite loop: the d-series' long
+      // 10x sides are single-run, so a drift window there shipped
+      // unattributable trend ratios (r13's d22 at 21.8x). Band keys
+      // carry the scale side (the 1x control and 10x point have very
+      // different expected readings).
+      if (runs.nonEmpty) {
+        val bandKey = key + (if (into eq ctlTimes) "_1x" else "_10x")
+        into(key) = bandGuarded(bandKey, runs.toSeq, () => one(4))
+      }
     }
     measure("d1_dedup_corpus", ctlTimes)(exec(Dedup.dedupCorpus(docs1x)))
     measure("d1_dedup_corpus", times)(exec(Dedup.dedupCorpus(docs10x)))
