@@ -461,6 +461,68 @@ object PipelineQueries {
       FROM r WHERE rn = 1 ORDER BY train_id"""
     })),
 
+    // The near-dup candidate-pair pass ENTIRELY in spark.sql (r13
+    // verdict stretch #7 — the README's "near-dup from plain SQL"
+    // claim, certified end-to-end): scalar LSH band keys → posexplode →
+    // bucket self-join → distinct pairs → exact shingle-Jaccard verify,
+    // one SQL string over registered graft_* functions. Arithmetic and
+    // shape mirror Dedup.minhashCandidates + the incrementalNearDups
+    // verify (explode + equi-join intersection counts — the scalable
+    // form, never array_intersect per pair); the oracle replays it from
+    // the SAME shared CTE fragments every other minhash row uses.
+    "q_sql_neardup" -> (((s: SparkSession, dir: String) => {
+      graft.sql.GraftSql.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("nd_docs")
+      s.sql("""WITH bands AS (
+          SELECT doc_id, posexplode(graft_minhash_bands(text)) AS (band, bkey)
+          FROM nd_docs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id < b.doc_id),
+        shd AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, explode(graft_shingles(text)) AS sh FROM nd_docs)),
+        sz AS (SELECT doc_id, count(1) AS sz FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(1) AS i
+          FROM cand c
+          JOIN shd a ON a.doc_id = c.doc_a
+          JOIN shd b ON b.doc_id = c.doc_b AND a.sh = b.sh
+          GROUP BY c.doc_a, c.doc_b),
+        j AS (
+          SELECT c.doc_a, c.doc_b,
+            round(cast(coalesce(i, 0) AS double)
+              / (sa.sz + sb.sz - coalesce(i, 0)), 6) AS jaccard
+          FROM cand c
+          LEFT JOIN inter ON inter.doc_a = c.doc_a AND inter.doc_b = c.doc_b
+          JOIN sz sa ON sa.doc_id = c.doc_a
+          JOIN sz sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b""")
+    }, Some(s"""WITH $minhashCtes,
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shd GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.doc_a
+        JOIN shd b ON b.doc_id = c.doc_b AND a.sh = b.sh
+        GROUP BY 1, 2),
+      j AS (
+        SELECT c.doc_a, c.doc_b,
+          round(coalesce(i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i, 0)), 6)
+            AS jaccard
+        FROM cand c
+        LEFT JOIN inter USING (doc_a, doc_b)
+        JOIN sz sa ON sa.doc_id = c.doc_a
+        JOIN sz sb ON sb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, jaccard FROM j
+      WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""))),
+
     // Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
     // entries): 64-d embeddings sketched to 16-d via deterministic
     // md5-seeded sign matrices, then top-20 retrieval IN THE SKETCHED
