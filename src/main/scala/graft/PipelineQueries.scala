@@ -470,6 +470,12 @@ object PipelineQueries {
     // verify (explode + equi-join intersection counts — the scalable
     // form, never array_intersect per pair); the oracle replays it from
     // the SAME shared CTE fragments every other minhash row uses.
+    // Honest cost note: Spark inlines WITH CTEs, so the SQL form
+    // recomputes `bands`/`shd` per join side (plan read: 6 scans).
+    // Fine for a certification row; the production near-dup path is the
+    // checkpointed Column API (minhashCandidates / incrementalNearDups)
+    // — this row certifies that the SQL surface REACHES those semantics,
+    // not that SQL is the preferred way to run them at 100 TB.
     "q_sql_neardup" -> (((s: SparkSession, dir: String) => {
       graft.sql.GraftSql.register(s)
       t(s, dir, "documents").createOrReplaceTempView("nd_docs")
