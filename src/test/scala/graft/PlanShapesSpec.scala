@@ -81,6 +81,18 @@ class PlanShapesSpec extends SparkSpec {
       "the per-anchor top-k must prune map-side before the shuffle")
   }
 
+  test("q_sql_redact rides the scan: no join, only the sort exchange") {
+    // the r14 SQL-surface redaction row — every scalar (pii scrub,
+    // repetition, entropy, simhash bands, script count) must fold
+    // per row inside the scan stage; the only exchange is the output
+    // orderBy's range partitioning
+    val p = plan("q_sql_redact")
+    assert(!p.contains("Join"), p.take(600))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the sort exchange:\n${p.take(600)}")
+    assert(!p.contains("UDF") && !p.contains("BatchEval"))
+  }
+
   test("q_length_quantiles never plans a single-partition window") {
     // the whole point of routing through GlobalRank: exact quantiles
     // without `row_number() OVER (ORDER BY ...)`'s one-task sort, and
