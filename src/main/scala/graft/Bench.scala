@@ -1671,13 +1671,18 @@ object Bench {
       // with batches, not rows — resume should read ≈flat, and a ratio
       // trending toward 10 would mean restore cost ∝ history (a real
       // scale bug). Counters record history/resume rows + live windows.
+      // fresh dir per ATTEMPT: a band-guard confirming re-run must replay
+      // phase 1 + phase 2 from scratch — reusing the first attempt's
+      // checkpoint would time a no-op replay, not a restart
+      var d11Attempt = 0
       def d11(tag: String): Option[Double] =
         try {
           import org.apache.spark.sql.streaming.Trigger
+          d11Attempt += 1
           val df = spark.read.parquet(s"$d4root/in$tag")
           val mx = df.agg(max("ts")).head().getTimestamp(0)
           val cutTs = new java.sql.Timestamp(mx.getTime - 2L * 3600 * 1000)
-          val dir = s"$d4root/restart_$tag"
+          val dir = s"$d4root/restart_${tag}_a$d11Attempt"
           val hist = df.where(col("ts") <= lit(cutTs))
           val tail = df.where(col("ts") > lit(cutTs))
           hist.write.mode("overwrite").parquet(s"$dir/in")
@@ -1707,9 +1712,15 @@ object Bench {
           System.err.println(s"[bench] d11 $tag failed: ${e.getMessage}")
           None
         }
+      // band-guarded like every other d-point (run 3 of r14 shipped a
+      // 6.1 s 1x reading against a 2.7 s band with no attribution —
+      // the one d-point that had bypassed the guard): the confirming
+      // run replays the WHOLE phase-1+phase-2 sequence in a fresh dir
       if (budgetOk("d11_stream_restart", 180)) {
-        d11("1x").foreach(t => ctlTimes("d11_stream_restart") = t)
-        d11("10x").foreach(t => times("d11_stream_restart") = t)
+        d11("1x").foreach(t => ctlTimes("d11_stream_restart") =
+          bandGuarded("d11_stream_restart_1x", Seq(t), () => d11("1x")))
+        d11("10x").foreach(t => times("d11_stream_restart") =
+          bandGuarded("d11_stream_restart_10x", Seq(t), () => d11("10x")))
       }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d4 staging failed: ${e.getMessage}")
