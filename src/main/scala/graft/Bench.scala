@@ -1716,11 +1716,18 @@ object Bench {
       // 6.1 s 1x reading against a 2.7 s band with no attribution —
       // the one d-point that had bypassed the guard): the confirming
       // run replays the WHOLE phase-1+phase-2 sequence in a fresh dir
+      // the rerun thunk carries its own funding check: bandGuarded's
+      // best*1.5+30 formula prices only the TIMED phase-2 resume, but a
+      // d11 replay also pays untimed staging + phase-1 streaming +
+      // count jobs (~60 s at 10x) — without this gate a late-run rerun
+      // could blow past budgetS toward the driver's hard kill
+      def d11Rerun(tag: String): Option[Double] =
+        if (remainingS >= 120) d11(tag) else None
       if (budgetOk("d11_stream_restart", 180)) {
         d11("1x").foreach(t => ctlTimes("d11_stream_restart") =
-          bandGuarded("d11_stream_restart_1x", Seq(t), () => d11("1x")))
+          bandGuarded("d11_stream_restart_1x", Seq(t), () => d11Rerun("1x")))
         d11("10x").foreach(t => times("d11_stream_restart") =
-          bandGuarded("d11_stream_restart_10x", Seq(t), () => d11("10x")))
+          bandGuarded("d11_stream_restart_10x", Seq(t), () => d11Rerun("10x")))
       }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] d4 staging failed: ${e.getMessage}")

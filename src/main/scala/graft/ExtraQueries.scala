@@ -145,19 +145,13 @@ object ExtraQueries {
     rm(new java.io.File(path))
   }
 
-  /** Bounded replacement for `StreamingQuery.awaitTermination()` on
-    * every AvailableNow micro-batch run in the suite: a wedged batch
-    * fails ITS query row (and stops the stream) instead of hanging the
-    * whole correctness run. 10 min is ~40× the slowest observed batch.
+  /** The suite's alias for the one bounded micro-batch wait policy —
+    * see [[graft.streaming.EventStreams.awaitBounded]].
     */
   private[graft] def awaitBounded(
       q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = 600000L): Unit =
-    if (!q.awaitTermination(timeoutMs)) {
-      q.stop()
-      throw new RuntimeException(
-        s"stream query did not finish within ${timeoutMs / 1000}s")
-    }
+    graft.streaming.EventStreams.awaitBounded(q, timeoutMs)
 
   /** Deterministic hyperplane sign literal for the LSH oracle — must match
     * [[graft.sim.Similarity.lshBucket]] bit for bit (`table` selects the

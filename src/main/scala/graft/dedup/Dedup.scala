@@ -27,17 +27,12 @@ object Dedup {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > lit(0))
 
-  /** Let-binding for Column expressions: binds `value` to a lambda
-    * variable so `body` can reference it many times while it is COMPUTED
-    * ONCE per row. Catalyst's CollapseProject/column pruning re-inline a
-    * projected alias into every use site (an expensive expression used w
-    * times runs w times — measured 5x slowdown on winnowing), but a
-    * lambda variable is opaque to the optimizer: `transform` over a
-    * 1-element array evaluates `value` once and the body against the
-    * bound element.
+  /** Let-binding for Column expressions — the shared
+    * [[graft.ColumnUtil.bindOnce]] (computed once per row; a plain
+    * alias is re-inlined by CollapseProject, measured 5x on winnowing).
     */
   private def bindOnce(value: Column, body: Column => Column): Column =
-    get(transform(array(value), body), lit(0))
+    graft.ColumnUtil.bindOnce(value, body)
 
   /** Contiguous word `n`-gram shingles of the text.
     * Docs shorter than n words shingle to the whole text.

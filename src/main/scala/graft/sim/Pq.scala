@@ -51,7 +51,7 @@ object Pq {
         Similarity.dot(y, y)))
 
   private def bindOnce(value: Column, body: Column => Column): Column =
-    get(transform(array(value), body), lit(0))
+    graft.ColumnUtil.bindOnce(value, body)
 
   /** Seed per-subspace codebooks from the `ksub` smallest-id vectors —
     * the deterministic analog of sampling training vectors (the same

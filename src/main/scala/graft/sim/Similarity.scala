@@ -143,7 +143,7 @@ object Similarity {
     * re-inlined into every use site by Catalyst.
     */
   private def bindOnce(value: Column, body: Column => Column): Column =
-    get(transform(array(value), body), lit(0))
+    graft.ColumnUtil.bindOnce(value, body)
 
   /** Deterministic hyperplane seed string — shared with the DuckDB oracle
     * generators so every engine derives identical planes. `table` > 0

@@ -330,12 +330,20 @@ object EventStreams {
       .format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    // bounded for the same reason as ExtraQueries.awaitBounded: a wedged
-    // micro-batch fails this call, never hangs the caller
-    if (!q.awaitTermination(600000L)) {
+    awaitBounded(q)
+  }
+
+  /** Bounded replacement for `StreamingQuery.awaitTermination()` — the
+    * ONE wait policy every AvailableNow micro-batch run in the engine
+    * and the correctness suite shares: a wedged batch fails ITS caller
+    * (and stops the stream) instead of hanging the whole run. 10 min is
+    * ~40× the slowest observed batch.
+    */
+  def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery,
+                   timeoutMs: Long = 600000L): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
       q.stop()
       throw new RuntimeException(
-        s"stream query $name did not finish within 600s")
+        s"stream query did not finish within ${timeoutMs / 1000}s")
     }
-  }
 }

@@ -115,16 +115,20 @@ object Html {
     trim(regexp_replace(regexp_replace(b, AnyTagRe, " "), "[ \\t]+", " "))
 
   /** Anchor-open forms the link-density gate counts: `<a` in BOTH ASCII
-    * cases, followed by space, tab, newline or an immediate `>` — the
-    * shapes minified and uppercase nav bars actually emit. ASCII
-    * literals only (no lowercasing of the block): a case-mapped count
-    * would tie the oracle to engine-specific Unicode case-mapping
-    * LENGTHS, since the count is a length difference. Every form is
-    * exactly 3 chars, so one chained strip + length diff / 3 counts
-    * them all in a single engine-portable expression.
+    * cases, followed by space, tab or an immediate `>` — the shapes
+    * minified and uppercase nav bars actually emit. ASCII literals only
+    * (no lowercasing of the block): a case-mapped count would tie the
+    * oracle to engine-specific Unicode case-mapping LENGTHS, since the
+    * count is a length difference. Every form is exactly 3 chars, so
+    * one chained strip + length diff / 3 counts them all in a single
+    * engine-portable expression. No newline forms on purpose: the gate
+    * sees BLOCK strings, which [[blocks]] produced by splitting on
+    * newline — a `<a\nhref` anchor is already split across two blocks
+    * before the count runs (its head strips as a malformed tag,
+    * fail-open), so a `<a\n` literal could never match.
     */
   val AnchorForms: Seq[String] =
-    Seq("<a ", "<A ", "<a\t", "<A\t", "<a\n", "<A\n", "<a>", "<A>")
+    Seq("<a ", "<A ", "<a\t", "<A\t", "<a>", "<A>")
 
   /** Anchor count of one raw block — see [[AnchorForms]]. The strips
     * chain left to right in both engines, so any (pathological) match
@@ -139,14 +143,13 @@ object Html {
     * re-inlined into every use site by Catalyst.
     */
   private def bindOnce(value: Column, body: Column => Column): Column =
-    get(transform(array(value), body), lit(0))
+    graft.ColumnUtil.bindOnce(value, body)
 
   /** Per-block `(text, keep)` pair with [[blockText]] (two regexp
-    * passes) and [[anchors]] (an 8-replace chain) each bound ONCE per
-    * block — composing [[keepBlock]]-style predicates from the raw
-    * pieces re-evaluates blockText three times per block on the
-    * crawl-ingest hot path (twice in the gate, once in the survivor
-    * projection).
+    * passes) and [[anchors]] (a 6-replace chain) each bound ONCE per
+    * block — composing the gate predicate from the raw pieces would
+    * re-evaluate blockText three times per block on the crawl-ingest
+    * hot path (twice in the gate, once in the survivor projection).
     */
   private def blockInfo(b: Column): Column =
     bindOnce(blockText(b), bt => bindOnce(anchors(b), a =>

@@ -446,7 +446,7 @@ object TextAnalysis {
     * is opaque to the optimizer and evaluates once per row.
     */
   private def bindOnce(value: Column, body: Column => Column): Column =
-    get(transform(array(value), body), lit(0))
+    graft.ColumnUtil.bindOnce(value, body)
 
   /** ALL scan-side signals from ONE tokenization pass:
     * struct(lang_pred, tok_cnt, quality), arithmetic identical to
