@@ -71,11 +71,16 @@ object Bench {
           finally in.close()
         })
       .orElse {
-        val f = new java.io.File(
-          "/root/repo/src/main/resources/graft/bench_bands.json")
-        if (f.isFile)
-          Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-        else None
+        // class-dir runs where resources were not copied (dev/run.sh after
+        // a bare compile): resolve against the working directory first,
+        // then the canonical repo path as a last resort
+        Seq(new java.io.File(sys.props.getOrElse("user.dir", "."),
+              "src/main/resources/graft/bench_bands.json"),
+            new java.io.File(
+              "/root/repo/src/main/resources/graft/bench_bands.json"))
+          .find(_.isFile)
+          .map(f => new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       }
       .getOrElse("")
     """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
@@ -84,12 +89,49 @@ object Bench {
     System.err.println(s"[bench] bands load failed: ${e.getMessage}")
     Map.empty
   }
+  /** One out-of-band record: every reading taken (original run(s) plus
+    * the confirming re-run when funded), the machine probe's seconds at
+    * guard-fire time, and the instantaneous machine index derived from
+    * it (-1 when no probe / no probe baseline exists).
+    */
+  private[graft] case class Oob(runs: Seq[Double], probeS: Double,
+                                machineIndex: Double)
   private[graft] val outOfBand =
-    scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    scala.collection.mutable.LinkedHashMap[String, Oob]()
+
+  // ---- run-speed normalizer (r14 verdict #2). A drift window spanning
+  // the whole run defeats confirming re-runs taken inside it (r14:
+  // q_substring_trim_exact read 49.4 s then 72.2 s against a 12.1 s band
+  // while every ratio-vs-control sat at <=1.04 — the machine, not the
+  // code). Two channels make that self-attributing IN the artifact:
+  //  * machine_index — Σ measured CONTROL seconds / Σ their banded
+  //    medians, accumulated as the interleaved plan-pinned hand-SQL
+  //    controls run. Controls measure the machine, not library code, so
+  //    index ≈ 1.0 on a quiet run and reading/band ≈ index on a
+  //    uniformly slow one.
+  //  * machine probe — a tiny pinned control (the b6 supplier sort SQL)
+  //    re-executed at every band-guard FIRE, so each out_of_band entry
+  //    carries the machine's speed at its own measurement instant,
+  //    normalized against the probe's committed band (first round: this
+  //    run's own start-of-run calibration).
+  private var ctlSumMeasured = 0.0
+  private var ctlSumBand = 0.0
+  private[graft] def registerControl(bandKey: String, secs: Double): Unit =
+    bands.get(bandKey).foreach { b => ctlSumMeasured += secs; ctlSumBand += b }
+  private def machineIndex: Double =
+    if (ctlSumBand > 0) ctlSumMeasured / ctlSumBand else -1.0
+  // assigned in main once the control temp views exist; min-of-2 after a
+  // burn run, NO hygiene — the probe must sample the environment the
+  // guarded reading just ran in, not a freshly-scrubbed one
+  private[graft] var machineProbeFn: () => Option[Double] = () => None
+  private[graft] var probeCalibration: Option[Double] = None
+  private def probeBaseline: Option[Double] =
+    bands.get("machine_probe").orElse(probeCalibration)
 
   /** Apply the band guard to a completed measurement: returns the final
     * reading (min over all runs incl. the confirming one) and records
-    * out-of-band evidence. `rerun` must be hygiene-separated and return
+    * out-of-band evidence — stamped with the machine probe taken at fire
+    * time (r14 verdict #2). `rerun` must be hygiene-separated and return
     * None on failure or when the remaining budget cannot fund it (the
     * original reading then stands, still flagged out_of_band).
     */
@@ -98,12 +140,15 @@ object Bench {
     val best = runs.min
     bands.get(key) match {
       case Some(b) if best > b * BandFactor =>
+        val probe = machineProbeFn()
+        val idx = (for { p <- probe; base <- probeBaseline }
+          yield p / math.max(base, 1e-9)).getOrElse(-1.0)
         (if (remainingS >= best * 1.5 + 30) rerun() else None) match {
           case Some(again) =>
-            outOfBand(key) = runs :+ again
+            outOfBand(key) = Oob(runs :+ again, probe.getOrElse(-1.0), idx)
             math.min(best, again)
           case None =>
-            outOfBand(key) = runs
+            outOfBand(key) = Oob(runs, probe.getOrElse(-1.0), idx)
             best
         }
       case _ => best
@@ -124,6 +169,43 @@ object Bench {
     sys.env.getOrElse("BENCH_BUDGET_S", "2700").toDouble
   private def remainingS: Double = budgetS - elapsedS
   private val skipped = scala.collection.mutable.LinkedHashSet[String]()
+
+  // ---- suite-tail rotation (r14 verdict #4). 282 timed suite keys ×
+  // min-of-2 + hygiene left zero headroom against the 2700 s budget on a
+  // slow machine — and correctness already lives in Verify, so the bench
+  // needn't re-time every sub-second key every round. Keys whose
+  // committed band sits under [[RotateBelowS]] (the jitter-dominated
+  // tail — none of them can carry a meaningful regression signal alone)
+  // rotate: half time on even driver rounds, half on odd, split by a
+  // stable name hash. Headliners, the d-series, the stream family (the
+  // documented drift-window detector) and every key ≥1 s always run, as
+  // does any key with no band yet (new queries must earn one). Rotated
+  // keys land in the explicit `rotated` artifact field — never silently
+  // absent — and dev/make_bands.py carries their bands forward from the
+  // rounds they did run.
+  private val RotateBelowS = 1.0
+  private[graft] lazy val rotationParity: Option[Int] =
+    sys.env.get("BENCH_ROTATION") match {
+      case Some("off") => None // rotation disabled: time every key
+      case Some(v) if v == "0" || v == "1" => Some(v.toInt)
+      case _ =>
+        // self-contained per-round flip: the committed BENCH_r{N}.json
+        // count grows by one each driver round. No round artifacts
+        // visible (non-repo checkout) → rotation off, time everything.
+        Seq(new java.io.File(sys.props.getOrElse("user.dir", ".")),
+            new java.io.File("/root/repo"))
+          .iterator
+          .map(d => Option(d.list()).getOrElse(Array.empty[String])
+            .count(_.matches("BENCH_r\\d+\\.json")))
+          .find(_ > 0).map(_ % 2)
+    }
+  private[graft] def rotatedOut(name: String): Boolean =
+    rotationParity.exists { p =>
+      !name.startsWith("q_stream") &&
+        bands.get(name).exists(_ < RotateBelowS) &&
+        math.abs(name.hashCode % 2) != p
+    }
+  private val rotated = scala.collection.mutable.LinkedHashSet[String]()
 
   /** True when `need` more seconds still fit the budget; else records
     * the skip under `what` and returns false.
@@ -161,7 +243,8 @@ object Bench {
   private def measurePair(spark: SparkSession, name: String,
                           ours: DataFrame, ctl: DataFrame,
                           times: scala.collection.mutable.Map[String, Double],
-                          ctlTimes: scala.collection.mutable.Map[String, Double]): Unit =
+                          ctlTimes: scala.collection.mutable.Map[String, Double],
+                          ctlBandKey: Option[String] = None): Unit =
     try {
       if (!budgetOk(name, 120)) return
       hygiene(spark)
@@ -180,6 +263,9 @@ object Bench {
       }) { abba(); extra += 1 }
       times(name) = os.min
       ctlTimes(name) = cs.min
+      // feed the run-speed normalizer: the control side is plan-pinned
+      // hand-SQL, so measured/band over controls indexes the MACHINE
+      ctlBandKey.foreach(registerControl(_, cs.min))
     } catch { case NonFatal(e) =>
       // a pair failure degrades the report (missing entry), never aborts
       // the run — the 80+ suite timings already taken must survive.
@@ -378,7 +464,7 @@ object Bench {
       val missingFromSuite =
         if (!suiteAttempted) Seq.empty[String]
         else (Queries.queries.keySet -- results.keySet -- failed.toSet
-          -- skipped.toSet).toSeq.sorted
+          -- skipped.toSet -- rotated.toSet).toSeq.sorted
       val missingJson = missingFromSuite.map("\"" + _ + "\"").mkString("[", ",", "]")
       val pm = planMatches.toSeq
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -396,15 +482,29 @@ object Bench {
       val twin = s"""{"q_monster":${twinTimes.getOrElse("q_monster_twin", -1.0)},"b1_monster":${results.getOrElse("b1_monster", -1.0)},"spread":${f"$twinSpread%.2f"}}"""
       val b5pm = b5PlanMatch.map(_.toString).getOrElse("null")
       val incomplete = stage != "complete"
-      // out_of_band: key → ALL its readings (the original run(s) plus
-      // the confirming re-run when the budget funded one). Empty in a
-      // clean run. A key whose last reading is in band = drift window,
-      // attributed; all readings out of band = investigate as a real
-      // regression against bench_bands.json.
-      val oob = outOfBand.toSeq.map { case (k, vs) =>
-        "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      // out_of_band: key → {runs, probe_s, machine_index}. `runs` is ALL
+      // readings (the original run(s) plus the confirming re-run when the
+      // budget funded one); `probe_s`/`machine_index` stamp the machine's
+      // speed AT the guard fire via the pinned control probe (index ≈
+      // reading/band on a uniformly slow window — the r14 failure mode a
+      // confirming run inside the window cannot attribute). Empty in a
+      // clean run. Last run back in band OR index ≈ reading/band = drift
+      // window, attributed; runs agreeing out of band at index ≈ 1.0 =
+      // investigate as a real regression against bench_bands.json.
+      val oob = outOfBand.toSeq.map { case (k, e) =>
+        "\"" + k + "\":{\"runs\":" +
+          e.runs.map(v => f"$v%.3f").mkString("[", ",", "]") +
+          f""","probe_s":${e.probeS}%.3f,"machine_index":${e.machineIndex}%.2f}"""
       }.mkString("{", ",", "}")
-      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"stream_early":${jmap(streamEarly)},"out_of_band":$oob,"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
+      val rotatedJson = rotated.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // keys timed this run that have no committed band (the guard
+      // silently skipped them — r14 proved that needs to be LOUD)
+      val unbanded = (results.keySet
+        ++ scaleTimes.keys.map(_ + "_10x") ++ scaleCtl.keys.map(_ + "_1x"))
+        .filterNot(bands.contains).toSeq.sorted
+      val unbandedJson = unbanded.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val mprobe = probeCalibration.map(p => f"$p%.3f").getOrElse("-1")
+      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"rotated":$rotatedJson,"unbanded":$unbandedJson,"stream_early":${jmap(streamEarly)},"out_of_band":$oob,"machine_index":${f"$machineIndex%.2f"},"machine_probe_s":$mprobe,"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
       // field order matters: the round artifact keeps only a TAIL of
       // stdout, so the big maps (per-query timings, 10x scale maps, diag
       // counters) go FIRST and every summary number cited by the judge
@@ -440,11 +540,29 @@ object Bench {
     // per pair: a reported ratio on matching plans measures environment
     // spread, and the retries bound it
     val ctl = controls(spark, sfDir).toMap
+    // machine probe: the cheapest plan-pinned hand-SQL control (the b6
+    // supplier sort), re-executed at every band-guard fire so each
+    // out_of_band entry records the machine's speed at its own instant.
+    // One burn + min-of-2, no hygiene (see the normalizer scaladoc).
+    machineProbeFn = () => try {
+      val p = spark.sql("SELECT * FROM supplier ORDER BY s_name")
+      exec(p)
+      Some(math.min(time(exec(p)), time(exec(p))))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] machine probe failed: ${e.getMessage}")
+      None
+    }
+    // start-of-run calibration: the probe's in-run baseline until a
+    // committed `machine_probe` band exists (first round), and the
+    // artifact's own record of what "quiet" meant for this run
+    probeCalibration = machineProbeFn()
+
     headline(spark, sfDir).foreach { case (name, df) =>
       ctl.get(name) match {
         case Some(c) =>
           checkPlanMatch(s"${name}_1x", df, c)
-          measurePair(spark, name, df, c, results, controlTimes)
+          measurePair(spark, name, df, c, results, controlTimes,
+            ctlBandKey = Some(s"${name}_ctl"))
         case None =>
           results(name) = Seq(time(exec(df)), time(exec(df))).min
       }
@@ -468,6 +586,7 @@ object Bench {
       }
       results("b6_mrbench_avg") = b6o / 5
       controlTimes("b6_mrbench_avg") = b6c / 5
+      registerControl("b6_mrbench_avg_ctl", b6c / 5)
     }
 
     // r12 watch: the q_stream_* family read 1.3–2x its r11 absolutes in
@@ -494,18 +613,31 @@ object Bench {
     // (marked suite_incomplete, twin unknown → contaminated)
     emit("headline", printFull = false, printSummary = true)
 
+    // d-series BEFORE the suite loop (r14 verdict #1): the driver's r14
+    // run blew the 2700 s budget inside the 282-key suite loop and
+    // skipped 29 trend keys, leaving the official channel without a full
+    // d-series sweep since r12. The trend points are the uncompressible
+    // scale certification; the suite tail is individually cheap,
+    // band-guarded and rotatable — so it, not the d-series, now absorbs
+    // a slow machine window.
+    b5PlanMatch = Some(runScaleStep(spark, sfDir, scaleTimes, scaleCtl))
+    emit("scale", printFull = false, printSummary = false)
+
     // full correctness-suite queries (operator coverage under timing) —
     // min-of-2 for short queries; a single run for ≥5 s readings (the
     // round-over-round drift the extra run bounds lives in the SHORT
     // denominators — r12's budget post-mortem trades the second long
     // run for finishing inside the driver's timeout). A failed query is
     // recorded in `failed`, NOT as a (misleadingly short) fail-fast
-    // elapsed time; a budget-skipped one lands in `skipped`.
+    // elapsed time; a budget-skipped one lands in `skipped`; a
+    // rotated-out sub-second tail key lands in `rotated` (see the
+    // rotation scaladoc) without being timed at all.
     suiteAttempted = true
     Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // reserve room for the twin + artifact writes + a rump of the
-      // d-series before the budget wall
-      if (budgetOk(name, 420)) try {
+      if (rotatedOut(name)) rotated += name
+      // reserve room for the twin + artifact writes before the budget
+      // wall (the d-series already ran — it no longer needs a rump here)
+      else if (budgetOk(name, 150)) try {
         hygiene(spark) // clean slate per query — see hygiene scaladoc
         val runs = scala.collection.mutable.ArrayBuffer(
           time(exec(fn(spark, sfDir))))
@@ -527,7 +659,13 @@ object Bench {
         // own confirming run and the artifact records both
         results(name) = bandGuarded(name, runs.toSeq, () =>
           try { hygiene(spark); Some(time(exec(fn(spark, sfDir)))) }
-          catch { case NonFatal(_) => None })
+          catch { case NonFatal(e) =>
+            // a crashing confirming run must be distinguishable from an
+            // unfunded one in the logs (it is None either way)
+            System.err.println(
+              s"[bench] band-guard rerun $name failed: ${e.getMessage}")
+            None
+          })
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name
@@ -550,30 +688,26 @@ object Bench {
     for {
       twinOurs <- guarded("twin q_monster")(Queries.queries("q_monster")(spark, sfDir))
       twinControl <- ctl.get("b1_monster")
-    } measurePair(spark, "q_monster_twin", twinOurs, twinControl, twinTimes, twinCtl)
-
-    // post-suite artifact: suite + twin certified, d-series still to come
-    emit("suite", printFull = false, printSummary = false)
-
-    // 10x scale step for the headline shapes: same plans over the input
-    // amplified with a range-explode (keys re-salted to stay unique), to
-    // catch super-linearity an order of magnitude early. Single tables
-    // are amplified, not re-generated — this times plan scaling, it is
-    // not a correctness input.
-    b5PlanMatch = Some(runScaleStep(spark, sfDir, scaleTimes, scaleCtl))
+    } measurePair(spark, "q_monster_twin", twinOurs, twinControl, twinTimes,
+      twinCtl, ctlBandKey = Some("b1_monster_ctl")) // end-of-run machine point
 
     // final artifact: the full line + summary, printed as the LAST
     // stdout lines so any tail capture parses the summary
     emit("complete", printFull = true, printSummary = true)
     spark.stop()
     val missingFromSuite = (Queries.queries.keySet -- results.keySet
-      -- failed.toSet -- skipped.toSet).toSeq.sorted
+      -- failed.toSet -- skipped.toSet -- rotated.toSet).toSeq.sorted
     if (failed.nonEmpty || missingFromSuite.nonEmpty) sys.exit(1)
   }
 
   /** Headline benches + controls over 10x-amplified inputs (min-of-2),
-    * plus 1x-vs-10x trend lines for the LLM-pipeline dedup headliners.
-    * Returns whether the b5 ours/control physical plans match at 10x.
+    * plus 1x-vs-10x trend lines for the LLM-pipeline dedup headliners —
+    * the scale step: same plans over input amplified with a
+    * range-explode (keys re-salted to stay unique), to catch
+    * super-linearity an order of magnitude early. Single tables are
+    * amplified, not re-generated — this times plan scaling, it is not a
+    * correctness input. Returns whether the b5 ours/control physical
+    * plans match at 10x.
     */
   private def runScaleStep(spark: SparkSession, sfDir: String,
                            times: scala.collection.mutable.Map[String, Double],
@@ -649,7 +783,10 @@ object Bench {
     // see its scaladoc), with a per-pair plan-identity check at 10x
     pairs.foreach { case (name, ours, ctl) =>
       checkPlanMatch(s"${name}_10x", ours, ctl)
-      measurePair(spark, name, ours, ctl, times, ctlTimes)
+      // the 10x control readings land in scale10x_controls, whose band
+      // keys carry the _1x suffix (make_bands.py convention)
+      measurePair(spark, name, ours, ctl, times, ctlTimes,
+        ctlBandKey = Some(s"${name}_1x"))
     }
     val b5PlanMatch = planMatches.getOrElse("b5_wordcount_10x", false)
 
@@ -1653,7 +1790,10 @@ object Bench {
           .writeStream.format("parquet")
           .option("path", s"$out/sink").option("checkpointLocation", s"$out/ckpt")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        // the shared bounded-wait policy: a wedged micro-batch fails this
+        // d-point (into skipped/failed) instead of hanging the bench into
+        // the driver's hard kill — the rc=124 artifact-loss mode
+        graft.streaming.EventStreams.awaitBounded(q)
       }
       measure("d4_stream_hourly", ctlTimes)(streamOnce("1x"))
       measure("d4_stream_hourly", times)(streamOnce("10x"))
@@ -1693,7 +1833,7 @@ object Bench {
               .option("path", s"$dir/sink")
               .option("checkpointLocation", s"$dir/ckpt")
               .outputMode("append").trigger(Trigger.AvailableNow()).start()
-            q.awaitTermination()
+            graft.streaming.EventStreams.awaitBounded(q) // shared policy
           }
           run() // phase 1: build 1x/10x history into the checkpoint
           tail.write.mode("append").parquet(s"$dir/in")

@@ -5,8 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The band guard's contract (r13 verdict #1), tested without a Spark
   * session: a reading beyond BandFactor× its committed band buys one
   * confirming re-run, both readings land in `out_of_band`, and the final
-  * reading is the min over all runs. The bands file itself is pinned
-  * loadable and median-robust against the r13 outliers.
+  * reading is the min over all runs. Since r15 every out-of-band entry
+  * also carries the machine probe taken at fire time (r14 verdict #2) —
+  * -1/-1 when no probe function is wired (as here, no Spark session).
+  * The bands file itself is pinned loadable and median-robust against
+  * the r13 outliers, and the suite-tail rotation predicate (r14 verdict
+  * #4) is pinned to never touch the stream family, ≥1 s keys, or
+  * unbanded keys.
   */
 class BenchBandSpec extends AnyFunSuite {
 
@@ -39,14 +44,14 @@ class BenchBandSpec extends AnyFunSuite {
     val r = Bench.bandGuarded("q_wordcount", Seq(band * 5.0),
       () => Some(band * 0.9))
     assert(r == band * 0.9)
-    assert(Bench.outOfBand("q_wordcount") == Seq(band * 5.0, band * 0.9))
+    assert(Bench.outOfBand("q_wordcount").runs == Seq(band * 5.0, band * 0.9))
     // regression shape: the confirming run agrees — both recorded, the
     // (still out-of-band) min stands
     Bench.outOfBand.clear()
     val r2 = Bench.bandGuarded("q_wordcount", Seq(band * 5.0),
       () => Some(band * 4.8))
     assert(r2 == band * 4.8)
-    assert(Bench.outOfBand("q_wordcount") == Seq(band * 5.0, band * 4.8))
+    assert(Bench.outOfBand("q_wordcount").runs == Seq(band * 5.0, band * 4.8))
   }
 
   test("failed re-run keeps the original reading, still flagged") {
@@ -54,7 +59,7 @@ class BenchBandSpec extends AnyFunSuite {
     val band = Bench.bands("q_wordcount")
     val r = Bench.bandGuarded("q_wordcount", Seq(band * 5.0), () => None)
     assert(r == band * 5.0)
-    assert(Bench.outOfBand("q_wordcount") == Seq(band * 5.0))
+    assert(Bench.outOfBand("q_wordcount").runs == Seq(band * 5.0))
   }
 
   test("unknown key (new query this round) skips the guard") {
@@ -63,5 +68,45 @@ class BenchBandSpec extends AnyFunSuite {
     val r = Bench.bandGuarded("q_definitely_new", Seq(1e9),
       () => { reran = true; Some(0.0) })
     assert(r == 1e9 && !reran && Bench.outOfBand.isEmpty)
+  }
+
+  test("guard fire stamps the machine probe (or -1 with no probe wired)") {
+    Bench.outOfBand.clear()
+    val band = Bench.bands("q_wordcount")
+    // no Spark session in this spec → the default probe returns None
+    Bench.bandGuarded("q_wordcount", Seq(band * 5.0), () => None)
+    val e = Bench.outOfBand("q_wordcount")
+    assert(e.probeS == -1.0 && e.machineIndex == -1.0)
+    // wired probe + calibration baseline → index = probe / baseline
+    val saved = Bench.machineProbeFn
+    try {
+      Bench.machineProbeFn = () => Some(1.5)
+      Bench.probeCalibration = Some(0.5)
+      Bench.outOfBand.clear()
+      Bench.bandGuarded("q_wordcount", Seq(band * 5.0), () => None)
+      val e2 = Bench.outOfBand("q_wordcount")
+      assert(e2.probeS == 1.5 && math.abs(e2.machineIndex - 3.0) < 1e-9)
+    } finally {
+      Bench.machineProbeFn = saved
+      Bench.probeCalibration = None
+      Bench.outOfBand.clear()
+    }
+  }
+
+  test("rotation never touches stream keys, >=1s keys, or unbanded keys") {
+    val b = Bench.bands
+    assert(!Bench.rotatedOut("q_stream_attribution"))
+    assert(!Bench.rotatedOut("q_substring_trim_exact")) // band ≈ 12 s
+    assert(!Bench.rotatedOut("q_brand_new_query_without_a_band"))
+    // the rotation halves partition the sub-second tail: if a parity is
+    // derivable here, both halves are non-empty and rotated ⊂ sub-second
+    Bench.rotationParity.foreach { _ =>
+      val subSecond = b.keys.filter(k =>
+        k.startsWith("q_") && !k.startsWith("q_stream") && b(k) < 1.0).toSeq
+      val out = subSecond.filter(Bench.rotatedOut)
+      assert(out.nonEmpty && out.size < subSecond.size,
+        s"rotation split degenerate: ${out.size}/${subSecond.size}")
+      assert(subSecond.filterNot(Bench.rotatedOut).nonEmpty)
+    }
   }
 }
