@@ -833,7 +833,11 @@ object TextAnalysis {
     */
   private def runLengths(sorted: Column): Column =
     bindOnce(sorted, gs =>
-      when(size(gs) === 0, array().cast("array<int>"))
+      // <= 0 covers NULL arrays too (size(null) = -1 under legacy
+      // sizeOfNull): without it a null input would descend into
+      // sequence(1, -1) — every current caller guards nulls upstream,
+      // but the helper must be safe for ones that don't
+      when(size(gs) <= 0, array().cast("array<int>"))
         .otherwise(bindOnce(
           filter(sequence(lit(1), size(gs)), i =>
             (i === 1) || (element_at(gs, i) =!= element_at(gs, i - 1))),
