@@ -971,6 +971,124 @@ object MoreQueries {
         CAST(round(${Queries.qualityExprSql} * 1000000, 0) AS BIGINT)
           AS quality_micros
       FROM lang ORDER BY doc_id"""))),
+
+    // Streaming NEAR-dup ingest (r14 verdict stretch): the continuous
+    // composition of the crawl front door with the incremental near-dup
+    // pass — scan-side graft_minhash_bands keys into a
+    // flatMapGroupsWithState keyed on the (band, bucket) with bounded
+    // per-bucket state (StreamDedup.nearDupPairs). Two checkpointed
+    // AvailableNow runs stage the q_dedup_incr_near corpus split as a
+    // STREAM — history docs in micro-batch 1, the new batch (plus 40
+    // almost-identical re-crawls) in micro-batch 2 — so the emitted
+    // pairs must equal the batch incremental replay pair for pair. The
+    // oracle reuses q_dedup_incr_near's banding replay with the verify
+    // intersected on distinct 60-bit shingle HASHES (what the stream's
+    // state holds — see the StreamDedup scaladoc).
+    "q_stream_neardup" -> (((s: SparkSession, dir: String) => {
+      import graft.streaming.StreamDedup
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = ExtraQueries.tmp("stream_neardup_in", dir)
+      val sink = ExtraQueries.tmp("stream_neardup_out", dir)
+      val ckpt = ExtraQueries.tmp("stream_neardup_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(ExtraQueries.rmrf)
+      new java.io.File(stage).mkdirs()
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val history = docs.where(col("doc_id") % 3 === 0)
+      val batch = docs.where(col("doc_id") % 3 =!= 0)
+        .unionByName(t(s, dir, "documents")
+          .where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+          .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+            concat(col("text"), lit(" graftzz")).as("text")))
+      // stage one parquet FILE per micro-batch (the file source treats
+      // each newly-seen file as new data against the shared checkpoint)
+      def stageFile(df: DataFrame, name: String): Unit = {
+        val tmpd = s"$stage/_w_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        val part = new java.io.File(tmpd).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmpd"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$stage/$name.parquet"))
+        ExtraQueries.rmrf(tmpd)
+      }
+      def runOnce(): Unit = {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .parquet(s"$stage/*.parquet")
+        val q = StreamDedup.nearDupPairs(stream, threshold = 0.8,
+            maxBucket = 1000000)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
+      try {
+        stageFile(history, "hist")
+        runOnce() // micro-batch 1: history fills the bucket state
+        stageFile(batch, "batch")
+        runOnce() // micro-batch 2: the batch probes it
+        // a pair colliding in >1 band emits once per band with the SAME
+        // verified jaccard — distinct is the batch path's `.distinct()`
+        s.read.parquet(sink)
+          .select(col("batch_id").cast("long").as("batch_id"),
+            col("hist_id").cast("long").as("hist_id"), col("jaccard"))
+          .distinct()
+          .orderBy("batch_id", "hist_id").localCheckpoint()
+      } finally Seq(stage, sink, ckpt).foreach(ExtraQueries.rmrf)
+    }, Some {
+      val bandSelects = (0 until 4).map { b =>
+        val (i, j) = (2 * b, 2 * b + 1)
+        val sel = s"SELECT did, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+        if (b == 0) sel else s"UNION ALL $sel"
+      }.mkString(" ")
+      s"""WITH base AS (
+        SELECT 'h:' || doc_id::VARCHAR AS did, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT 'b:' || doc_id::VARCHAR, text FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT 'b:' || (doc_id + 5000000)::VARCHAR, text || ' graftzz'
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
+      w AS (
+        SELECT did, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM base),
+      shl AS (
+        SELECT did, list_distinct(list_transform(range(greatest(len(tk)-2, 1)),
+          i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS shs
+        FROM w),
+      sh AS (SELECT did, unnest(shs) AS sh FROM shl),
+      hx AS (
+        SELECT did, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+        FROM sh),
+      sig AS (SELECT did, ${Queries.minhashSigSql(8)} FROM hx GROUP BY 1),
+      bands AS ($bandSelects),
+      pairs AS (
+        SELECT DISTINCT a.did AS da, b.did AS db
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.did LIKE 'b:%' AND b.did LIKE 'h:%'),
+      shh AS (
+        SELECT DISTINCT did, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        FROM sh),
+      sizes AS (SELECT did, count(*)::BIGINT AS sz FROM shh GROUP BY 1),
+      inter AS (
+        SELECT p.da, p.db, count(*)::BIGINT AS inter
+        FROM pairs p
+        JOIN shh a ON a.did = p.da
+        JOIN shh b ON b.did = p.db AND a.h = b.h
+        GROUP BY 1, 2),
+      j AS (
+        SELECT p.da, p.db,
+          coalesce(i.inter, 0)::DOUBLE
+            / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jac
+        FROM pairs p
+        LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+        JOIN sizes sa ON sa.did = p.da
+        JOIN sizes sb ON sb.did = p.db)
+      SELECT substr(da, 3)::BIGINT AS batch_id, substr(db, 3)::BIGINT AS hist_id,
+        round(jac, 6) AS jaccard
+      FROM j WHERE round(jac, 6) >= 0.8
+      ORDER BY batch_id, hist_id"""
+    })),
   )
 
   /** The synthesized page for the q_html_* rows — ONE shape rendered by

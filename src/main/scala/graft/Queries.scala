@@ -154,7 +154,7 @@ object Queries {
   /** DuckDB select-list for MinHash signatures over a shingle-hash column
     * `x` — same affine permutation constants as [[Dedup.minhashSignatures]].
     */
-  private def minhashSigSql(numPerms: Int): String =
+  private[graft] def minhashSigSql(numPerms: Int): String =
     (0 until numPerms).map { i =>
       s"min((x * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})::BIGINT AS sig$i"
     }.mkString(", ")

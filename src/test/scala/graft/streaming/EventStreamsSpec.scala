@@ -201,6 +201,87 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming near-dup ingest ≡ batch incremental replay (r15 stretch)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val history = docs.where(col("doc_id") % 3 === 0)
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+      .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+          concat(col("text"), lit(" graftzz")).as("text")))
+    val root = Files.createTempDirectory("stream_neardup").toString
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmpd = s"$root/_w_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = Files.list(Paths.get(tmpd))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(s"$root/in/$name.parquet"))
+    }
+    Files.createDirectories(Paths.get(s"$root/in"))
+    def run(): Unit = {
+      val q = StreamDedup.nearDupPairs(
+          spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(s"$root/in/*.parquet"),
+          threshold = 0.8, maxBucket = 1000000)
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      EventStreams.awaitBounded(q)
+    }
+    // micro-batch 1 fills the bucket state; micro-batch 2 probes it
+    stage(history, "hist"); run()
+    stage(batch, "batch"); run()
+    val streamed = spark.read.parquet(s"$root/sink")
+      .select("batch_id", "hist_id", "jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val replay = graft.dedup.Dedup.incrementalNearDups(batch, history,
+        threshold = 0.8, maxBucket = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the 40 planted re-crawls guarantee a non-degenerate comparison
+    assert(streamed.nonEmpty, "stream emitted no pairs")
+    assert(streamed == replay,
+      s"stream-only: ${(streamed -- replay).take(3)}; " +
+        s"batch-only: ${(replay -- streamed).take(3)}")
+    // every emission pairs a NEW doc with an EARLIER one — never two
+    // same-batch arrivals (the incremental contract)
+    assert(streamed.forall { case (_, h, _) => h % 3 == 0 })
+  }
+
+  test("near-dup bucket state ceiling poisons oversized buckets") {
+    // maxBucket = 0: every bucket with any history is ineligible — the
+    // okBuckets analog must yield zero pairs, not unbounded state
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val root = Files.createTempDirectory("stream_neardup_cap").toString
+    Files.createDirectories(Paths.get(s"$root/in"))
+    val tmpd = s"$root/_w"
+    docs.coalesce(1).write.mode("overwrite").parquet(tmpd)
+    val part = Files.list(Paths.get(tmpd))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.move(part, Paths.get(s"$root/in/a.parquet"))
+    // the same file staged twice = guaranteed exact dups in batch 2
+    Files.copy(Paths.get(s"$root/in/a.parquet"), Paths.get(s"$root/b.parquet"))
+    def run(): Unit = {
+      val q = StreamDedup.nearDupPairs(
+          spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(s"$root/in/*.parquet"),
+          threshold = 0.8, maxBucket = 0)
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      EventStreams.awaitBounded(q)
+    }
+    run()
+    Files.move(Paths.get(s"$root/b.parquet"), Paths.get(s"$root/in/b.parquet"))
+    run()
+    assert(spark.read.parquet(s"$root/sink").count() == 0)
+  }
+
   test("RocksDB state store produces identical results to the default provider") {
     // at 100 TB the in-memory HDFS-backed state store is the wrong
     // provider — sessions/windows/join state must spill; Spark bundles
