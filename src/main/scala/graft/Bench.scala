@@ -1651,6 +1651,91 @@ object Bench {
       System.err.println(s"[bench] d22 failed: ${e.getMessage}")
     }
 
+    // d25: STREAMING near-dup ingest trend (q_stream_neardup's operator,
+    // new in r15 — measured from birth, not after a verdict asks).
+    // History FIXED at 1x, batch decorrelated ×10 — the d22 axes applied
+    // to the stream form. Phase 1 (untimed) streams the history file
+    // into the checkpointed bucket state; phase 2 (the measured point)
+    // streams the batch file against it. The operator's claim: per-batch
+    // work ∝ batch (scan-side band keys + one groupByKey shuffle +
+    // same-bucket verify only), state ∝ history bands — unchanged across
+    // scales — so phase-2 wall should read ≈ batch while emitted pairs
+    // stay pinned (only copy-0 recrawls share shingles with history;
+    // the suffixed copies band with nothing). Fresh dir per ATTEMPT, the
+    // d11 discipline: a confirming re-run replays phase 1 + phase 2 from
+    // scratch — resuming the first attempt's checkpoint would time a
+    // no-op replay.
+    try {
+      val d25root = java.nio.file.Files.createTempDirectory("graft_d25").toString
+      try {
+        import org.apache.spark.sql.streaming.Trigger
+        val hist25 = ampDocs(1).where(col("doc_id") % 3 === 0)
+          .select("doc_id", "text")
+        def batchOf25(docs: DataFrame): DataFrame =
+          docs.where(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+            .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+              .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+                concat(col("text"), lit(" graftzz")).as("text")))
+        val b25_1 = batchOf25(ampDocs(1))
+        val b25_10 = batchOf25(docs10x)
+        var d25Attempt = 0
+        def d25(tag: String, batch: DataFrame): Option[Double] =
+          try {
+            d25Attempt += 1
+            val dir = s"$d25root/${tag}_a$d25Attempt"
+            new java.io.File(s"$dir/in").mkdirs()
+            def stageFile(df: DataFrame, name: String): Unit = {
+              val tmpd = s"$dir/_w_$name"
+              df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+              val part = new java.io.File(tmpd).listFiles()
+                .find(f => f.getName.startsWith("part-") &&
+                  f.getName.endsWith(".parquet"))
+                .getOrElse(sys.error(s"no part file under $tmpd"))
+              java.nio.file.Files.move(part.toPath,
+                java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+              rmrf(new java.io.File(tmpd))
+            }
+            def run(): Unit = {
+              val q = graft.streaming.StreamDedup.nearDupPairs(
+                  spark.readStream.schema("doc_id BIGINT, text STRING")
+                    .parquet(s"$dir/in/*.parquet"),
+                  threshold = 0.8, maxBucket = 1000000)
+                .writeStream.format("parquet")
+                .option("path", s"$dir/sink")
+                .option("checkpointLocation", s"$dir/ckpt")
+                .outputMode("append").trigger(Trigger.AvailableNow()).start()
+              graft.streaming.EventStreams.awaitBounded(q) // shared policy
+            }
+            stageFile(hist25, "hist")
+            run() // phase 1: history into the bucket state (untimed)
+            stageFile(batch, "batch")
+            scaleDiag(s"d25_${tag}_batch_rows") = batch.count()
+            hygiene(spark) // state reloads from the checkpoint, as in d11
+            val t = time(run()) // phase 2: the measured batch pass
+            scaleDiag(s"d25_${tag}_pairs") = spark.read.parquet(s"$dir/sink")
+              .select("batch_id", "hist_id").distinct().count()
+            Some(t)
+          } catch { case NonFatal(e) =>
+            System.err.println(s"[bench] d25 $tag failed: ${e.getMessage}")
+            None
+          }
+        // rerun funding gate, the d11 rationale: bandGuarded prices only
+        // the timed phase 2, but a replay also pays staging + phase 1
+        def d25Rerun(tag: String, batch: DataFrame): Option[Double] =
+          if (remainingS >= 150) d25(tag, batch) else None
+        if (budgetOk("d25_stream_neardup", 240)) {
+          d25("1x", b25_1).foreach(t => ctlTimes("d25_stream_neardup") =
+            bandGuarded("d25_stream_neardup_1x", Seq(t),
+              () => d25Rerun("1x", b25_1)))
+          d25("10x", b25_10).foreach(t => times("d25_stream_neardup") =
+            bandGuarded("d25_stream_neardup_10x", Seq(t),
+              () => d25Rerun("10x", b25_10)))
+        }
+      } finally rmrf(new java.io.File(d25root))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d25 failed: ${e.getMessage}")
+    }
+
     // d23: full-PSL registered-domain trend (q_psl_domains' operator,
     // r12 verdict #4: the operator was plan-audited but had no measured
     // line). DISTINCT hosts ×10 with DECORRELATED copies — the copy

@@ -77,7 +77,9 @@ class BenchBandSpec extends AnyFunSuite {
     Bench.bandGuarded("q_wordcount", Seq(band * 5.0), () => None)
     val e = Bench.outOfBand("q_wordcount")
     assert(e.probeS == -1.0 && e.machineIndex == -1.0)
-    // wired probe + calibration baseline → index = probe / baseline
+    // wired probe → index = probe / baseline, where the baseline prefers
+    // the COMMITTED machine_probe band (cross-round) over the run's own
+    // calibration — a round whose bands predate the probe falls back
     val saved = Bench.machineProbeFn
     try {
       Bench.machineProbeFn = () => Some(1.5)
@@ -85,7 +87,9 @@ class BenchBandSpec extends AnyFunSuite {
       Bench.outOfBand.clear()
       Bench.bandGuarded("q_wordcount", Seq(band * 5.0), () => None)
       val e2 = Bench.outOfBand("q_wordcount")
-      assert(e2.probeS == 1.5 && math.abs(e2.machineIndex - 3.0) < 1e-9)
+      val baseline = Bench.bands.getOrElse("machine_probe", 0.5)
+      assert(e2.probeS == 1.5 &&
+        math.abs(e2.machineIndex - 1.5 / baseline) < 1e-9)
     } finally {
       Bench.machineProbeFn = saved
       Bench.probeCalibration = None
