@@ -41,9 +41,11 @@ def main():
             per_key.setdefault(key + "_1x", []).append(float(val))
         for key, val in art.get("controls", {}).items():
             per_key.setdefault(key + "_ctl", []).append(float(val))
-        probe = art.get("machine_probe_s", -1)
-        if isinstance(probe, (int, float)) and probe > 0:
-            per_key.setdefault("machine_probe", []).append(float(probe))
+        for field, key in (("machine_probe_s", "machine_probe"),
+                           ("machine_hash_probe_s", "machine_hash_probe")):
+            probe = art.get(field, -1)
+            if isinstance(probe, (int, float)) and probe > 0:
+                per_key.setdefault(key, []).append(float(probe))
     bands = {k: round(statistics.median(v), 3)
              for k, v in sorted(per_key.items())}
     json.dump(bands, sys.stdout, indent=1)

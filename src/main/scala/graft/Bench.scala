@@ -95,7 +95,9 @@ object Bench {
     * it (-1 when no probe / no probe baseline exists).
     */
   private[graft] case class Oob(runs: Seq[Double], probeS: Double,
-                                machineIndex: Double)
+                                machineIndex: Double,
+                                hashProbeS: Double = -1.0,
+                                hashIndex: Double = -1.0)
   private[graft] val outOfBand =
     scala.collection.mutable.LinkedHashMap[String, Oob]()
 
@@ -127,6 +129,17 @@ object Bench {
   private[graft] var probeCalibration: Option[Double] = None
   private def probeBaseline: Option[Double] =
     bands.get("machine_probe").orElse(probeCalibration)
+  // second probe FLAVOR (r15 stage-probe finding): a drift window can
+  // slow the md5/minhash codegen lane ~2x while sort-shaped work stays
+  // at band (IncrNearProbe: sig passes 11.7→1.3 s across reps in one
+  // JVM while the sort probe read 0.5x) — a sort-only probe then reads
+  // "machine fast" on a hash-lane fire. The hash probe is md5-bound
+  // pinned SQL; its index distinguishes hash-lane slowness (hash_index
+  // high, machine_index ~1) from whole-machine slowness (both high).
+  private[graft] var hashProbeFn: () => Option[Double] = () => None
+  private[graft] var hashProbeCalibration: Option[Double] = None
+  private def hashProbeBaseline: Option[Double] =
+    bands.get("machine_hash_probe").orElse(hashProbeCalibration)
 
   /** Apply the band guard to a completed measurement: returns the final
     * reading (min over all runs incl. the confirming one) and records
@@ -143,12 +156,17 @@ object Bench {
         val probe = machineProbeFn()
         val idx = (for { p <- probe; base <- probeBaseline }
           yield p / math.max(base, 1e-9)).getOrElse(-1.0)
+        val hProbe = hashProbeFn()
+        val hIdx = (for { p <- hProbe; base <- hashProbeBaseline }
+          yield p / math.max(base, 1e-9)).getOrElse(-1.0)
         (if (remainingS >= best * 1.5 + 30) rerun() else None) match {
           case Some(again) =>
-            outOfBand(key) = Oob(runs :+ again, probe.getOrElse(-1.0), idx)
+            outOfBand(key) = Oob(runs :+ again, probe.getOrElse(-1.0), idx,
+              hProbe.getOrElse(-1.0), hIdx)
             math.min(best, again)
           case None =>
-            outOfBand(key) = Oob(runs, probe.getOrElse(-1.0), idx)
+            outOfBand(key) = Oob(runs, probe.getOrElse(-1.0), idx,
+              hProbe.getOrElse(-1.0), hIdx)
             best
         }
       case _ => best
@@ -494,7 +512,8 @@ object Bench {
       val oob = outOfBand.toSeq.map { case (k, e) =>
         "\"" + k + "\":{\"runs\":" +
           e.runs.map(v => f"$v%.3f").mkString("[", ",", "]") +
-          f""","probe_s":${e.probeS}%.3f,"machine_index":${e.machineIndex}%.2f}"""
+          f""","probe_s":${e.probeS}%.3f,"machine_index":${e.machineIndex}%.2f""" +
+          f""","hash_probe_s":${e.hashProbeS}%.3f,"hash_index":${e.hashIndex}%.2f}"""
       }.mkString("{", ",", "}")
       val rotatedJson = rotated.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
       // keys timed this run that have no committed band (the guard
@@ -504,7 +523,8 @@ object Bench {
         .filterNot(bands.contains).toSeq.sorted
       val unbandedJson = unbanded.map("\"" + _ + "\"").mkString("[", ",", "]")
       val mprobe = probeCalibration.map(p => f"$p%.3f").getOrElse("-1")
-      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"rotated":$rotatedJson,"unbanded":$unbandedJson,"stream_early":${jmap(streamEarly)},"out_of_band":$oob,"machine_index":${f"$machineIndex%.2f"},"machine_probe_s":$mprobe,"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
+      val hprobe = hashProbeCalibration.map(p => f"$p%.3f").getOrElse("-1")
+      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"rotated":$rotatedJson,"unbanded":$unbandedJson,"stream_early":${jmap(streamEarly)},"out_of_band":$oob,"machine_index":${f"$machineIndex%.2f"},"machine_probe_s":$mprobe,"machine_hash_probe_s":$hprobe,"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
       // field order matters: the round artifact keeps only a TAIL of
       // stdout, so the big maps (per-query timings, 10x scale maps, diag
       // counters) go FIRST and every summary number cited by the judge
@@ -552,10 +572,22 @@ object Bench {
       System.err.println(s"[bench] machine probe failed: ${e.getMessage}")
       None
     }
-    // start-of-run calibration: the probe's in-run baseline until a
-    // committed `machine_probe` band exists (first round), and the
-    // artifact's own record of what "quiet" meant for this run
+    hashProbeFn = () => try {
+      // md5-bound pinned SQL — the hash-lane thermometer (see the
+      // hashProbeFn scaladoc); one burn + min-of-2, no hygiene
+      val p = spark.sql("""SELECT count(DISTINCT md5(concat_ws('|',
+        l_orderkey, l_linenumber, l_partkey))) AS n FROM lineitem""")
+      exec(p)
+      Some(math.min(time(exec(p)), time(exec(p))))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] hash probe failed: ${e.getMessage}")
+      None
+    }
+    // start-of-run calibration: each probe's in-run baseline until its
+    // committed band exists (first round), and the artifact's own record
+    // of what "quiet" meant for this run
     probeCalibration = machineProbeFn()
+    hashProbeCalibration = hashProbeFn()
 
     headline(spark, sfDir).foreach { case (name, df) =>
       ctl.get(name) match {

@@ -73,26 +73,35 @@ class BenchBandSpec extends AnyFunSuite {
   test("guard fire stamps the machine probe (or -1 with no probe wired)") {
     Bench.outOfBand.clear()
     val band = Bench.bands("q_wordcount")
-    // no Spark session in this spec → the default probe returns None
+    // no Spark session in this spec → the default probes return None
     Bench.bandGuarded("q_wordcount", Seq(band * 5.0), () => None)
     val e = Bench.outOfBand("q_wordcount")
     assert(e.probeS == -1.0 && e.machineIndex == -1.0)
+    assert(e.hashProbeS == -1.0 && e.hashIndex == -1.0)
     // wired probe → index = probe / baseline, where the baseline prefers
     // the COMMITTED machine_probe band (cross-round) over the run's own
     // calibration — a round whose bands predate the probe falls back
     val saved = Bench.machineProbeFn
+    val savedHash = Bench.hashProbeFn
     try {
       Bench.machineProbeFn = () => Some(1.5)
       Bench.probeCalibration = Some(0.5)
+      Bench.hashProbeFn = () => Some(2.0)
+      Bench.hashProbeCalibration = Some(0.5)
       Bench.outOfBand.clear()
       Bench.bandGuarded("q_wordcount", Seq(band * 5.0), () => None)
       val e2 = Bench.outOfBand("q_wordcount")
       val baseline = Bench.bands.getOrElse("machine_probe", 0.5)
+      val hBaseline = Bench.bands.getOrElse("machine_hash_probe", 0.5)
       assert(e2.probeS == 1.5 &&
         math.abs(e2.machineIndex - 1.5 / baseline) < 1e-9)
+      assert(e2.hashProbeS == 2.0 &&
+        math.abs(e2.hashIndex - 2.0 / hBaseline) < 1e-9)
     } finally {
       Bench.machineProbeFn = saved
       Bench.probeCalibration = None
+      Bench.hashProbeFn = savedHash
+      Bench.hashProbeCalibration = None
       Bench.outOfBand.clear()
     }
   }
