@@ -144,9 +144,19 @@ object Dedup {
     val okBuckets = hBands.groupBy("band", "bkey")
       .agg(count(lit(1)).as("_n")).where(col("_n") <= maxBucket)
       .select("band", "bkey")
-    val cand = bBands
+    val candRaw = bBands
       .join(hBands.join(okBuckets, Seq("band", "bkey")), Seq("band", "bkey"))
       .select("batch_id", "hist_id").distinct()
+    // cand re-enters FOUR subplans (both candDocs sides, prefixedPairs,
+    // the final join-back) and carries the entire two-sided LSH pipeline
+    // under it — without a cut the plan re-executes the md5 signature
+    // passes per re-entry (the r15 plan audit counted 24 document scans;
+    // ReuseExchange does not fire across the differing projections).
+    // cand is small by construction — band-collision pairs only, the
+    // history side maxBucket-guarded — so one eager local checkpoint
+    // collapses the whole thing to a single LSH pass + small-table
+    // joins. Measured at sf0.1: ~6.1 s → ~2.5 s steady-state wall.
+    val cand = graft.ops.Checkpoints.truncateTracked(candRaw).df
     val candDocs =
       batch.join(cand.select(col("batch_id").as(id)).distinct(), id)
         .select(concat(lit("b:"), col(id).cast("string")).as(id), col(text))
