@@ -1495,17 +1495,28 @@ object Bench {
         .crossJoin(spark.range(10).select(col("id").as("_k")))
         .withColumn("doc_id", col("doc_id") + col("_k") * lit(1000000000L))
         .drop("_k")
-      def decontam(tr: DataFrame, ev: DataFrame): DataFrame =
-        Dedup.incrementalNearDups(tr, ev, threshold = 0.3, numPerms = 8,
-          rowsPerBand = 2, shingleN = 3, maxBucket = 1000000)
-      measure("d17_decontam_train10x", ctlTimes)(exec(decontam(train1x, eval1x)))
-      measure("d17_decontam_train10x", times)(exec(decontam(raw10Of(train1x), eval1x)))
-      measure("d17_decontam_eval10x", times)(exec(decontam(train1x, raw10Of(eval1x))))
+      // tracked variant + release after the sink: each timed run frees
+      // its own candidate/shingle checkpoints instead of leaning on the
+      // next hygiene() pass — the long-lived-session usage the operator's
+      // scaladoc prescribes, exercised on the bench's own channel
+      def decontam(tr: DataFrame, ev: DataFrame): Unit = {
+        val (df, rel) = Dedup.incrementalNearDupsTracked(tr, ev,
+          threshold = 0.3, numPerms = 8, rowsPerBand = 2, shingleN = 3,
+          maxBucket = 1000000)
+        try exec(df) finally rel()
+      }
+      measure("d17_decontam_train10x", ctlTimes)(decontam(train1x, eval1x))
+      measure("d17_decontam_train10x", times)(decontam(raw10Of(train1x), eval1x))
+      measure("d17_decontam_eval10x", times)(decontam(train1x, raw10Of(eval1x)))
       ctlTimes.get("d17_decontam_train10x").foreach(v =>
         ctlTimes("d17_decontam_eval10x") = v)
       def dcDiag(tag: String, tr: DataFrame, ev: DataFrame): Unit = try {
-        val r = decontam(tr, ev).agg(count(lit(1)).as("pairs"),
+        val (dcDf, dcRel) = Dedup.incrementalNearDupsTracked(tr, ev,
+          threshold = 0.3, numPerms = 8, rowsPerBand = 2, shingleN = 3,
+          maxBucket = 1000000)
+        val r = try dcDf.agg(count(lit(1)).as("pairs"),
           countDistinct(col("batch_id")).as("contaminated")).head()
+        finally dcRel()
         scaleDiag(s"d17_${tag}_pairs") = r.getLong(0)
         scaleDiag(s"d17_${tag}_contaminated") = r.getLong(1)
       } catch { case NonFatal(e) =>
@@ -1658,10 +1669,14 @@ object Bench {
               concat(col("text"), lit(" graftzz")).as("text")))
       val b1 = batchOf(ampDocs(1))
       val b10 = batchOf(docs10x)
-      measure("d22_incr_near_dup", ctlTimes)(exec(
-        Dedup.incrementalNearDups(b1, history, maxBucket = 1000000)))
-      measure("d22_incr_near_dup", times)(exec(
-        Dedup.incrementalNearDups(b10, history, maxBucket = 1000000)))
+      // tracked + release per run — the d17 rationale
+      def incrNear(batch: DataFrame): Unit = {
+        val (df, rel) = Dedup.incrementalNearDupsTracked(batch, history,
+          maxBucket = 1000000)
+        try exec(df) finally rel()
+      }
+      measure("d22_incr_near_dup", ctlTimes)(incrNear(b1))
+      measure("d22_incr_near_dup", times)(incrNear(b10))
       def d22Diag(tag: String, batch: DataFrame): Unit = try {
         val hB = Dedup.lshBands(Dedup.minhashSignatures(history), 8, 2)
           .select(col("doc_id").as("hist_id"), col("band"), col("bkey"))
@@ -1670,8 +1685,9 @@ object Bench {
         scaleDiag(s"d22_${tag}_batch_rows") = batch.count()
         scaleDiag(s"d22_${tag}_candidates") = bB.join(hB, Seq("band", "bkey"))
           .select("batch_id", "hist_id").distinct().count()
-        scaleDiag(s"d22_${tag}_verified") =
-          Dedup.incrementalNearDups(batch, history, maxBucket = 1000000).count()
+        val (vDf, vRel) = Dedup.incrementalNearDupsTracked(batch, history,
+          maxBucket = 1000000)
+        scaleDiag(s"d22_${tag}_verified") = try vDf.count() finally vRel()
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] d22 diag $tag failed: ${e.getMessage}")
       }

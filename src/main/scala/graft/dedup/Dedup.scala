@@ -129,12 +129,34 @@ object Dedup {
     * Batch and history ids may collide (they are different tables), so
     * the Jaccard verification runs over a `b:`/`h:`-prefixed union of
     * just the candidate docs, then maps back to the original ids.
+    *
+    * Storage note: constructing this frame EAGERLY materializes a small
+    * candidate checkpoint (Spark jobs run at construction time, see the
+    * plan note inside) and the pinned copy lives until session end. A
+    * one-shot caller never notices; a long-lived daily-ingest session
+    * (one call per batch) should use [[incrementalNearDupsTracked]] and
+    * release each batch's checkpoint after materializing its result —
+    * the [[ngramJaccardTracked]]/GlobalRank contract.
     */
   def incrementalNearDups(batch: DataFrame, history: DataFrame,
                           threshold: Double = 0.8, numPerms: Int = 8,
                           rowsPerBand: Int = 2, shingleN: Int = 3,
                           maxBucket: Int = 1000, text: String = "text",
-                          id: String = "doc_id"): DataFrame = {
+                          id: String = "doc_id"): DataFrame =
+    incrementalNearDupsTracked(batch, history, threshold, numPerms,
+      rowsPerBand, shingleN, maxBucket, text, id)._1
+
+  /** [[incrementalNearDups]] plus a release() freeing its pinned
+    * checkpoints (the eager candidate table and the lazy verify-side
+    * shingle table). Call release only after the returned frame has
+    * materialized everywhere it is consumed — the blocks ARE its data.
+    */
+  def incrementalNearDupsTracked(
+      batch: DataFrame, history: DataFrame,
+      threshold: Double = 0.8, numPerms: Int = 8,
+      rowsPerBand: Int = 2, shingleN: Int = 3,
+      maxBucket: Int = 1000, text: String = "text",
+      id: String = "doc_id"): (DataFrame, () => Unit) = {
     val bBands = lshBands(minhashSignatures(batch, numPerms, shingleN, text, id),
         numPerms, rowsPerBand, id)
       .select(col(id).as("batch_id"), col("band"), col("bkey"))
@@ -156,7 +178,8 @@ object Dedup {
     // history side maxBucket-guarded — so one eager local checkpoint
     // collapses the whole thing to a single LSH pass + small-table
     // joins. Measured at sf0.1: ~6.1 s → ~2.5 s steady-state wall.
-    val cand = graft.ops.Checkpoints.truncateTracked(candRaw).df
+    val candT = graft.ops.Checkpoints.truncateTracked(candRaw)
+    val cand = candT.df
     val candDocs =
       batch.join(cand.select(col("batch_id").as(id)).distinct(), id)
         .select(concat(lit("b:"), col(id).cast("string")).as(id), col(text))
@@ -166,12 +189,14 @@ object Dedup {
     val prefixedPairs = cand.select(
       concat(lit("b:"), col("batch_id").cast("string")).as("doc_a"),
       concat(lit("h:"), col("hist_id").cast("string")).as("doc_b"))
-    cand.join(
-        ngramJaccard(candDocs, prefixedPairs, shingleN, text, id)
-          .where(col("jaccard") >= threshold),
+    val (jac, jacRelease) =
+      ngramJaccardTracked(candDocs, prefixedPairs, shingleN, text, id)
+    val res = cand.join(
+        jac.where(col("jaccard") >= threshold),
         concat(lit("b:"), col("batch_id").cast("string")) === col("doc_a") &&
           concat(lit("h:"), col("hist_id").cast("string")) === col("doc_b"))
       .select(col("batch_id"), col("hist_id"), col("jaccard"))
+    (res, () => { candT.release(); jacRelease() })
   }
 
   /** MinHash permutation constants: universal-hash family

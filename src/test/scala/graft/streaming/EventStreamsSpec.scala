@@ -236,18 +236,25 @@ class EventStreamsSpec extends SparkSpec {
     stage(batch, "batch"); run()
     val streamed = spark.read.parquet(s"$root/sink")
       .select("batch_id", "hist_id", "jaccard").distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val replay = graft.dedup.Dedup.incrementalNearDups(batch, history,
         threshold = 0.8, maxBucket = 1000000).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // the 40 planted re-crawls guarantee a non-degenerate comparison
     assert(streamed.nonEmpty, "stream emitted no pairs")
-    assert(streamed == replay,
-      s"stream-only: ${(streamed -- replay).take(3)}; " +
-        s"batch-only: ${(replay -- streamed).take(3)}")
+    // id-pair sets must match EXACTLY; jaccard within epsilon — the
+    // stream's Jaccard is over distinct 60-bit md5-prefix shingle
+    // HASHES while the batch replay intersects shingle STRINGS, equal
+    // only absent hash collisions (negligible but not impossible)
+    assert(streamed.keySet == replay.keySet,
+      s"stream-only: ${(streamed.keySet -- replay.keySet).take(3)}; " +
+        s"batch-only: ${(replay.keySet -- streamed.keySet).take(3)}")
+    streamed.foreach { case (k, j) =>
+      assert(math.abs(j - replay(k)) < 1e-4, s"jaccard drift at $k: $j vs ${replay(k)}")
+    }
     // every emission pairs a NEW doc with an EARLIER one — never two
     // same-batch arrivals (the incremental contract)
-    assert(streamed.forall { case (_, h, _) => h % 3 == 0 })
+    assert(streamed.keySet.forall { case (_, h) => h % 3 == 0 })
   }
 
   test("near-dup bucket state ceiling poisons oversized buckets") {
