@@ -42,7 +42,8 @@ def main():
         for key, val in art.get("controls", {}).items():
             per_key.setdefault(key + "_ctl", []).append(float(val))
         for field, key in (("machine_probe_s", "machine_probe"),
-                           ("machine_hash_probe_s", "machine_hash_probe")):
+                           ("machine_hash_probe_s", "machine_hash_probe"),
+                           ("machine_write_probe_s", "machine_write_probe")):
             probe = art.get(field, -1)
             if isinstance(probe, (int, float)) and probe > 0:
                 per_key.setdefault(key, []).append(float(probe))

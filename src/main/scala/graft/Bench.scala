@@ -90,16 +90,34 @@ object Bench {
     Map.empty
   }
   /** One out-of-band record: every reading taken (original run(s) plus
-    * the confirming re-run when funded), the machine probe's seconds at
-    * guard-fire time, and the instantaneous machine index derived from
+    * the confirming re-run when funded), each probe lane's seconds at
+    * guard-fire time, and the instantaneous per-lane index derived from
     * it (-1 when no probe / no probe baseline exists).
     */
   private[graft] case class Oob(runs: Seq[Double], probeS: Double,
                                 machineIndex: Double,
                                 hashProbeS: Double = -1.0,
-                                hashIndex: Double = -1.0)
+                                hashIndex: Double = -1.0,
+                                writeProbeS: Double = -1.0,
+                                writeIndex: Double = -1.0)
   private[graft] val outOfBand =
     scala.collection.mutable.LinkedHashMap[String, Oob]()
+
+  // ---- warm stamps (r15 verdict #3). q_heavy_hitters read 1.71x its
+  // band — under the 2x trip, so no guard fire, no probe stamp, and the
+  // artifact was silent about why. Every banded reading that lands in
+  // [WarmFactor, BandFactor) x band now records the reading, the band
+  // and all three probe-lane indexes taken AT that moment — pure
+  // evidence, no confirming re-run. Probes cost ~5 s per stamp, so a
+  // pathological all-keys-warm window caps at [[MaxWarmProbes]] probed
+  // stamps; later warm keys still record reading/band with -1 indexes.
+  private val WarmFactor = 1.5
+  private val MaxWarmProbes = 12
+  private[graft] case class Warm(reading: Double, band: Double,
+                                 sortIndex: Double, hashIndex: Double,
+                                 writeIndex: Double)
+  private[graft] val warmStamps =
+    scala.collection.mutable.LinkedHashMap[String, Warm]()
 
   // ---- run-speed normalizer (r14 verdict #2). A drift window spanning
   // the whole run defeats confirming re-runs taken inside it (r14:
@@ -118,8 +136,16 @@ object Bench {
   //    run's own start-of-run calibration).
   private var ctlSumMeasured = 0.0
   private var ctlSumBand = 0.0
+  // control keys measured this run whose _ctl band is MISSING — they
+  // silently thin machine_index's denominator after a control rename,
+  // so they go into the `unbanded` artifact field like any other
+  // banded-miss (r15 advisor: a no-op here was the one quiet path left)
+  private val ctlUnbanded = scala.collection.mutable.LinkedHashSet[String]()
   private[graft] def registerControl(bandKey: String, secs: Double): Unit =
-    bands.get(bandKey).foreach { b => ctlSumMeasured += secs; ctlSumBand += b }
+    bands.get(bandKey) match {
+      case Some(b) => ctlSumMeasured += secs; ctlSumBand += b
+      case None => ctlUnbanded += bandKey
+    }
   private def machineIndex: Double =
     if (ctlSumBand > 0) ctlSumMeasured / ctlSumBand else -1.0
   // assigned in main once the control temp views exist; min-of-2 after a
@@ -140,35 +166,73 @@ object Bench {
   private[graft] var hashProbeCalibration: Option[Double] = None
   private def hashProbeBaseline: Option[Double] =
     bands.get("machine_hash_probe").orElse(hashProbeCalibration)
+  // third probe FLAVOR (r15 verdict #1): BENCH_r15's d8_pagerank_10x
+  // fired at 2.7–4.4x band while the sort probe read 0.68 (machine FAST)
+  // and the hash probe 1.14 — the decision rule's real-regression
+  // signature — yet a fresh-JVM re-measure read dead on band. The blind
+  // spot: d8's per-iteration cost is checkpoint-block + sink WRITES, a
+  // lane neither CPU-sort nor md5-hash work touches. The write probe
+  // localCheckpoints and parquet-writes a fixed small table (the
+  // PageRank per-iteration shape), so a write/IO window stamps its own
+  // index into the evidence instead of masquerading as a regression.
+  private[graft] var writeProbeFn: () => Option[Double] = () => None
+  private[graft] var writeProbeCalibration: Option[Double] = None
+  private def writeProbeBaseline: Option[Double] =
+    bands.get("machine_write_probe").orElse(writeProbeCalibration)
+
+  /** All three probe lanes sampled NOW: seconds + index per lane
+    * (-1 where a probe or its baseline is unavailable). Decision rule
+    * (SCALING.md): reading/band ≈ any ONE index → that lane's machine
+    * window; all indexes ≈ 1 with agreeing runs → real regression.
+    */
+  private final case class ProbeStamp(sortS: Double, sortIdx: Double,
+                                      hashS: Double, hashIdx: Double,
+                                      writeS: Double, writeIdx: Double)
+  private def stampProbes(): ProbeStamp = {
+    def one(fn: () => Option[Double],
+            base: => Option[Double]): (Double, Double) = {
+      val p = fn()
+      (p.getOrElse(-1.0),
+        (for { v <- p; b <- base } yield v / math.max(b, 1e-9))
+          .getOrElse(-1.0))
+    }
+    val (s, si) = one(machineProbeFn, probeBaseline)
+    val (h, hi) = one(hashProbeFn, hashProbeBaseline)
+    val (w, wi) = one(writeProbeFn, writeProbeBaseline)
+    ProbeStamp(s, si, h, hi, w, wi)
+  }
 
   /** Apply the band guard to a completed measurement: returns the final
     * reading (min over all runs incl. the confirming one) and records
-    * out-of-band evidence — stamped with the machine probe taken at fire
-    * time (r14 verdict #2). `rerun` must be hygiene-separated and return
-    * None on failure or when the remaining budget cannot fund it (the
-    * original reading then stands, still flagged out_of_band).
+    * out-of-band evidence — stamped with all three probe lanes taken at
+    * fire time (r14 verdict #2, r15 verdict #1). `rerun` must be
+    * hygiene-separated and return None on failure or when the remaining
+    * budget cannot fund it (the original reading then stands, still
+    * flagged out_of_band). Readings in the 1.5–2x warm zone stamp probe
+    * evidence without a re-run (r15 verdict #3).
     */
   private[graft] def bandGuarded(key: String, runs: Seq[Double],
                                  rerun: () => Option[Double]): Double = {
     val best = runs.min
     bands.get(key) match {
       case Some(b) if best > b * BandFactor =>
-        val probe = machineProbeFn()
-        val idx = (for { p <- probe; base <- probeBaseline }
-          yield p / math.max(base, 1e-9)).getOrElse(-1.0)
-        val hProbe = hashProbeFn()
-        val hIdx = (for { p <- hProbe; base <- hashProbeBaseline }
-          yield p / math.max(base, 1e-9)).getOrElse(-1.0)
+        val p = stampProbes()
         (if (remainingS >= best * 1.5 + 30) rerun() else None) match {
           case Some(again) =>
-            outOfBand(key) = Oob(runs :+ again, probe.getOrElse(-1.0), idx,
-              hProbe.getOrElse(-1.0), hIdx)
+            outOfBand(key) = Oob(runs :+ again, p.sortS, p.sortIdx,
+              p.hashS, p.hashIdx, p.writeS, p.writeIdx)
             math.min(best, again)
           case None =>
-            outOfBand(key) = Oob(runs, probe.getOrElse(-1.0), idx,
-              hProbe.getOrElse(-1.0), hIdx)
+            outOfBand(key) = Oob(runs, p.sortS, p.sortIdx,
+              p.hashS, p.hashIdx, p.writeS, p.writeIdx)
             best
         }
+      case Some(b) if best > b * WarmFactor =>
+        if (warmStamps.size < MaxWarmProbes) {
+          val p = stampProbes()
+          warmStamps(key) = Warm(best, b, p.sortIdx, p.hashIdx, p.writeIdx)
+        } else warmStamps(key) = Warm(best, b, -1.0, -1.0, -1.0)
+        best
       case _ => best
     }
   }
@@ -207,15 +271,24 @@ object Bench {
       case Some("off") => None // rotation disabled: time every key
       case Some(v) if v == "0" || v == "1" => Some(v.toInt)
       case _ =>
-        // self-contained per-round flip: the committed BENCH_r{N}.json
-        // count grows by one each driver round. No round artifacts
-        // visible (non-repo checkout) → rotation off, time everything.
-        Seq(new java.io.File(sys.props.getOrElse("user.dir", ".")),
-            new java.io.File("/root/repo"))
-          .iterator
-          .map(d => Option(d.list()).getOrElse(Array.empty[String])
-            .count(_.matches("BENCH_r\\d+\\.json")))
-          .find(_ > 0).map(_ % 2)
+        // self-contained per-round flip keyed on the CURRENT round
+        // number: BENCH_ROUND when the environment exports it, else
+        // max id over committed BENCH_r{N}.json + 1 (this round's id).
+        // Max, not count (r15 advisor): counting files freezes or flips
+        // the parity when a round's artifact is missing or a stray file
+        // matches — the max id is robust to gaps and strays below it.
+        // No round artifacts visible (non-repo checkout) → rotation
+        // off, time everything.
+        sys.env.get("BENCH_ROUND").flatMap(_.toIntOption).map(_ % 2)
+          .orElse {
+            val pat = "BENCH_r(\\d+)\\.json".r
+            Seq(new java.io.File(sys.props.getOrElse("user.dir", ".")),
+                new java.io.File("/root/repo"))
+              .iterator
+              .map(d => Option(d.list()).getOrElse(Array.empty[String])
+                .collect { case pat(n) => n.toInt })
+              .find(_.nonEmpty).map(ids => (ids.max + 1) % 2)
+          }
     }
   private[graft] def rotatedOut(name: String): Boolean =
     rotationParity.exists { p =>
@@ -513,18 +586,32 @@ object Bench {
         "\"" + k + "\":{\"runs\":" +
           e.runs.map(v => f"$v%.3f").mkString("[", ",", "]") +
           f""","probe_s":${e.probeS}%.3f,"machine_index":${e.machineIndex}%.2f""" +
-          f""","hash_probe_s":${e.hashProbeS}%.3f,"hash_index":${e.hashIndex}%.2f}"""
+          f""","hash_probe_s":${e.hashProbeS}%.3f,"hash_index":${e.hashIndex}%.2f""" +
+          f""","write_probe_s":${e.writeProbeS}%.3f,"write_index":${e.writeIndex}%.2f}"""
+      }.mkString("{", ",", "}")
+      // warm evidence: banded readings in [1.5x, 2x) band — no fire, no
+      // re-run, just the three lane indexes at that instant (r15 #3)
+      val warmJson = warmStamps.toSeq.map { case (k, w) =>
+        "\"" + k + "\":{" +
+          f""""reading":${w.reading}%.3f,"band":${w.band}%.3f""" +
+          f""","ratio":${w.reading / math.max(w.band, 1e-9)}%.2f""" +
+          f""","sort_index":${w.sortIndex}%.2f,"hash_index":${w.hashIndex}%.2f""" +
+          f""","write_index":${w.writeIndex}%.2f}"""
       }.mkString("{", ",", "}")
       val rotatedJson = rotated.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
       // keys timed this run that have no committed band (the guard
-      // silently skipped them — r14 proved that needs to be LOUD)
+      // silently skipped them — r14 proved that needs to be LOUD);
+      // since r16 the banded-miss CONTROL keys too (machine_index's
+      // denominator thins silently without them)
       val unbanded = (results.keySet
-        ++ scaleTimes.keys.map(_ + "_10x") ++ scaleCtl.keys.map(_ + "_1x"))
+        ++ scaleTimes.keys.map(_ + "_10x") ++ scaleCtl.keys.map(_ + "_1x")
+        ++ ctlUnbanded)
         .filterNot(bands.contains).toSeq.sorted
       val unbandedJson = unbanded.map("\"" + _ + "\"").mkString("[", ",", "]")
       val mprobe = probeCalibration.map(p => f"$p%.3f").getOrElse("-1")
       val hprobe = hashProbeCalibration.map(p => f"$p%.3f").getOrElse("-1")
-      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"rotated":$rotatedJson,"unbanded":$unbandedJson,"stream_early":${jmap(streamEarly)},"out_of_band":$oob,"machine_index":${f"$machineIndex%.2f"},"machine_probe_s":$mprobe,"machine_hash_probe_s":$hprobe,"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
+      val wprobe = writeProbeCalibration.map(p => f"$p%.3f").getOrElse("-1")
+      val tailFields = s""""controls":${jmap(controlTimes)},"ratio_vs_control":$ratios,"plan_match":$pm,"b5_plan_match_10x":$b5pm,"twin_check":$twin,"contaminated":$contaminated,"missing_from_suite":$missingJson,"skipped":$skippedJson,"rotated":$rotatedJson,"unbanded":$unbandedJson,"stream_early":${jmap(streamEarly)},"out_of_band":$oob,"warm":$warmJson,"machine_index":${f"$machineIndex%.2f"},"machine_probe_s":$mprobe,"machine_hash_probe_s":$hprobe,"machine_write_probe_s":$wprobe,"run_stage":"$stage","suite_incomplete":$incomplete,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"}"""
       // field order matters: the round artifact keeps only a TAIL of
       // stdout, so the big maps (per-query timings, 10x scale maps, diag
       // counters) go FIRST and every summary number cited by the judge
@@ -583,11 +670,34 @@ object Bench {
       System.err.println(s"[bench] hash probe failed: ${e.getMessage}")
       None
     }
+    // write-lane thermometer (r15 verdict #1): localCheckpoint + parquet
+    // write of a fixed 1.5M-row table — the PageRank per-iteration cost
+    // shape (checkpoint blocks + FS bytes), with the column work kept
+    // trivially cheap (no md5, no sort) so the reading is write-bound.
+    // One burn + min-of-2, no hygiene, like the other two lanes.
+    val wprobePath = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft_wprobe_${ProcessHandle.current().pid()}"
+    writeProbeFn = () => try {
+      val df = spark.range(0, 1500000, 1, 8)
+        .select(col("id"), pmod(col("id") * 2654435761L, lit(1000003L)).as("k"),
+          concat(lit("graft-write-probe-value-"), col("id")).as("s"))
+      def once(): Double = time {
+        val t = graft.ops.Checkpoints.truncateTracked(df)
+        try t.df.write.mode("overwrite").parquet(wprobePath)
+        finally t.release()
+      }
+      once() // burn
+      Some(math.min(once(), once()))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] write probe failed: ${e.getMessage}")
+      None
+    }
     // start-of-run calibration: each probe's in-run baseline until its
     // committed band exists (first round), and the artifact's own record
     // of what "quiet" meant for this run
     probeCalibration = machineProbeFn()
     hashProbeCalibration = hashProbeFn()
+    writeProbeCalibration = writeProbeFn()
 
     headline(spark, sfDir).foreach { case (name, df) =>
       ctl.get(name) match {
@@ -665,11 +775,49 @@ object Bench {
     // rotated-out sub-second tail key lands in `rotated` (see the
     // rotation scaladoc) without being timed at all.
     suiteAttempted = true
-    Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // ---- adaptive rotation (r15 verdict #4). The r15 driver window
+    // skipped 30 banded suite-tail keys when the budget ran out: the
+    // budget governor sheds from the alphabetical TAIL — whatever sorts
+    // last, regardless of cost or signal. Shed DELIBERATELY instead:
+    // project the remaining suite cost from each pending key's committed
+    // band x the live machine_index, and when the projection no longer
+    // fits the remaining budget (after the twin + artifact reserve),
+    // rotate out pending sub-[[AdaptiveRotateBelowS]] keys — the least
+    // regression signal per second, and their bands carry forward
+    // exactly like parity-rotated keys. Stream keys (the documented
+    // drift detector) and unbanded keys (rows still earning a band) are
+    // never shed; keys the shedding cannot cover still hit the honest
+    // `skipped` governor. Disabled with rotation (BENCH_ROTATION=off).
+    val AdaptiveRotateBelowS = 3.0
+    val suiteSeq = Queries.queries.toSeq.sortBy(_._1)
+    def estCost(name: String): Double =
+      // min-of-2 below 5 s and for q_stream at any duration (the loop's
+      // own protocol), + hygiene ~0.6 s; unbanded keys get a
+      // conservative placeholder so the projection can't run optimistic
+      bands.get(name).map { b =>
+        val runs = if (b < 5.0 || name.startsWith("q_stream")) 2 else 1
+        runs * b + 0.6
+      }.getOrElse(12.0)
+    var pendingEst = suiteSeq.collect {
+      case (n, _) if !rotatedOut(n) => estCost(n)
+    }.sum
+    def adaptiveShed(name: String): Boolean =
+      rotationParity.nonEmpty &&
+        !name.startsWith("q_stream") &&
+        bands.get(name).exists(_ < AdaptiveRotateBelowS) &&
+        pendingEst * math.max(1.0, machineIndex) > remainingS - 170
+    suiteSeq.foreach { case (name, fn) =>
       if (rotatedOut(name)) rotated += name
+      else if (adaptiveShed(name)) {
+        pendingEst -= estCost(name)
+        rotated += name
+        System.err.println(f"[bench] adaptive-rotate $name " +
+          f"(pending est ${pendingEst}%.0f s, remaining ${remainingS}%.0f s, " +
+          f"machine_index $machineIndex%.2f)")
+      }
       // reserve room for the twin + artifact writes before the budget
       // wall (the d-series already ran — it no longer needs a rump here)
-      else if (budgetOk(name, 150)) try {
+      else if ({ pendingEst -= estCost(name); budgetOk(name, 150) }) try {
         hygiene(spark) // clean slate per query — see hygiene scaladoc
         val runs = scala.collection.mutable.ArrayBuffer(
           time(exec(fn(spark, sfDir))))
@@ -726,6 +874,7 @@ object Bench {
     // final artifact: the full line + summary, printed as the LAST
     // stdout lines so any tail capture parses the summary
     emit("complete", printFull = true, printSummary = true)
+    rmrf(new java.io.File(wprobePath)) // write-probe scratch
     spark.stop()
     val missingFromSuite = (Queries.queries.keySet -- results.keySet
       -- failed.toSet -- skipped.toSet -- rotated.toSet).toSeq.sorted

@@ -78,31 +78,81 @@ class BenchBandSpec extends AnyFunSuite {
     val e = Bench.outOfBand("q_wordcount")
     assert(e.probeS == -1.0 && e.machineIndex == -1.0)
     assert(e.hashProbeS == -1.0 && e.hashIndex == -1.0)
+    assert(e.writeProbeS == -1.0 && e.writeIndex == -1.0)
     // wired probe → index = probe / baseline, where the baseline prefers
     // the COMMITTED machine_probe band (cross-round) over the run's own
     // calibration — a round whose bands predate the probe falls back
     val saved = Bench.machineProbeFn
     val savedHash = Bench.hashProbeFn
+    val savedWrite = Bench.writeProbeFn
     try {
       Bench.machineProbeFn = () => Some(1.5)
       Bench.probeCalibration = Some(0.5)
       Bench.hashProbeFn = () => Some(2.0)
       Bench.hashProbeCalibration = Some(0.5)
+      Bench.writeProbeFn = () => Some(3.0)
+      Bench.writeProbeCalibration = Some(1.0)
       Bench.outOfBand.clear()
       Bench.bandGuarded("q_wordcount", Seq(band * 5.0), () => None)
       val e2 = Bench.outOfBand("q_wordcount")
       val baseline = Bench.bands.getOrElse("machine_probe", 0.5)
       val hBaseline = Bench.bands.getOrElse("machine_hash_probe", 0.5)
+      val wBaseline = Bench.bands.getOrElse("machine_write_probe", 1.0)
       assert(e2.probeS == 1.5 &&
         math.abs(e2.machineIndex - 1.5 / baseline) < 1e-9)
       assert(e2.hashProbeS == 2.0 &&
         math.abs(e2.hashIndex - 2.0 / hBaseline) < 1e-9)
+      assert(e2.writeProbeS == 3.0 &&
+        math.abs(e2.writeIndex - 3.0 / wBaseline) < 1e-9)
     } finally {
       Bench.machineProbeFn = saved
       Bench.probeCalibration = None
       Bench.hashProbeFn = savedHash
       Bench.hashProbeCalibration = None
+      Bench.writeProbeFn = savedWrite
+      Bench.writeProbeCalibration = None
       Bench.outOfBand.clear()
+    }
+  }
+
+  test("warm zone (1.5–2x band) stamps probe indexes, no re-run, no fire") {
+    Bench.outOfBand.clear()
+    Bench.warmStamps.clear()
+    val band = Bench.bands("q_wordcount")
+    val saved = Bench.machineProbeFn
+    val savedHash = Bench.hashProbeFn
+    val savedWrite = Bench.writeProbeFn
+    try {
+      Bench.machineProbeFn = () => Some(1.0)
+      Bench.probeCalibration = Some(0.5)
+      Bench.hashProbeFn = () => None
+      Bench.writeProbeFn = () => Some(2.0)
+      Bench.writeProbeCalibration = Some(1.0)
+      var reran = false
+      val r = Bench.bandGuarded("q_wordcount", Seq(band * 1.7),
+        () => { reran = true; Some(0.0) })
+      assert(r == band * 1.7 && !reran && Bench.outOfBand.isEmpty)
+      val w = Bench.warmStamps("q_wordcount")
+      assert(w.reading == band * 1.7 && w.band == band)
+      val baseline = Bench.bands.getOrElse("machine_probe", 0.5)
+      val wBaseline = Bench.bands.getOrElse("machine_write_probe", 1.0)
+      assert(math.abs(w.sortIndex - 1.0 / baseline) < 1e-9)
+      assert(w.hashIndex == -1.0) // unavailable lane reads -1, not 0
+      assert(math.abs(w.writeIndex - 2.0 / wBaseline) < 1e-9)
+      // just-in-band and beyond-trip readings never land in warm
+      Bench.warmStamps.clear()
+      Bench.bandGuarded("q_wordcount", Seq(band * 1.4), () => None)
+      assert(Bench.warmStamps.isEmpty)
+      Bench.bandGuarded("q_wordcount", Seq(band * 2.5), () => Some(band))
+      assert(Bench.warmStamps.isEmpty && Bench.outOfBand.nonEmpty)
+    } finally {
+      Bench.machineProbeFn = saved
+      Bench.probeCalibration = None
+      Bench.hashProbeFn = savedHash
+      Bench.writeProbeFn = savedWrite
+      Bench.writeProbeCalibration = None
+      Bench.outOfBand.clear()
+      Bench.warmStamps.clear()
     }
   }
 
