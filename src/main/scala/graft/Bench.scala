@@ -1933,6 +1933,92 @@ object Bench {
       System.err.println(s"[bench] d25 failed: ${e.getMessage}")
     }
 
+    // d25b: TTL near-dup state stays BOUNDED across micro-batches
+    // (r15 verdict #5) — counters only, untimed. Four staged files with
+    // event times advancing past the 2 h horizon, one AvailableNow run
+    // each through the TTL path and the NoTimeout path
+    // (maxFilesPerTrigger=1 → one micro-batch per file). The TTL claim,
+    // pinned by the state-store's own numRowsTotal metric: buckets whose
+    // docs all aged out are REMOVED, so final TTL state rows sit well
+    // under the NoTimeout total — and re-crawls of beyond-horizon
+    // history (f3's copies of f1 docs) pair ONLY on the NoTimeout path,
+    // while in-horizon re-crawls (f2's copies of f1) pair on both.
+    try {
+      val root25b = java.nio.file.Files.createTempDirectory("graft_d25b").toString
+      try {
+        import org.apache.spark.sql.streaming.Trigger
+        val base25 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        def at25(h: Double) = new java.sql.Timestamp(
+          base25.getTime + (h * 3600000).toLong)
+        def recrawls(lo: Int, hi: Int, h: Double): DataFrame =
+          docs1x.where(col("doc_id") % 3 === 0 &&
+              col("doc_id") >= lo && col("doc_id") < hi)
+            .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+              concat(col("text"), lit(" graftzz")).as("text"),
+              lit(at25(h)).as("ts"))
+        val f1 = docs1x.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), lit(at25(0)).as("ts"))
+        val f2 = docs1x.where(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text"), lit(at25(1.5)).as("ts"))
+          .unionByName(recrawls(0, 120, 1.5)) // in-horizon: pairs on BOTH paths
+        val f3 = docs1x.where(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("text"), lit(at25(3.0)).as("ts"))
+          .unionByName(recrawls(120, 240, 3.0)) // f1 aged out: NoTimeout-only pairs
+        // f4: inert driver batch (reversed text shares no shingles) —
+        // its watermark (base+6h) lets the timeout pass REMOVE the f1
+        // buckets so the final numRowsTotal reflects eviction
+        val f4 = docs1x.where(col("doc_id") % 3 === 1 && col("doc_id") < 30)
+          .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+            reverse(col("text")).as("text"), lit(at25(6.0)).as("ts"))
+        def run25b(tag: String, ttl: Boolean): Unit = {
+          val dir = s"$root25b/$tag"
+          new java.io.File(s"$dir/in").mkdirs()
+          Seq(f1 -> "f1", f2 -> "f2", f3 -> "f3", f4 -> "f4")
+            .zipWithIndex.foreach { case ((df, name), i) =>
+              val tmpd = s"$dir/_w_$name"
+              df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+              val part = new java.io.File(tmpd).listFiles()
+                .find(f => f.getName.startsWith("part-") &&
+                  f.getName.endsWith(".parquet"))
+                .getOrElse(sys.error(s"no part file under $tmpd"))
+              val dst = java.nio.file.Paths.get(s"$dir/in/$name.parquet")
+              java.nio.file.Files.move(part.toPath, dst)
+              // explicit mod-time order: the file source triggers oldest
+              // first, and sub-ms writes could otherwise tie
+              dst.toFile.setLastModified(1000000000000L + i * 60000L)
+              rmrf(new java.io.File(tmpd))
+            }
+          val src = spark.readStream
+            .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$dir/in/*.parquet")
+          val pairs =
+            if (ttl) graft.streaming.StreamDedup.nearDupPairsTtl(
+              src, tsCol = "ts", horizonMs = 2L * 3600 * 1000,
+              threshold = 0.8, maxBucket = 1000000)
+            else graft.streaming.StreamDedup.nearDupPairs(
+              src.drop("ts"), threshold = 0.8, maxBucket = 1000000)
+          val q = pairs.writeStream.format("parquet")
+            .option("path", s"$dir/sink")
+            .option("checkpointLocation", s"$dir/ckpt")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          graft.streaming.EventStreams.awaitBounded(q)
+          val stateRows = q.recentProgress.reverse
+            .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+            .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+          scaleDiag(s"d25b_${tag}_state_rows") = stateRows
+          scaleDiag(s"d25b_${tag}_pairs") = spark.read.parquet(s"$dir/sink")
+            .select("batch_id", "hist_id").distinct().count()
+        }
+        if (budgetOk("d25b_ttl_trend", 150)) {
+          run25b("ttl", ttl = true)
+          run25b("nottl", ttl = false)
+        }
+      } finally rmrf(new java.io.File(root25b))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] d25b failed: ${e.getMessage}")
+    }
+
     // d23: full-PSL registered-domain trend (q_psl_domains' operator,
     // r12 verdict #4: the operator was plan-audited but had no measured
     // line). DISTINCT hosts ×10 with DECORRELATED copies — the copy

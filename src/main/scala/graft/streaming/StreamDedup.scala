@@ -48,6 +48,19 @@ object StreamDedup {
   case class BandedDoc(band: Int, bkey: String, docId: Long,
                        shingles: Array[Long])
 
+  /** [[BandedDoc]] plus the doc's event time — the TTL variant's state
+    * must know how old each history doc is. Kept as a Timestamp field:
+    * the watermark METADATA rides the original column attribute, and
+    * the event-time-timeout checker requires that attribute to survive
+    * into the stateful operator's input (a `unix_millis` projection
+    * strips it).
+    */
+  case class BandedDocT(band: Int, bkey: String, docId: Long,
+                        ts: java.sql.Timestamp, shingles: Array[Long])
+
+  /** TTL bucket state: (docId, event-time ms, shingle hashes) per doc. */
+  case class BucketStateT(docs: List[(Long, Long, Array[Long])])
+
   /** Bucket state: (docId, shingle hashes) for every doc seen in this
     * bucket, capped at maxBucket + 1 entries (the +1 pins "over the
     * ceiling" without unbounded growth).
@@ -125,6 +138,105 @@ object StreamDedup {
               st.docs ::: arrivals.take(room)
                 .map(a => (a.docId, a.shingles)).toList))
           out.iterator
+      }
+  }
+
+  /** [[nearDupPairs]] with an EVENT-TIME TTL on the bucket state — the
+    * true-continuous-ingest form (r15 verdict #5). [[nearDupPairs]]'
+    * state is bounded per bucket but never evicted globally, so a crawl
+    * ingest that runs for months accumulates state ∝ corpus shingle
+    * mass. Here every state doc carries its event time and ages out of
+    * the dedup horizon: a doc expires once `ts + horizonMs` falls
+    * behind the stream's watermark (the `dedupStream` /
+    * dropDuplicatesWithinWatermark pattern applied to the near-dup
+    * state), and a bucket whose docs have all expired is REMOVED via
+    * `EventTimeTimeout` — total state is O(docs within the horizon),
+    * not O(stream lifetime).
+    *
+    * Semantics: pairs emitted are exactly
+    * `incrementalNearDups(batch, history WITHIN the horizon)` — history
+    * docs with `ts + horizonMs > watermark` at the batch's processing
+    * time. Eviction is watermark-relative (standard streaming
+    * semantics): the watermark trails the max event time seen by
+    * `delay`, so the batch replay's history filter uses the same
+    * watermark value. Expiry can also UN-poison an over-ceiling bucket
+    * as its boilerplate ages out — deliberate: the ceiling protects
+    * state size at any instant, and the horizon is the instant's width.
+    *
+    * `docs` must carry `doc_id`, `text` and an event-time column
+    * `tsCol`; the watermark is applied here (`delay` as in
+    * `withWatermark`).
+    */
+  def nearDupPairsTtl(docs: DataFrame, tsCol: String, horizonMs: Long,
+                      delay: String = "0 seconds",
+                      threshold: Double = 0.8,
+                      numPerms: Int = 8, rowsPerBand: Int = 2,
+                      shingleN: Int = 3,
+                      maxBucket: Int = 1000): Dataset[NearDupPair] = {
+    require(horizonMs > 0, "horizonMs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // normalize FIRST, watermark the normalized column, then only
+    // project the attribute through: the watermark tag lives in the
+    // column attribute's metadata and must reach the stateful operator
+    val banded = docs
+      .where(col(tsCol).isNotNull) // a null event time cannot age
+      .select(col("doc_id").cast("long").as("docId"),
+        col(tsCol).cast("timestamp").as("ts"), col("text"))
+      .withWatermark("ts", delay)
+      .select(col("docId"), col("ts"),
+        array_sort(array_distinct(transform(
+          array_distinct(Dedup.shingles(col("text"), shingleN)),
+          s => Dedup.shingleHash(s)))).as("shingles"),
+        posexplode(Dedup.minhashBandKeys(col("text"), numPerms,
+          rowsPerBand, shingleN)))
+      .select(col("pos").as("band"), col("col").as("bkey"),
+        col("docId"), col("ts"), col("shingles"))
+      .as[BandedDocT]
+    banded
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[BucketStateT, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.docs).getOrElse(Nil)
+          // age-out: a doc is history only while its event time is
+          // within horizonMs of the watermark
+          val live = prior.filter { case (_, ts, _) => ts + horizonMs > wm }
+          // the next instant this bucket needs attention: its youngest
+          // doc's expiry (must sit strictly above the watermark —
+          // late-data arrivals can carry ts at/below it)
+          def armTimeout(docs: List[(Long, Long, Array[Long])]): Unit =
+            state.setTimeoutTimestamp(
+              math.max(docs.map(_._2).max + horizonMs, wm + 1))
+          if (state.hasTimedOut) {
+            // no new arrivals; drop expired docs, remove an empty bucket
+            if (live.isEmpty) state.remove()
+            else { state.update(BucketStateT(live)); armTimeout(live) }
+            Iterator.empty
+          } else {
+            val arrivals = rows.toSeq.sortBy(_.docId)
+            // bucket eligible ⇔ LIVE history ≤ maxBucket (the okBuckets
+            // ceiling over the docs still within the horizon)
+            val out =
+              if (live.isEmpty || live.size > maxBucket) Seq.empty
+              else for {
+                a <- arrivals
+                (hid, _, hsh) <- live
+                j = jaccard(a.shingles.toSet, hsh.toSet)
+                if j >= threshold
+              } yield NearDupPair(a.docId, hid, j)
+            val room = maxBucket + 1 - live.size
+            val updated =
+              if (room > 0)
+                live ::: arrivals.take(room)
+                  .map(a => (a.docId, a.ts.getTime, a.shingles)).toList
+              else live
+            if (updated.nonEmpty) {
+              state.update(BucketStateT(updated)); armTimeout(updated)
+            } else if (state.exists) state.remove()
+            out.iterator
+          }
       }
   }
 }

@@ -257,6 +257,131 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.keySet.forall { case (_, h) => h % 3 == 0 })
   }
 
+  test("TTL near-dup state ages history out of the dedup horizon") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(h: Double) = new java.sql.Timestamp(
+      base.getTime + (h * 3600000).toLong)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // history: an OLD half (ts = base) and a RECENT half (base + 3h)
+    val histOld = docs
+      .where(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+      .withColumn("ts", lit(at(0)))
+    val histRecent = docs
+      .where(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1)
+      .withColumn("ts", lit(at(3.0)))
+    // batch: fresh docs + re-crawls of BOTH history halves
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+      .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 240)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+          concat(col("text"), lit(" graftzz")).as("text")))
+      .withColumn("ts", lit(at(4.0)))
+    val root = Files.createTempDirectory("stream_neardup_ttl").toString
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmpd = s"$root/_w_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = Files.list(Paths.get(tmpd))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(s"$root/in/$name.parquet"))
+    }
+    Files.createDirectories(Paths.get(s"$root/in"))
+    def run(): Unit = {
+      val q = StreamDedup.nearDupPairsTtl(
+          spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+            .parquet(s"$root/in/*.parquet"),
+          tsCol = "ts", horizonMs = 2L * 3600 * 1000,
+          threshold = 0.8, maxBucket = 1000000)
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      EventStreams.awaitBounded(q)
+    }
+    stage(histOld.unionByName(histRecent), "hist"); run()
+    stage(batch, "batch"); run()
+    val streamed = spark.read.parquet(s"$root/sink")
+      .select("batch_id", "hist_id", "jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // watermark at the batch's processing instant = phase-1 max event
+    // time (base+3h, delay 0): histOld's ts + 2h horizon sits behind it
+    // — out of the horizon — so the batch replay's history is
+    // histRecent ONLY. Same id-pair set, jaccard within epsilon (the
+    // hash-set-vs-string-shingle convention of the NoTimeout test).
+    val replay = graft.dedup.Dedup.incrementalNearDups(
+        batch.drop("ts"), histRecent.drop("ts"),
+        threshold = 0.8, maxBucket = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed.nonEmpty, "TTL stream emitted no pairs")
+    assert(streamed.keySet == replay.keySet,
+      s"stream-only: ${(streamed.keySet -- replay.keySet).take(3)}; " +
+        s"batch-only: ${(replay.keySet -- streamed.keySet).take(3)}")
+    streamed.foreach { case (k, j) =>
+      assert(math.abs(j - replay(k)) < 1e-4, s"jaccard drift at $k")
+    }
+    // the sharp TTL claim: no emitted pair references an aged-out
+    // (even-id) history doc, and pairs against recent docs DO exist —
+    // the re-crawls covered both halves, so absence is eviction
+    assert(streamed.keySet.forall { case (_, h) => h % 2 == 1 },
+      "pair referenced an aged-out history doc")
+    assert(streamed.keySet.exists { case (b, _) => b >= 5000000L })
+  }
+
+  test("TTL evicts aged-out buckets from the state store (numRowsTotal)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(h: Double) = new java.sql.Timestamp(
+      base.getTime + (h * 3600000).toLong)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val f1 = docs.withColumn("ts", lit(at(0)))
+    // f2 far past the horizon; reversed text shares no shingles with f1
+    // so every f1 bucket is untouched by data and must age out via the
+    // event-time TIMEOUT path alone
+    val f2 = docs.select((col("doc_id") + lit(7000000L)).as("doc_id"),
+      reverse(col("text")).as("text"), lit(at(6.0)).as("ts"))
+    def run(tag: String, ttl: Boolean): Long = {
+      val root = Files.createTempDirectory(s"ttl_state_$tag").toString
+      Files.createDirectories(Paths.get(s"$root/in"))
+      Seq(f1 -> "f1", f2 -> "f2").zipWithIndex.foreach {
+        case ((df, name), i) =>
+          val tmpd = s"$root/_w_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val part = Files.list(Paths.get(tmpd))
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          val dst = Paths.get(s"$root/in/$name.parquet")
+          Files.move(part, dst)
+          dst.toFile.setLastModified(1000000000000L + i * 60000L)
+      }
+      val src = spark.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*.parquet")
+      val pairs =
+        if (ttl) StreamDedup.nearDupPairsTtl(src, tsCol = "ts",
+          horizonMs = 2L * 3600 * 1000, maxBucket = 1000000)
+        else StreamDedup.nearDupPairs(src.drop("ts"), maxBucket = 1000000)
+      val q = pairs.writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      EventStreams.awaitBounded(q)
+      q.recentProgress.reverse
+        .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    }
+    val ttlRows = run("ttl", ttl = true)
+    val noTtlRows = run("nottl", ttl = false)
+    // NoTimeout holds every bucket ever seen; TTL must have dropped the
+    // f1 buckets (f2's watermark sits 4h past their 2h horizon) — at
+    // most the f2 buckets remain, i.e. well under half the total
+    assert(noTtlRows > 0 && ttlRows >= 0,
+      s"state metrics unavailable: ttl=$ttlRows nottl=$noTtlRows")
+    assert(ttlRows <= noTtlRows / 2 + 1,
+      s"TTL state not evicted: $ttlRows vs $noTtlRows")
+  }
+
   test("near-dup bucket state ceiling poisons oversized buckets") {
     // maxBucket = 0: every bucket with any history is ineligible — the
     // okBuckets analog must yield zero pairs, not unbounded state
