@@ -1089,6 +1089,194 @@ object MoreQueries {
       FROM j WHERE round(jac, 6) >= 0.8
       ORDER BY batch_id, hist_id"""
     })),
+
+    // The streaming crawl FRONT DOOR (r15 verdict stretch): ingest →
+    // exact-dedup → near-dup flag as ONE stream graph
+    // (StreamDedup.frontDoor). Raw crawl pages (crawl_id, html) stream
+    // through main-text extraction (the q_stream_ingest contract) into
+    // a single flatMapGroupsWithState that runs BOTH dedup stages
+    // against the LSH bucket state: byte-identical pages map to their
+    // canonical earliest arrival (exact), exact-survivors
+    // Jaccard-verify against earlier micro-batches (near). Two
+    // checkpointed AvailableNow runs stage history pages then a crawl
+    // batch carrying three planted classes — ' graftzz' near re-crawls,
+    // byte-identical history re-crawls, intra-batch page dups — and the
+    // sink folds to one verdict per crawled page. The oracle replays
+    // the whole composition: page synthesis → main-text extraction →
+    // hash-canonical exact mapping → band/Jaccard near replay over the
+    // exact-survivors vs the canonical history.
+    "q_stream_frontdoor" -> (((s: SparkSession, dir: String) => {
+      import graft.streaming.StreamDedup
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = ExtraQueries.tmp("stream_frontdoor_in", dir)
+      val sink = ExtraQueries.tmp("stream_frontdoor_out", dir)
+      val ckpt = ExtraQueries.tmp("stream_frontdoor_ckpt", dir)
+      Seq(stage, sink, ckpt).foreach(ExtraQueries.rmrf)
+      new java.io.File(stage).mkdirs()
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      def pages(d: DataFrame, crawlId: Column): DataFrame =
+        d.select(crawlId.cast("long").as("crawl_id"), docHtml.as("html"))
+      val hist = pages(docs.where(col("doc_id") % 3 === 0), col("doc_id"))
+      val batch = pages(docs.where(col("doc_id") % 3 =!= 0), col("doc_id"))
+        .unionByName(pages(
+          docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+            .withColumn("text", concat(col("text"), lit(" graftzz"))),
+          col("doc_id") + 5000000L))
+        .unionByName(pages(
+          docs.where(col("doc_id") % 3 === 0 &&
+            col("doc_id") >= 120 && col("doc_id") < 240),
+          col("doc_id") + 7000000L))
+        .unionByName(pages(
+          docs.where(col("doc_id") % 3 === 1 && col("doc_id") < 60),
+          col("doc_id") + 8000000L))
+      def stageFile(df: DataFrame, name: String): Unit = {
+        val tmpd = s"$stage/_w_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        val part = new java.io.File(tmpd).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmpd"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$stage/$name.parquet"))
+        ExtraQueries.rmrf(tmpd)
+      }
+      def runOnce(): Unit = {
+        val q = StreamDedup.frontDoor(
+            s.readStream.schema("crawl_id BIGINT, html STRING")
+              .parquet(s"$stage/*.parquet"),
+            threshold = 0.8, maxBucket = 1000000)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
+      try {
+        stageFile(hist, "hist")
+        runOnce() // micro-batch 1: history pages fill the bucket state
+        stageFile(batch, "batch")
+        runOnce() // micro-batch 2: the crawl batch through the door
+        // one verdict per crawled page: exact beats near beats unique;
+        // dup_of = canonical (min) match, jaccard = strongest match.
+        // Multi-bucket duplicate emissions collapse under the distinct
+        // + min/max aggregates (the batch path's .distinct()).
+        val pairs = s.read.parquet(sink).distinct()
+        val ex = pairs.where(col("exact"))
+          .groupBy(col("new_id").as("crawl_id"))
+          .agg(min("dup_id").as("dup_of_e"))
+        val nr = pairs.where(!col("exact"))
+          .groupBy(col("new_id").as("crawl_id"))
+          .agg(min("dup_id").as("dup_of_n"), max("jaccard").as("jac_n"))
+        batch.select("crawl_id")
+          .join(ex, Seq("crawl_id"), "left")
+          .join(nr, Seq("crawl_id"), "left")
+          .select(col("crawl_id"),
+            when(col("dup_of_e").isNotNull, lit("exact_dup"))
+              .when(col("dup_of_n").isNotNull, lit("near_dup"))
+              .otherwise(lit("unique")).as("status"),
+            coalesce(col("dup_of_e"), col("dup_of_n"), lit(-1L)).as("dup_of"),
+            when(col("dup_of_e").isNotNull, lit(1.0))
+              .when(col("jac_n").isNotNull, col("jac_n"))
+              .otherwise(lit(0.0)).as("jaccard"))
+          .orderBy("crawl_id").localCheckpoint()
+      } finally Seq(stage, sink, ckpt).foreach(ExtraQueries.rmrf)
+    }, Some {
+      val bandSelects = (0 until 4).map { b =>
+        val (i, j) = (2 * b, 2 * b + 1)
+        val sel = s"SELECT did, $b AS band, md5(sig$i::VARCHAR || '|' || sig$j::VARCHAR) AS bkey FROM sig"
+        if (b == 0) sel else s"UNION ALL $sel"
+      }.mkString(" ")
+      s"""WITH src AS (
+        SELECT doc_id AS crawl_id, 0 AS phase, doc_id, source, text
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, 1, doc_id, source, text
+        FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 5000000, 1, doc_id, source, text || ' graftzz'
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120
+        UNION ALL
+        SELECT doc_id + 7000000, 1, doc_id, source, text
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 120 AND doc_id < 240
+        UNION ALL
+        SELECT doc_id + 8000000, 1, doc_id, source, text
+        FROM documents WHERE doc_id % 3 = 1 AND doc_id < 60),
+      pg AS (
+        SELECT crawl_id, phase,
+          replace(${graft.text.Html.mainTextSql(docHtmlSql)}, chr(10), ' ')
+            AS text
+        FROM src),
+      ranked AS (
+        SELECT crawl_id, phase, text,
+          row_number() OVER (PARTITION BY md5(text)
+            ORDER BY phase, crawl_id) AS rn,
+          first_value(crawl_id) OVER (PARTITION BY md5(text)
+            ORDER BY phase, crawl_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS holder
+        FROM pg),
+      exact_pairs AS (
+        SELECT crawl_id AS new_id, holder AS dup_id
+        FROM ranked WHERE rn > 1 AND phase = 1),
+      base AS (
+        SELECT 'b:' || crawl_id::VARCHAR AS did, text
+        FROM ranked WHERE phase = 1 AND rn = 1
+        UNION ALL
+        SELECT 'h:' || crawl_id::VARCHAR, text
+        FROM ranked WHERE phase = 0 AND rn = 1),
+      w AS (
+        SELECT did, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        FROM base),
+      shl AS (
+        SELECT did, list_distinct(list_transform(range(greatest(len(tk)-2, 1)),
+          i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS shs
+        FROM w),
+      sh AS (SELECT did, unnest(shs) AS sh FROM shl),
+      hx AS (
+        SELECT did, ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS x
+        FROM sh),
+      sig AS (SELECT did, ${Queries.minhashSigSql(8)} FROM hx GROUP BY 1),
+      bands AS ($bandSelects),
+      cand AS (
+        SELECT DISTINCT a.did AS da, b.did AS db
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.did LIKE 'b:%' AND b.did LIKE 'h:%'),
+      shh AS (
+        SELECT DISTINCT did, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        FROM sh),
+      sizes AS (SELECT did, count(*)::BIGINT AS sz FROM shh GROUP BY 1),
+      inter AS (
+        SELECT p.da, p.db, count(*)::BIGINT AS inter
+        FROM cand p
+        JOIN shh a ON a.did = p.da
+        JOIN shh b ON b.did = p.db AND a.h = b.h
+        GROUP BY 1, 2),
+      j AS (
+        SELECT p.da, p.db,
+          coalesce(i.inter, 0)::DOUBLE
+            / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jac
+        FROM cand p
+        LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+        JOIN sizes sa ON sa.did = p.da
+        JOIN sizes sb ON sb.did = p.db),
+      near_pairs AS (
+        SELECT substr(da, 3)::BIGINT AS new_id, substr(db, 3)::BIGINT AS dup_id,
+          round(jac, 6) AS jac
+        FROM j WHERE round(jac, 6) >= 0.8),
+      e AS (SELECT new_id, min(dup_id) AS dup_of FROM exact_pairs GROUP BY 1),
+      n AS (SELECT new_id, min(dup_id) AS dup_of, max(jac) AS jac
+            FROM near_pairs GROUP BY 1)
+      SELECT b.crawl_id,
+        CASE WHEN e.dup_of IS NOT NULL THEN 'exact_dup'
+             WHEN n.dup_of IS NOT NULL THEN 'near_dup'
+             ELSE 'unique' END AS status,
+        coalesce(e.dup_of, n.dup_of, -1)::BIGINT AS dup_of,
+        CASE WHEN e.dup_of IS NOT NULL THEN 1.0
+             WHEN n.jac IS NOT NULL THEN n.jac
+             ELSE 0.0 END AS jaccard
+      FROM (SELECT crawl_id FROM src WHERE phase = 1) b
+      LEFT JOIN e ON e.new_id = b.crawl_id
+      LEFT JOIN n ON n.new_id = b.crawl_id
+      ORDER BY b.crawl_id"""
+    })),
   )
 
   /** The synthesized page for the q_html_* rows — ONE shape rendered by

@@ -141,6 +141,122 @@ object StreamDedup {
       }
   }
 
+  /** One (band, bucket) arrival for the FRONT DOOR: the doc, its exact
+    * text hash (the exact-dedup key) and its shingle-hash verify set.
+    */
+  case class FrontDoorDoc(band: Int, bkey: String, docId: Long,
+                          textHash: String, shingles: Array[Long])
+
+  /** Front-door bucket state: (docId, textHash, shingles) per admitted
+    * doc — exact dups are never admitted, so each text hash has exactly
+    * one holder (the earliest arrival), which makes it the canonical
+    * doc every later exact dup maps to.
+    */
+  case class FrontDoorState(docs: List[(Long, String, Array[Long])])
+
+  /** A front-door emission: `new_id` matched `dup_id` — exactly
+    * (`exact`, jaccard 1.0) or fuzzily (jaccard ≥ threshold).
+    */
+  case class FrontDoorHit(new_id: Long, dup_id: Long, jaccard: Double,
+                          exact: Boolean)
+
+  /** The streaming crawl FRONT DOOR (r15 verdict stretch): ingest →
+    * exact-dedup → near-dup flag as ONE stream graph. Input is the raw
+    * crawl surface `(crawl_id, html)`; the stateless ingest stage
+    * extracts main text (the q_stream_ingest contract —
+    * `Html.htmlMainText`, block joints flattened to spaces), and a
+    * single `flatMapGroupsWithState` keyed on the LSH band bucket runs
+    * BOTH dedup stages against the bucket state:
+    *
+    *  - exact: an arrival whose md5 text hash matches a state doc (or
+    *    an earlier same-batch arrival) emits `(new, holder, 1.0,
+    *    exact=true)` and is NOT admitted — identical text means
+    *    identical band keys, so the holder shares every bucket of the
+    *    dup and the per-bucket check is complete. This reproduces
+    *    `Dedup.exact`'s canonical-min semantics (the holder is the
+    *    earliest arrival of that hash) without a second stateful
+    *    operator — chaining dropDuplicates into
+    *    flatMapGroupsWithState is not a supported stream shape.
+    *  - near: exact-survivor arrivals Jaccard-verify against state docs
+    *    from EARLIER micro-batches only (the [[nearDupPairs]] /
+    *    `incrementalNearDups` contract), then join the state as history
+    *    for later batches.
+    *
+    * Stream ≡ batch: with history in micro-batch 1 and a crawl batch in
+    * micro-batch 2, the batch-doc emissions equal the batch front door
+    * — `Dedup.exact` dup mapping over history ∪ batch, then
+    * `Dedup.incrementalNearDups(exact-survivors, hash-canonical
+    * history)` — certified by q_stream_frontdoor's DuckDB replay and
+    * the EventStreamsSpec equivalence.
+    *
+    * Scale: per micro-batch one groupByKey shuffle; per-pair work
+    * touches same-bucket docs only; state capped at maxBucket + 1 docs
+    * per bucket with poisoning exactly like [[nearDupPairs]] (a
+    * poisoned bucket stops emitting NEAR pairs; exact detection keeps
+    * working against the retained prefix — best-effort there, complete
+    * at the certification's effectively-unbounded cap). For a
+    * continuous ingest compose with the TTL state discipline of
+    * [[nearDupPairsTtl]].
+    */
+  def frontDoor(pages: DataFrame, threshold: Double = 0.8,
+                numPerms: Int = 8, rowsPerBand: Int = 2,
+                shingleN: Int = 3,
+                maxBucket: Int = 1000000): Dataset[FrontDoorHit] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val text = replace(graft.text.Html.htmlMainText(col("html")),
+      lit("\n"), lit(" "))
+    val banded = pages
+      .select(col("crawl_id").cast("long").as("docId"), text.as("text"))
+      .select(col("docId"), md5(col("text")).as("textHash"),
+        array_sort(array_distinct(transform(
+          array_distinct(Dedup.shingles(col("text"), shingleN)),
+          s => Dedup.shingleHash(s)))).as("shingles"),
+        posexplode(Dedup.minhashBandKeys(col("text"), numPerms,
+          rowsPerBand, shingleN)))
+      .select(col("pos").as("band"), col("col").as("bkey"),
+        col("docId"), col("textHash"), col("shingles"))
+      .as[FrontDoorDoc]
+    banded
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[FrontDoorState, FrontDoorHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val hist = state.getOption.map(_.docs).getOrElse(Nil)
+          val arrivals = rows.toSeq.sortBy(_.docId) // deterministic order
+          val out = scala.collection.mutable.ArrayBuffer[FrontDoorHit]()
+          // arrivals admitted THIS batch (exact-survivors), arrival order
+          var admitted = List.empty[(Long, String, Array[Long])]
+          // near eligibility is the okBuckets ceiling over the HISTORY
+          // side, decided before this batch's arrivals join the state
+          val nearEligible = hist.nonEmpty && hist.size <= maxBucket
+          arrivals.foreach { a =>
+            // exact holder: earliest arrival of this hash — state docs
+            // precede same-batch arrivals, both in arrival order
+            (hist.iterator ++ admitted.reverseIterator)
+              .find(_._2 == a.textHash) match {
+              case Some((hid, _, _)) =>
+                out += FrontDoorHit(a.docId, hid, 1.0, exact = true)
+              // exact dups are dropped by the front door: not admitted,
+              // no near verification (the batch pipeline removes them
+              // before the near-dup stage)
+              case None =>
+                if (nearEligible) hist.foreach { case (hid, _, hsh) =>
+                  val j = jaccard(a.shingles.toSet, hsh.toSet)
+                  if (j >= threshold)
+                    out += FrontDoorHit(a.docId, hid, j, exact = false)
+                }
+                admitted = (a.docId, a.textHash, a.shingles) :: admitted
+            }
+          }
+          val room = maxBucket + 1 - hist.size
+          if (room > 0 && admitted.nonEmpty)
+            state.update(FrontDoorState(
+              hist ::: admitted.reverse.take(room)))
+          out.iterator
+      }
+  }
+
   /** [[nearDupPairs]] with an EVENT-TIME TTL on the bucket state — the
     * true-continuous-ingest form (r15 verdict #5). [[nearDupPairs]]'
     * state is bounded per bucket but never evicted globally, so a crawl

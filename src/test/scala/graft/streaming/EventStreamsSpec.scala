@@ -328,6 +328,101 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.keySet.exists { case (b, _) => b >= 5000000L })
   }
 
+  test("streaming crawl front door ≡ batch exact+near replay (r16 stretch)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    def pages(d: DataFrame, crawlId: org.apache.spark.sql.Column): DataFrame =
+      d.select(crawlId.cast("long").as("crawl_id"),
+        graft.MoreQueries.docHtml.as("html"))
+    // history: every %3==0 page under its own id
+    val hist = pages(docs.where(col("doc_id") % 3 === 0), col("doc_id"))
+    // batch: fresh originals + three planted re-crawl classes
+    val batch = pages(docs.where(col("doc_id") % 3 =!= 0), col("doc_id"))
+      .unionByName(pages( // near re-crawls of history (text + ' graftzz')
+        docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+          .withColumn("text", concat(col("text"), lit(" graftzz"))),
+        col("doc_id") + 5000000L))
+      .unionByName(pages( // byte-identical re-crawls of history pages
+        docs.where(col("doc_id") % 3 === 0 &&
+          col("doc_id") >= 120 && col("doc_id") < 240),
+        col("doc_id") + 7000000L))
+      .unionByName(pages( // intra-batch exact dups of batch originals
+        docs.where(col("doc_id") % 3 === 1 && col("doc_id") < 60),
+        col("doc_id") + 8000000L))
+    val root = Files.createTempDirectory("stream_frontdoor").toString
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmpd = s"$root/_w_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = Files.list(Paths.get(tmpd))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(s"$root/in/$name.parquet"))
+    }
+    Files.createDirectories(Paths.get(s"$root/in"))
+    def run(): Unit = {
+      val q = StreamDedup.frontDoor(
+          spark.readStream.schema("crawl_id BIGINT, html STRING")
+            .parquet(s"$root/in/*.parquet"),
+          threshold = 0.8, maxBucket = 1000000)
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      EventStreams.awaitBounded(q)
+    }
+    stage(hist, "hist"); run()
+    stage(batch, "batch"); run()
+    val sink = spark.read.parquet(s"$root/sink").distinct()
+    val streamedExact = sink.where(col("exact"))
+      .select("new_id", "dup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamedNear = sink.where(!col("exact"))
+      .select("new_id", "dup_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // batch replay of the same front door: extraction → exact holder
+    // mapping over (history, then batch) arrival order → incremental
+    // near-dups of the exact-survivors against the hash-canonical history
+    def extracted(p: DataFrame, phase: Int): DataFrame =
+      p.select(col("crawl_id"),
+        replace(graft.text.Html.htmlMainText(col("html")),
+          lit("\n"), lit(" ")).as("text"), lit(phase).as("phase"))
+    val all = extracted(hist, 0).unionByName(extracted(batch, 1))
+      .withColumn("h", md5(col("text")))
+    val w = Window.partitionBy("h").orderBy("phase", "crawl_id")
+    val ranked = all
+      .withColumn("rn", row_number().over(w))
+      .withColumn("holder", first("crawl_id").over(w))
+      .localCheckpoint()
+    val replayExact = ranked.where(col("rn") > 1)
+      .select("crawl_id", "holder").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survivors = ranked.where(col("phase") === 1 && col("rn") === 1)
+      .select(col("crawl_id").as("doc_id"), col("text"))
+    val histCanon = ranked.where(col("phase") === 0 && col("rn") === 1)
+      .select(col("crawl_id").as("doc_id"), col("text"))
+    val replayNear = graft.dedup.Dedup.incrementalNearDups(
+        survivors, histCanon, threshold = 0.8, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    assert(streamedExact == replayExact,
+      s"exact stream-only: ${(streamedExact -- replayExact).take(3)}; " +
+        s"batch-only: ${(replayExact -- streamedExact).take(3)}")
+    assert(streamedNear.keySet == replayNear.keySet,
+      s"near stream-only: ${(streamedNear.keySet -- replayNear.keySet).take(3)}; " +
+        s"batch-only: ${(replayNear.keySet -- streamedNear.keySet).take(3)}")
+    streamedNear.foreach { case (k, j) =>
+      assert(math.abs(j - replayNear(k)) < 1e-4, s"jaccard drift at $k")
+    }
+    // all three planted classes are live: byte-identical re-crawls and
+    // intra-batch dups land exact, ' graftzz' re-crawls land near
+    assert(streamedExact.exists { case (n, _) => n >= 7000000L && n < 8000000L })
+    assert(streamedExact.exists { case (n, _) => n >= 8000000L })
+    assert(streamedNear.keySet.exists { case (n, _) => n >= 5000000L && n < 6000000L })
+  }
+
   test("TTL evicts aged-out buckets from the state store (numRowsTotal)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.DataFrame
