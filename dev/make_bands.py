@@ -23,15 +23,28 @@ absent from that round's `queries` map — the median here automatically
 carries its band forward from the rounds it did run, so feed ≥4
 artifacts to keep ≥2 readings per rotated key.
 
-Usage: python3 dev/make_bands.py artifact1.json [artifact2.json ...] \
-         > src/main/resources/graft/bench_bands.json
+`--carry prev_bands.json` keeps the previous band for any key absent
+from EVERY input artifact (r16: the four post-fix artifacts all shared
+one rotation parity — the count-based parity bug — so the other
+rotation half appeared in none of them; dropping those keys would
+un-rotate them into `unbanded`). Carried keys are by definition keys
+the inputs never re-measured, so the old median is still the best
+available estimate.
+
+Usage: python3 dev/make_bands.py [--carry prev.json] artifact1.json \
+         [artifact2.json ...] > src/main/resources/graft/bench_bands.json
 """
 import json, statistics, sys
 
 
 def main():
+    args = sys.argv[1:]
+    carry = {}
+    if args and args[0] == "--carry":
+        carry = json.load(open(args[1]))
+        args = args[2:]
     per_key = {}
-    for path in sys.argv[1:]:
+    for path in args:
         art = json.load(open(path))
         for key, val in art.get("queries", {}).items():
             per_key.setdefault(key, []).append(float(val))
@@ -49,6 +62,11 @@ def main():
                 per_key.setdefault(key, []).append(float(probe))
     bands = {k: round(statistics.median(v), 3)
              for k, v in sorted(per_key.items())}
+    carried = {k: v for k, v in carry.items() if k not in bands}
+    if carried:
+        print(f"[make_bands] carried {len(carried)} keys absent from "
+              f"every input: {sorted(carried)[:6]}...", file=sys.stderr)
+    bands = dict(sorted({**carried, **bands}.items()))
     json.dump(bands, sys.stdout, indent=1)
     print()
 

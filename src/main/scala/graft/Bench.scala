@@ -782,12 +782,15 @@ object Bench {
     // project the remaining suite cost from each pending key's committed
     // band x the live machine_index, and when the projection no longer
     // fits the remaining budget (after the twin + artifact reserve),
-    // rotate out pending sub-[[AdaptiveRotateBelowS]] keys — the least
-    // regression signal per second, and their bands carry forward
-    // exactly like parity-rotated keys. Stream keys (the documented
-    // drift detector) and unbanded keys (rows still earning a band) are
-    // never shed; keys the shedding cannot cover still hit the honest
-    // `skipped` governor. Disabled with rotation (BENCH_ROTATION=off).
+    // rotate out pending sub-[[AdaptiveRotateBelowS]] keys CHEAPEST
+    // FIRST — r16 run 3 showed encounter-order shedding dropping
+    // q_dedup_incr_near (a 2 s signal-bearing key with a
+    // freshly-protected band) before forty 0.3 s tail keys, exactly the
+    // wrong coverage spend. Bands carry forward for shed keys like
+    // parity-rotated ones. Stream keys (the documented drift detector)
+    // and unbanded keys (rows still earning a band) are never shed;
+    // keys the shedding cannot cover still hit the honest `skipped`
+    // governor. Disabled with rotation (BENCH_ROTATION=off).
     val AdaptiveRotateBelowS = 3.0
     val suiteSeq = Queries.queries.toSeq.sortBy(_._1)
     def estCost(name: String): Double =
@@ -798,26 +801,36 @@ object Bench {
         val runs = if (b < 5.0 || name.startsWith("q_stream")) 2 else 1
         runs * b + 0.6
       }.getOrElse(12.0)
-    var pendingEst = suiteSeq.collect {
-      case (n, _) if !rotatedOut(n) => estCost(n)
-    }.sum
-    def adaptiveShed(name: String): Boolean =
-      rotationParity.nonEmpty &&
-        !name.startsWith("q_stream") &&
-        bands.get(name).exists(_ < AdaptiveRotateBelowS) &&
-        pendingEst * math.max(1.0, machineIndex) > remainingS - 170
+    // keys not yet processed this run (parity-rotated ones excluded up
+    // front) — the overrun projection sums their banded estimates
+    val pendingKeys = scala.collection.mutable.LinkedHashSet(
+      suiteSeq.collect { case (n, _) if !rotatedOut(n) => n }: _*)
+    def projectedS: Double =
+      pendingKeys.iterator.map(estCost).sum * math.max(1.0, machineIndex)
+    val shedSet = scala.collection.mutable.LinkedHashSet[String]()
+    def deepenRotation(): Unit = if (rotationParity.nonEmpty) {
+      val eligible = scala.collection.mutable.TreeSet.empty[(Double, String)]
+      pendingKeys.foreach { n =>
+        if (!n.startsWith("q_stream"))
+          bands.get(n).filter(_ < AdaptiveRotateBelowS)
+            .foreach(b => eligible += ((b, n)))
+      }
+      while (projectedS > remainingS - 170 && eligible.nonEmpty) {
+        val (b, cheapest) = eligible.head
+        eligible.remove((b, cheapest))
+        shedSet += cheapest
+        pendingKeys -= cheapest
+        System.err.println(f"[bench] adaptive-rotate $cheapest " +
+          f"(band $b%.2f s, projected $projectedS%.0f s, " +
+          f"remaining $remainingS%.0f s, machine_index $machineIndex%.2f)")
+      }
+    }
     suiteSeq.foreach { case (name, fn) =>
       if (rotatedOut(name)) rotated += name
-      else if (adaptiveShed(name)) {
-        pendingEst -= estCost(name)
-        rotated += name
-        System.err.println(f"[bench] adaptive-rotate $name " +
-          f"(pending est ${pendingEst}%.0f s, remaining ${remainingS}%.0f s, " +
-          f"machine_index $machineIndex%.2f)")
-      }
+      else if ({ deepenRotation(); shedSet(name) }) rotated += name
       // reserve room for the twin + artifact writes before the budget
       // wall (the d-series already ran — it no longer needs a rump here)
-      else if ({ pendingEst -= estCost(name); budgetOk(name, 150) }) try {
+      else if ({ pendingKeys -= name; budgetOk(name, 150) }) try {
         hygiene(spark) // clean slate per query — see hygiene scaladoc
         val runs = scala.collection.mutable.ArrayBuffer(
           time(exec(fn(spark, sfDir))))
@@ -1956,20 +1969,26 @@ object Bench {
             .select((col("doc_id") + lit(5000000L)).as("doc_id"),
               concat(col("text"), lit(" graftzz")).as("text"),
               lit(at25(h)).as("ts"))
+        // Spacing note: the watermark LAGS one micro-batch (batch N runs
+        // with the watermark committed at the end of batch N-1), so the
+        // divergence batch f3 must arrive when the PREVIOUS batch's max
+        // event time already put f1 past the horizon — f2 at +2.5h does
+        // that (f1 expiry = +2h < 2.5h); the first d25b cut placed f2 at
+        // +1.5h and the two paths tied pair-for-pair.
         val f1 = docs1x.where(col("doc_id") % 3 === 0)
           .select(col("doc_id"), col("text"), lit(at25(0)).as("ts"))
         val f2 = docs1x.where(col("doc_id") % 3 === 1)
-          .select(col("doc_id"), col("text"), lit(at25(1.5)).as("ts"))
-          .unionByName(recrawls(0, 120, 1.5)) // in-horizon: pairs on BOTH paths
+          .select(col("doc_id"), col("text"), lit(at25(2.5)).as("ts"))
+          .unionByName(recrawls(0, 120, 2.5)) // in-horizon: pairs on BOTH paths
         val f3 = docs1x.where(col("doc_id") % 3 === 2)
-          .select(col("doc_id"), col("text"), lit(at25(3.0)).as("ts"))
-          .unionByName(recrawls(120, 240, 3.0)) // f1 aged out: NoTimeout-only pairs
+          .select(col("doc_id"), col("text"), lit(at25(5.0)).as("ts"))
+          .unionByName(recrawls(120, 240, 5.0)) // f1 aged out: NoTimeout-only pairs
         // f4: inert driver batch (reversed text shares no shingles) —
-        // its watermark (base+6h) lets the timeout pass REMOVE the f1
-        // buckets so the final numRowsTotal reflects eviction
+        // its watermark (base+7.5h) lets the timeout pass REMOVE the
+        // aged buckets so the final numRowsTotal reflects eviction
         val f4 = docs1x.where(col("doc_id") % 3 === 1 && col("doc_id") < 30)
           .select((col("doc_id") + lit(7000000L)).as("doc_id"),
-            reverse(col("text")).as("text"), lit(at25(6.0)).as("ts"))
+            reverse(col("text")).as("text"), lit(at25(7.5)).as("ts"))
         def run25b(tag: String, ttl: Boolean): Unit = {
           val dir = s"$root25b/$tag"
           new java.io.File(s"$dir/in").mkdirs()

@@ -156,6 +156,34 @@ class BenchBandSpec extends AnyFunSuite {
     }
   }
 
+  test("every timed suite key carries a committed band (r16 verdict #2)") {
+    // Keys added since the last band regeneration go here — they run
+    // unbanded ONE round (earning a band from that round's artifacts)
+    // and must leave this list when bands are next regenerated. A key
+    // missing from BOTH the bands file and this list means the bands
+    // regeneration was skipped — exactly the staleness that let the
+    // q_dedup_incr_near speedup sit unprotected after its fix (a
+    // regression back to 6 s would have shipped under 2x the stale
+    // band).
+    val earningABand = Set.empty[String]
+    val missing = Queries.queries.keySet
+      .filterNot(Bench.bands.contains) -- earningABand
+    assert(missing.isEmpty,
+      s"suite keys with no committed band (regenerate dev/make_bands.py " +
+        s"or list as band-earning): ${missing.toSeq.sorted.take(10)}")
+    // the probe lanes are band-backed too — machine_index and the three
+    // per-fire indexes all normalize against these denominators
+    Seq("machine_probe", "machine_hash_probe", "machine_write_probe")
+      .foreach { k => assert(Bench.bands.contains(k), s"no band for $k") }
+    // d-series trend keys: both scale sides banded for the long-lived
+    // trend points (d25 was shipped `unbanded` in r15 — verdict #2)
+    Seq("d25_stream_neardup", "d22_incr_near_dup", "d1_dedup_corpus",
+      "d8_pagerank", "d11_stream_restart").foreach { k =>
+      assert(Bench.bands.contains(s"${k}_1x"), s"no band for ${k}_1x")
+      assert(Bench.bands.contains(s"${k}_10x"), s"no band for ${k}_10x")
+    }
+  }
+
   test("rotation never touches stream keys, >=1s keys, or unbanded keys") {
     val b = Bench.bands
     assert(!Bench.rotatedOut("q_stream_attribution"))
