@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB wordcount): the sketch build is one map-side-
   * combinable aggregation whose output is at most d×w cells regardless
-  * of input size — and ONE md5 per row feeds every depth (disjoint hex
-  * slices). For the gate, the summary shrinks further to per-depth
+  * of input size — per depth one codegen'd xxhash64 of the key (seeded
+  * by the depth index). For the gate, the summary shrinks further to per-depth
   * HOT-CELL BITMAPS (width/64 longs: membership is all `estimate >= T`
   * needs), collected and re-embedded as array LITERALS — the same
   * treatment as the IVF centroid arrays and the GlobalRank offset
@@ -37,26 +37,34 @@ import org.apache.spark.sql.functions._
   * (every cell clears T and nothing is pruned — still exact, just no
   * benefit); a FRACTIONAL threshold `T = φN` needs only `width > 1/φ`,
   * which is scale-free. The bench's d7/d7w trend measures exactly this
-  * knee. Everything is deterministic (md5 row hashes), so any engine
-  * replays the same sketch.
+  * knee. Everything is deterministic (a pure hash of the key), so the
+  * sketch replays identically run to run.
   */
 object CountMin {
 
-  /** Maximum sketch depth: the 32 md5 hex digits split into 4 disjoint
-    * 8-digit (32-bit) sub-hashes, one per depth.
+  /** Maximum sketch depth. Historical: the md5-hex cell derivation split
+    * the 32 hex digits into 4 disjoint sub-hashes; the xxhash64 form has
+    * no such limit but the API keeps the same bound (no caller wants
+    * more — the count-min error bound is driven by width, not depth).
     */
   val MaxDepth = 4
 
-  /** Depth-`i` cell for a key: hex digits `[8i, 8i+8)` of ONE md5 of the
-    * key, mod `width`. A single hash per row serves every depth (Spark's
-    * subexpression elimination computes the md5 once); disjoint bit
-    * ranges of md5 are as good as independent hashes for the count-min
-    * bound, and the whole thing replays deterministically cross-engine.
+  /** Depth-`i` cell for a key: `xxhash64(i, key) mod width`. One cheap
+    * codegen'd 64-bit hash per (row, depth) — measured in r16 against
+    * the previous derivation (hex-slicing ONE md5 per row:
+    * `conv(substring(md5(cast(key as string)), 8i+1, 8), 16, 10)`),
+    * which paid a cast-to-string, an md5, and per-depth string slicing
+    * in the hot scan stage (guide §4: prefer cheap built-in expressions
+    * in the per-row path). Seeding with the depth index keeps the
+    * depths' hashes independent; everything stays a pure deterministic
+    * function of (i, key), so the sketch replays identically run to run
+    * and partition to partition. The OUTPUT of the gate is exact either
+    * way — the hash choice only decides pruning quality, never the
+    * result ([[heavyHitters]] re-counts exactly).
     */
   def cell(i: Int, key: Column, width: Int): Column = {
     require(0 <= i && i < MaxDepth, s"depth index $i outside [0, $MaxDepth)")
-    pmod(conv(substring(md5(key.cast("string")), i * 8 + 1, 8), 16, 10)
-      .cast("long"), lit(width.toLong))
+    pmod(xxhash64(lit(i), key), lit(width.toLong))
   }
 
   /** The merged sketch in its distributed, mergeable form: sparse

@@ -882,16 +882,27 @@ object Dedup {
     * per-row folds at equal output).
     */
   def simhash64Array(text: Column): Column =
-    bindOnce(transform(array_distinct(toks(text)), t => md5(t)), hs =>
+    // r16 per-row-cost rewrite, mirroring [[simhashBands]]: each token's
+    // md5 hex prefix is parsed ONCE into two 32-bit long chunks (digits
+    // 0..7 and 8..15), and the per-(digit,bit) vote becomes an integer
+    // shift/mask instead of a 1-char substring + 8-way isin — the same
+    // bits, so the band ints are unchanged. Matters because these
+    // lambdas evaluate interpreted (higher-order functions don't
+    // codegen): 64 string probes per token → 64 integer ops per token.
+    bindOnce(transform(transform(array_distinct(toks(text)), t => md5(t)),
+        h => struct(
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("c0"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("c1"))), hs =>
       when(size(hs) > 0,
         array((0 until 4).map { k =>
           bindOnce(
             aggregate(hs,
               array_repeat(lit(0), 16),
-              (acc, h) => zip_with(acc,
+              (acc, s) => zip_with(acc,
                 array((for { jj <- 0 until 4; b <- 0 until 4 } yield
-                  when(substring(h, 4 * k + jj + 1, 1)
-                    .isin(hexWithBit(b): _*), lit(1)).otherwise(lit(-1))): _*),
+                  ((shiftright(s.getField(if (k < 2) "c0" else "c1"),
+                      4 * (7 - ((4 * k) % 8 + jj)) + b)
+                    .bitwiseAND(lit(1L)) * lit(2L)) - lit(1L)).cast("int")): _*),
                 (a, v) => a + v)),
             vs => (for { jj <- 0 until 4; b <- 0 until 4 } yield
               when(element_at(vs, jj * 4 + b + 1) > 0, lit(1 << (jj * 4 + b)))
@@ -901,12 +912,35 @@ object Dedup {
   private def simhashBands(docs: DataFrame, nBands: Int,
                            text: String, id: String): DataFrame = {
     require(nBands >= 1 && nBands <= 8, s"md5 has 32 hex digits: nBands <= 8, got $nBands")
+    val nd = 4 * nBands
+    // r16 hot-path rewrite (guide §4 / §1.2 per-task work): the vote for
+    // (digit j, bit b) used to be `substring(h, j+1, 1).isin(<8 hex
+    // chars>)` — 4·nd string slices + set probes per TOKEN row, each
+    // allocating a 1-char string. The md5 hex prefix is now parsed ONCE
+    // per row into 11-digit (44-bit) long chunks, and each vote is a
+    // codegen'd shift/mask on a long. Bit-for-bit the same votes — hex
+    // digit j of md5(t), bit b — so the band ints (and the DuckDB
+    // oracle replay, which mirrors the digit/bit layout) are unchanged.
+    val nChunks = (nd + 10) / 11
+    def chunkLen(c: Int): Int = math.min(11, nd - c * 11)
+    val chunkCols = (0 until nChunks).map { c =>
+      conv(substring(col("h"), c * 11 + 1, chunkLen(c)), 16, 10)
+        .cast("long").as(s"_h$c")
+    }
     val tok = docs.select(col(id),
       explode(array_distinct(toks(col(text)))).as("t"))
       .withColumn("h", md5(col("t")))
-    val votes = for { j <- 0 until 4 * nBands; b <- 0 until 4 } yield
-      sum(when(substring(col("h"), j + 1, 1).isin(hexWithBit(b): _*), 1)
-        .otherwise(-1)).as(s"v_${j}_$b")
+      .select(col(id) +: chunkCols: _*)
+    // bit b of hex digit j, as a 0/1 long: digit j lives in chunk j/11
+    // at in-chunk position j%11 (most-significant-first, exactly the
+    // hex string's reading order)
+    def bit(j: Int, b: Int): Column = {
+      val c = j / 11
+      val shift = 4 * (chunkLen(c) - 1 - (j % 11)) + b
+      shiftright(col(s"_h$c"), shift).bitwiseAND(lit(1L))
+    }
+    val votes = for { j <- 0 until nd; b <- 0 until 4 } yield
+      sum(bit(j, b) * lit(2L) - lit(1L)).as(s"v_${j}_$b")
     val agg = tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
     val bandCols = (0 until nBands).map { k =>
       (for { jj <- 0 until 4; b <- 0 until 4 } yield
@@ -1175,24 +1209,34 @@ object Dedup {
     */
   val DefaultSpreadChars: Int = 1 << 18
 
-  /** Window hashes appearing in ≥2 DISTINCT docs — the shared cut/flag
-    * rule (a hash aggregate, deliberately never a pair join).
+  /** Per-window "hash appears in ≥2 DISTINCT docs" flag — the shared
+    * cut/flag rule, as ONE pass over the window rows: a window aggregate
+    * over the hash (`min(doc) ≠ max(doc)` ⟺ ≥2 distinct docs, exactly
+    * `countDistinct(doc_id) > 1` for non-null ids).
+    *
+    * r16 plan fix (guide §2.4): the previous shape was a groupBy(h)
+    * aggregate joined back to the window rows — which planned the whole
+    * window-extraction subtree TWICE (charWindows' flatMap/explode/md5
+    * has no reusable exchange between the two consumers) and paid two
+    * full window-row exchanges plus a join. The window form extracts
+    * windows once and pays one exchange + one partition sort on `h`;
+    * partition sizes equal duplicate multiplicity, never a global sort.
     */
-  private def sharedWindowHashes(wins: DataFrame): DataFrame =
-    wins.groupBy("h").agg(countDistinct(col("doc_id")).as("_nd"))
-      .where(col("_nd") > 1)
-      .select(col("h"), lit(1).as("_dup"))
+  private def withSharedFlag(wins: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    wins.withColumn("_shared",
+      min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+  }
 
   def duplicateWindows(docs: DataFrame, winLen: Int = 40, stride: Int = 20,
                        text: String = "text", id: String = "doc_id",
                        spreadChars: Int = DefaultSpreadChars): DataFrame = {
     val wins = charWindows(docs, winLen, stride, text, id, spreadChars)
       .select(col("doc_id"), col("h"))
-    val dup = sharedWindowHashes(wins)
-    wins.join(dup, Seq("h"), "left")
+    withSharedFlag(wins)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("total_windows"),
-        count(col("_dup")).as("dup_windows"))
+        count(when(col("_shared"), 1)).as("dup_windows"))
       .select(col("doc_id"), col("total_windows"), col("dup_windows"),
         round(col("dup_windows").cast("double") / col("total_windows"), 6)
           .as("dup_frac"))
@@ -1214,8 +1258,7 @@ object Dedup {
                     text: String = "text", id: String = "doc_id",
                     spreadChars: Int = DefaultSpreadChars): DataFrame = {
     val wins = charWindows(docs, winLen, stride = winLen, text, id, spreadChars)
-    val dup = sharedWindowHashes(wins)
-    val body = wins.join(dup, Seq("h"), "left").where(col("_dup").isNull)
+    val body = withSharedFlag(wins).where(!col("_shared"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("kept_windows"),
         array_join(transform(array_sort(collect_list(
@@ -1251,10 +1294,10 @@ object Dedup {
                          text: String = "text", id: String = "doc_id",
                          spreadChars: Int = DefaultSpreadChars): DataFrame = {
     val wins1 = charWindows(docs, winLen, stride = 1, text, id, spreadChars)
-    val dup = sharedWindowHashes(wins1)
+      .select(col("doc_id"), col("i"), col("h"))
     // flagged stride-1 positions → the disjoint segment indexes their
     // [i, i+winLen) span overlaps (0-based; DIV on 1-based positions)
-    val cut = wins1.join(dup, Seq("h"))
+    val cut = withSharedFlag(wins1).where(col("_shared"))
       .select(col("doc_id"), explode(expr(
         s"sequence((i - 1) DIV $winLen, (i + ${winLen - 2}) DIV $winLen)"))
         .as("_s"))

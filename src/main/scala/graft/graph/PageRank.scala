@@ -55,13 +55,19 @@ object PageRank {
   def pageRankTracked(edgesRaw: DataFrame, srcCol: String, dstCol: String,
                       iters: Int = 3, damping: Double = 0.85): Checkpoints.Truncated = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // r16 setup-shuffle fix (guide §2.4, "share one exchange"): the
+    // previous shape was distinct() → groupBy(src) → join(outdeg) —
+    // three exchanges of the edge list plus a sort-merge self-join to
+    // re-attach the out-degree. Now one map-side-combined (src,dst)
+    // aggregate dedups the edges and ONE exchange on src feeds a window
+    // count that attaches the out-degree — no self-join at all.
     val edges = edgesRaw
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
-      .distinct()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    // the weighted edge list re-enters every iteration — materialize once
+      .groupBy("src", "dst").agg(count(lit(1)).as("_m")).drop("_m")
+    val degW = org.apache.spark.sql.expressions.Window.partitionBy("src")
     val weT = Checkpoints.truncateTracked(
-      edges.join(outdeg, "src").select("src", "dst", "deg"), eager = true)
+      edges.withColumn("deg", count(lit(1)).over(degW).cast("double")),
+      eager = true)
     val we = weT.df
     // every node with its out-degree (null deg = dangling) — the second
     // per-iteration re-entrant table. Derived from the CHECKPOINTED edge
@@ -85,9 +91,19 @@ object PageRank {
       .select(col("node"), col("deg"), round(lit(1.0) / col("_n"), 9).as("r"))
     var releasePrev: () => Unit = () => ()
     for (_ <- 1 to iters) {
-      val contrib = we.join(r.select("node", "r"), col("src") === col("node"))
+      // r16 iteration shape (guide §3.1 + §2.3): shuffled-hash, not
+      // sort-merge — the hint removes the per-iteration re-sort of the
+      // edge list that SMJ would pay (the build side is the rank table,
+      // bounded by node count); and the per-edge `r/deg` division moves
+      // to the RANK side (deg rides the rank table), so the edge list
+      // shuffles only (src, dst) — the same doubles summed, node-count
+      // divisions instead of edge-count ones.
+      val contrib = we.select("src", "dst").join(
+          r.select(col("node"), (col("r") / col("deg")).as("_c"))
+            .where(col("_c").isNotNull).hint("shuffle_hash"),
+          col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(round(sum(col("r") / col("deg")), 9).as("contrib"))
+        .agg(round(sum(col("_c")), 9).as("contrib"))
         .select(col("dst").as("node"), col("contrib"))
       // dangling mass: nodes with no out-edges — deg rides in the rank
       // table, so this is a scan of the previous checkpoint, no join
@@ -95,7 +111,7 @@ object PageRank {
         r.where(col("deg").isNull)
           .agg(coalesce(round(sum(col("r")), 9), lit(0.0)).as("_mass")))
       val nextT = Checkpoints.truncateTracked(
-        nodesDeg.join(contrib, Seq("node"), "left")
+        nodesDeg.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
           .crossJoin(nScalar).crossJoin(dangling)
           .select(col("node"), col("deg"),
             round(teleport / col("_n") + lit(damping) *
