@@ -252,13 +252,16 @@ object Dedup {
       xs =>
         // NULL text (or a null/empty shingle set) → NULL signature, one
         // whole-array null — matching the aggregate path, which emits NO
-        // row for such a doc (explode of nothing). Without the guard the
-        // k array_min calls each return null and the doc gets a
-        // signature of k null components that would band-join with every
-        // other null-text doc.
-        when(size(xs) > 0, array((0 until numPerms).map { i =>
-          array_min(transform(xs, v => (v * minhashA(i) + minhashB(i)) % MinhashP))
-        }: _*)))
+        // row for such a doc (explode of nothing). Without the guard a
+        // shingle-less doc would get a degenerate signature that band-
+        // joins with every other null-text doc.
+        //
+        // The k minima come from ONE codegen'd pass
+        // ([[graft.functions.MinhashMins]]) — previously k interpreted
+        // `array_min(transform(...))` passes, k closure dispatches per
+        // shingle (r16; same affine family, bit-identical signatures).
+        when(size(xs) > 0,
+          graft.functions.MinhashExpressions.minhashMins(xs, numPerms)))
 
   /** LSH band keys from the SCALAR signature — array<string> where the
     * INDEX is the band and the element is the band's bucket key, the
@@ -307,10 +310,22 @@ object Dedup {
                         text: String = "text", id: String = "doc_id"): DataFrame = {
     val bands = lshBands(minhashSignatures(docs, numPerms, shingleN, text, id),
       numPerms, rowsPerBand, id)
-    val bounded = bands
+    // checkpointed: BOTH self-join sides consume the bounded band table,
+    // and without the lineage cut the full signature pipeline (shingle
+    // explode + per-shingle md5 + the k-min aggregate + the bucket-size
+    // window) plans and EXECUTES once per side — ReuseExchange cannot
+    // help because the planner turns one side into a BroadcastExchange
+    // (r16 plan audit, guide §2.4/§3.3; the bandedHammingPairs/simhash
+    // discipline applied here). The table is numBands rows/doc of
+    // (id, band, 16-byte key) — far cheaper to hold than to recompute.
+    // lazy, not eager: eager would materialize at DataFrame-CONSTRUCTION
+    // time, serializing multi-candidate compositions (the q_lsh_tuned_sweep
+    // query builds three of these; measured 4.2 → 6.1 s with eager
+    // barriers, 4.2 → ~2.9 s lazy)
+    val bounded = graft.ops.Checkpoints.truncate(bands
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .where(col("_bsz") <= maxBucket).drop("_bsz")
+      .where(col("_bsz") <= maxBucket).drop("_bsz"), eager = false)
     val a = bounded.select(col("band"), col("bkey"), col(id).as("doc_a"))
     val b = bounded.select(col("band"), col("bkey"), col(id).as("doc_b"))
     a.join(b, Seq("band", "bkey"))
