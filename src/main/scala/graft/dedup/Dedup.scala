@@ -310,22 +310,24 @@ object Dedup {
                         text: String = "text", id: String = "doc_id"): DataFrame = {
     val bands = lshBands(minhashSignatures(docs, numPerms, shingleN, text, id),
       numPerms, rowsPerBand, id)
-    // checkpointed: BOTH self-join sides consume the bounded band table,
-    // and without the lineage cut the full signature pipeline (shingle
-    // explode + per-shingle md5 + the k-min aggregate + the bucket-size
-    // window) plans and EXECUTES once per side — ReuseExchange cannot
-    // help because the planner turns one side into a BroadcastExchange
-    // (r16 plan audit, guide §2.4/§3.3; the bandedHammingPairs/simhash
-    // discipline applied here). The table is numBands rows/doc of
-    // (id, band, 16-byte key) — far cheaper to hold than to recompute.
-    // lazy, not eager: eager would materialize at DataFrame-CONSTRUCTION
-    // time, serializing multi-candidate compositions (the q_lsh_tuned_sweep
-    // query builds three of these; measured 4.2 → 6.1 s with eager
-    // barriers, 4.2 → ~2.9 s lazy)
-    val bounded = graft.ops.Checkpoints.truncate(bands
+    // deliberately NOT lineage-truncated: the self-join PLANS the
+    // signature pipeline once per side, but the expensive stage (shingle
+    // explode + per-shingle md5 + partial k-min agg) sits below an
+    // exchange that AQE's stage cache deduplicates at runtime — only the
+    // cheap post-shuffle band/window stage re-executes on the broadcast
+    // side. A lazy localCheckpoint here was tried (r16) and measured a
+    // consistent LOSS at sf0.1 (q_lsh_tuned_sweep 4.4 → 5.5 s,
+    // q_lsh_precision 1.7 → 2.2, q_ngram_jaccard 1.3 → 1.9,
+    // q_quality_dup_decile 2.5 → 3.2: the materialization barrier costs
+    // more than the re-executed tail saves), and at corpus scale the
+    // planner picks a shuffle join whose both sides reuse the one
+    // signature exchange anyway. Contrast incrementalNearDupsTracked,
+    // where the EAGER cut is a proven win: there the candidate table
+    // re-enters FOUR differently-projected subplans.
+    val bounded = bands
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .where(col("_bsz") <= maxBucket).drop("_bsz"), eager = false)
+      .where(col("_bsz") <= maxBucket).drop("_bsz")
     val a = bounded.select(col("band"), col("bkey"), col(id).as("doc_a"))
     val b = bounded.select(col("band"), col("bkey"), col(id).as("doc_b"))
     a.join(b, Seq("band", "bkey"))
