@@ -1906,15 +1906,19 @@ object Bench {
               rmrf(new java.io.File(tmpd))
             }
             def run(): Unit = {
-              val q = graft.streaming.StreamDedup.nearDupPairs(
-                  spark.readStream.schema("doc_id BIGINT, text STRING")
-                    .parquet(s"$dir/in/*.parquet"),
-                  threshold = 0.8, maxBucket = 1000000)
-                .writeStream.format("parquet")
-                .option("path", s"$dir/sink")
-                .option("checkpointLocation", s"$dir/ckpt")
-                .outputMode("append").trigger(Trigger.AvailableNow()).start()
-              graft.streaming.EventStreams.awaitBounded(q) // shared policy
+              val es = graft.streaming.EventStreams
+              es.withStatePartitions(spark,
+                  es.adaptiveStatePartitions(spark, s"$dir/in")) {
+                val q = graft.streaming.StreamDedup.nearDupPairs(
+                    spark.readStream.schema("doc_id BIGINT, text STRING")
+                      .parquet(s"$dir/in/*.parquet"),
+                    threshold = 0.8, maxBucket = 1000000)
+                  .writeStream.format("parquet")
+                  .option("path", s"$dir/sink")
+                  .option("checkpointLocation", s"$dir/ckpt")
+                  .outputMode("append").trigger(Trigger.AvailableNow()).start()
+                es.awaitBounded(q) // shared policy
+              }
             }
             stageFile(hist25, "hist")
             run() // phase 1: history into the bucket state (untimed)
@@ -2017,11 +2021,16 @@ object Bench {
               threshold = 0.8, maxBucket = 1000000)
             else graft.streaming.StreamDedup.nearDupPairs(
               src.drop("ts"), threshold = 0.8, maxBucket = 1000000)
-          val q = pairs.writeStream.format("parquet")
-            .option("path", s"$dir/sink")
-            .option("checkpointLocation", s"$dir/ckpt")
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          graft.streaming.EventStreams.awaitBounded(q)
+          val es = graft.streaming.EventStreams
+          val q = es.withStatePartitions(spark,
+              es.adaptiveStatePartitions(spark, s"$dir/in")) {
+            val q0 = pairs.writeStream.format("parquet")
+              .option("path", s"$dir/sink")
+              .option("checkpointLocation", s"$dir/ckpt")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+            es.awaitBounded(q0)
+            q0
+          }
           val stateRows = q.recentProgress.reverse
             .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
             .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
@@ -2171,16 +2180,19 @@ object Bench {
         import org.apache.spark.sql.streaming.Trigger
         d4run += 1
         val out = s"$d4root/run$d4run"
-        val stream = graft.streaming.EventStreams
-          .readEvents(spark, s"$d4root/in$tag", "*.parquet")
-        val q = graft.streaming.EventStreams.hourlyCounts(stream)
-          .writeStream.format("parquet")
-          .option("path", s"$out/sink").option("checkpointLocation", s"$out/ckpt")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        // the shared bounded-wait policy: a wedged micro-batch fails this
-        // d-point (into skipped/failed) instead of hanging the bench into
-        // the driver's hard kill — the rc=124 artifact-loss mode
-        graft.streaming.EventStreams.awaitBounded(q)
+        val es = graft.streaming.EventStreams
+        val stream = es.readEvents(spark, s"$d4root/in$tag", "*.parquet")
+        es.withStatePartitions(spark,
+            es.adaptiveStatePartitions(spark, s"$d4root/in$tag")) {
+          val q = es.hourlyCounts(stream)
+            .writeStream.format("parquet")
+            .option("path", s"$out/sink").option("checkpointLocation", s"$out/ckpt")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          // the shared bounded-wait policy: a wedged micro-batch fails this
+          // d-point (into skipped/failed) instead of hanging the bench into
+          // the driver's hard kill — the rc=124 artifact-loss mode
+          es.awaitBounded(q)
+        }
       }
       measure("d4_stream_hourly", ctlTimes)(streamOnce("1x"))
       measure("d4_stream_hourly", times)(streamOnce("10x"))
@@ -2214,13 +2226,17 @@ object Bench {
           val tail = df.where(col("ts") > lit(cutTs))
           hist.write.mode("overwrite").parquet(s"$dir/in")
           def run(): Unit = {
-            val q = graft.streaming.EventStreams.hourlyCounts(
-                graft.streaming.EventStreams.readEvents(spark, s"$dir/in", "*.parquet"))
-              .writeStream.format("parquet")
-              .option("path", s"$dir/sink")
-              .option("checkpointLocation", s"$dir/ckpt")
-              .outputMode("append").trigger(Trigger.AvailableNow()).start()
-            graft.streaming.EventStreams.awaitBounded(q) // shared policy
+            val es = graft.streaming.EventStreams
+            es.withStatePartitions(spark,
+                es.adaptiveStatePartitions(spark, s"$dir/in")) {
+              val q = es.hourlyCounts(
+                  es.readEvents(spark, s"$dir/in", "*.parquet"))
+                .writeStream.format("parquet")
+                .option("path", s"$dir/sink")
+                .option("checkpointLocation", s"$dir/ckpt")
+                .outputMode("append").trigger(Trigger.AvailableNow()).start()
+              es.awaitBounded(q) // shared policy
+            }
           }
           run() // phase 1: build 1x/10x history into the checkpoint
           tail.write.mode("append").parquet(s"$dir/in")

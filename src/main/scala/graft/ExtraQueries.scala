@@ -1412,11 +1412,14 @@ object ExtraQueries {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
       val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
-      val q = graft.streaming.EventStreams.hourlyCounts(stream)
-        .writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      ExtraQueries.awaitBounded(q)
+      val es = graft.streaming.EventStreams
+      es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+        val q = es.hourlyCounts(stream)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
       // exactly-once fold: sum(cnt) per window — a double emission would
       // double a count and break the hash compare, not hide
       s.read.parquet(sink)
@@ -1494,11 +1497,14 @@ object ExtraQueries {
         java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
       val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
         .withColumn("value", round(col("value") * 100)) // exact cents-in-double
-      val q = graft.streaming.EventStreams.sessionize(stream)
-        .toDF().writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      ExtraQueries.awaitBounded(q)
+      val es = graft.streaming.EventStreams
+      es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+        val q = es.sessionize(stream)
+          .toDF().writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
       s.read.parquet(sink)
         .where(col("startSec") <= maxRealSec)
         .select(col("user_id"),
@@ -1555,12 +1561,15 @@ object ExtraQueries {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
       val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
-      val q = graft.streaming.EventStreams
-        .funnelStream(stream, Seq("view", "click", "purchase"))
-        .toDF().writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      ExtraQueries.awaitBounded(q)
+      val es = graft.streaming.EventStreams
+      es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+        val q = es
+          .funnelStream(stream, Seq("view", "click", "purchase"))
+          .toDF().writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
       s.read.parquet(sink)
         .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
           col("reached"))
@@ -1618,11 +1627,14 @@ object ExtraQueries {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
       val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
-      val q = graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
-        .writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      ExtraQueries.awaitBounded(q)
+      val es = graft.streaming.EventStreams
+      es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+        val q = es.dedupStream(stream, Seq("event_id"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
       s.read.parquet(sink)
         .where(col("event_type") =!= "sentinel")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1665,11 +1677,14 @@ object ExtraQueries {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
       val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
-      val q = graft.streaming.EventStreams.purchaseAttribution(stream)
-        .writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      ExtraQueries.awaitBounded(q)
+      val es = graft.streaming.EventStreams
+      es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+        val q = es.purchaseAttribution(stream)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
       s.read.parquet(sink).select("purchase_id", "user_id", "click_id")
     }, Some("""WITH ev AS (
         SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
@@ -1711,11 +1726,16 @@ object ExtraQueries {
       }
       def runOnce(): Unit = {
         val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
-        val q = graft.streaming.EventStreams.hourlyCounts(stream)
-          .writeStream.format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        ExtraQueries.awaitBounded(q)
+        val es = graft.streaming.EventStreams
+        // run 2 resumes from the checkpoint, whose metadata pins run 1's
+        // partition count — the formula only decides the FIRST run
+        es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+          val q = es.hourlyCounts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          ExtraQueries.awaitBounded(q)
+        }
       }
       stageFile(raw.where(col("ts") <= Tables.tsLitAsRaw(raw, midNs)), "aa_events_run1")
       runOnce() // emits pre-watermark windows, parks the rest in state
@@ -2130,11 +2150,14 @@ object ExtraQueries {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$stage/zz_sentinel.parquet"))
       val stream = graft.streaming.EventStreams.readEvents(s, stage, "*.parquet")
-      val q = graft.streaming.EventStreams.viewConversion(stream)
-        .writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      ExtraQueries.awaitBounded(q)
+      val es = graft.streaming.EventStreams
+      es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+        val q = es.viewConversion(stream)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
       s.read.parquet(sink).where(col("view_id") >= 0)
         .select("view_id", "user_id", "purchase_id")
     }, Some("""WITH ev AS (
@@ -2525,6 +2548,10 @@ object ExtraQueries {
         stageFile(changes.where(col("c_custkey") % 3 === k), s"b$k"))
       val stream = s.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
+      // NO adaptive-state-partition wrap here, deliberately: this stream
+      // is stateless (foreachBatch only), and the per-file merge batches
+      // are ordinary batch joins/writes that keep the session's
+      // parallelism — wrapping was measured 4.7 vs 4.3 s at sf0.1 (r16)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty) {

@@ -1016,12 +1016,15 @@ object MoreQueries {
         val stream = s.readStream
           .schema("doc_id BIGINT, text STRING")
           .parquet(s"$stage/*.parquet")
-        val q = StreamDedup.nearDupPairs(stream, threshold = 0.8,
-            maxBucket = 1000000)
-          .writeStream.format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        ExtraQueries.awaitBounded(q)
+        val es = graft.streaming.EventStreams
+        es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+          val q = StreamDedup.nearDupPairs(stream, threshold = 0.8,
+              maxBucket = 1000000)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          ExtraQueries.awaitBounded(q)
+        }
       }
       try {
         stageFile(history, "hist")
@@ -1141,14 +1144,17 @@ object MoreQueries {
         ExtraQueries.rmrf(tmpd)
       }
       def runOnce(): Unit = {
-        val q = StreamDedup.frontDoor(
-            s.readStream.schema("crawl_id BIGINT, html STRING")
-              .parquet(s"$stage/*.parquet"),
-            threshold = 0.8, maxBucket = 1000000)
-          .writeStream.format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        ExtraQueries.awaitBounded(q)
+        val es = graft.streaming.EventStreams
+        es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+          val q = StreamDedup.frontDoor(
+              s.readStream.schema("crawl_id BIGINT, html STRING")
+                .parquet(s"$stage/*.parquet"),
+              threshold = 0.8, maxBucket = 1000000)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          ExtraQueries.awaitBounded(q)
+        }
       }
       try {
         stageFile(hist, "hist")

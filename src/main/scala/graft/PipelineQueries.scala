@@ -695,12 +695,15 @@ object PipelineQueries {
       // floor, not DIV: Spark's DIV truncates toward zero while the
       // oracle's // floors — identical on this data (values > 0) but
       // floor keeps the bin math engine-consistent for any sign
-      val q = graft.streaming.EventStreams.histogramCounts(stream,
-          floor(round(col("value") * 100) / lit(2500.0)).cast("long"))
-        .writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      ExtraQueries.awaitBounded(q)
+      val es = graft.streaming.EventStreams
+      es.withStatePartitions(s, es.adaptiveStatePartitions(s, stage)) {
+        val q = es.histogramCounts(stream,
+            floor(round(col("value") * 100) / lit(2500.0)).cast("long"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        ExtraQueries.awaitBounded(q)
+      }
       // drop the sentinel's own far-future window, then exactly-once fold
       val maxHourSec = maxNs / 1000000000L / 3600L * 3600L
       val hist = s.read.parquet(sink)

@@ -322,6 +322,51 @@ object EventStreams {
       }
   }
 
+  /** Scale-adaptive state-store partition count, derived from the bytes
+    * actually staged for the stream (optimization guide §2: derive
+    * partitioning from input size, never a constant tuned for one
+    * deployment). Stateful micro-batches cannot use AQE coalescing
+    * (Spark disables AQE for stateful workloads), so the state-store
+    * partition count is whatever `spark.sql.shuffle.partitions` says
+    * when the checkpoint is created — and every micro-batch then pays
+    * one task + one state-store delta file PER PARTITION PER STATEFUL
+    * OPERATOR regardless of data volume. Sizing: one partition per
+    * `graft.stream.bytesPerStatePartition` staged bytes (default 32 MiB),
+    * capped at 4× the cluster's default parallelism (the cap rules at
+    * 100 TB — partitions scale with the cluster; the byte rule rules on
+    * a small replay, where 32 state files per micro-batch is pure
+    * overhead: measured at sf0.1, 32 → 2 partitions reads
+    * q_stream_attribution 12.2 → 3.0 s, q_stream_join_outer
+    * 13.8 → 2.9 s, q_stream_hourly 7.7 → 2.9 s on the A/B probe).
+    * Floor 1: partition count never changes RESULTS, only layout —
+    * grouped state is keyed logically, and a restarted query takes its
+    * count from the checkpoint metadata, not this formula.
+    */
+  def adaptiveStatePartitions(spark: SparkSession, stagedDirs: String*): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+      else f.length()
+    val total = stagedDirs.map(d => bytes(new java.io.File(d))).sum
+    val perPart = spark.conf.getOption("graft.stream.bytesPerStatePartition")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val cap = math.max(1L, spark.sparkContext.defaultParallelism.toLong * 4)
+    math.max(1L, math.min(cap, (total + perPart - 1) / perPart)).toInt
+  }
+
+  /** Run `body` (a stream start + drain) with
+    * `spark.sql.shuffle.partitions` pinned to `n`, restoring the
+    * caller's value afterwards. The conf is read by the streaming
+    * planner at query START (then pinned in checkpoint metadata), so
+    * the override must bracket `.start()`; batch work outside the
+    * bracket keeps the session default + AQE.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run any of the above to a memory sink until all available data is
     * processed (test/batch-replay entry point).
     */

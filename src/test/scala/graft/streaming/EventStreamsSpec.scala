@@ -538,4 +538,34 @@ class EventStreamsSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("adaptiveStatePartitions sizes from staged bytes, clamped both ends") {
+    val dir = Files.createTempDirectory("adaptive-parts")
+    // empty dir → floor of 1, never 0
+    assert(EventStreams.adaptiveStatePartitions(spark, dir.toString) == 1)
+    // stage the real events file (small) → still the floor at the 32 MiB default
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("e.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    assert(EventStreams.adaptiveStatePartitions(spark, dir.toString) == 1)
+    // shrink bytes-per-partition below the staged size → count grows with
+    // bytes; at 1 byte/partition the 4× default-parallelism cap rules
+    val key = "graft.stream.bytesPerStatePartition"
+    val bytes = Files.size(dir.resolve("e.parquet"))
+    try {
+      spark.conf.set(key, (bytes / 2 + 1).toString)
+      assert(EventStreams.adaptiveStatePartitions(spark, dir.toString) == 2)
+      spark.conf.set(key, "1")
+      assert(EventStreams.adaptiveStatePartitions(spark, dir.toString) ==
+        spark.sparkContext.defaultParallelism * 4)
+    } finally spark.conf.unset(key)
+  }
+
+  test("withStatePartitions pins the conf inside the body and restores it") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = EventStreams.withStatePartitions(spark, 3) {
+      spark.conf.get(key)
+    }
+    assert(inside == "3" && spark.conf.get(key) == before)
+  }
 }
