@@ -899,32 +899,16 @@ object Dedup {
     * per-row folds at equal output).
     */
   def simhash64Array(text: Column): Column =
-    // r16 per-row-cost rewrite, mirroring [[simhashBands]]: each token's
-    // md5 hex prefix is parsed ONCE into two 32-bit long chunks (digits
-    // 0..7 and 8..15), and the per-(digit,bit) vote becomes an integer
-    // shift/mask instead of a 1-char substring + 8-way isin — the same
-    // bits, so the band ints are unchanged. Matters because these
-    // lambdas evaluate interpreted (higher-order functions don't
-    // codegen): 64 string probes per token → 64 integer ops per token.
-    bindOnce(transform(transform(array_distinct(toks(text)), t => md5(t)),
-        h => struct(
-          conv(substring(h, 1, 8), 16, 10).cast("long").as("c0"),
-          conv(substring(h, 9, 8), 16, 10).cast("long").as("c1"))), hs =>
-      when(size(hs) > 0,
-        array((0 until 4).map { k =>
-          bindOnce(
-            aggregate(hs,
-              array_repeat(lit(0), 16),
-              (acc, s) => zip_with(acc,
-                array((for { jj <- 0 until 4; b <- 0 until 4 } yield
-                  ((shiftright(s.getField(if (k < 2) "c0" else "c1"),
-                      4 * (7 - ((4 * k) % 8 + jj)) + b)
-                    .bitwiseAND(lit(1L)) * lit(2L)) - lit(1L)).cast("int")): _*),
-                (a, v) => a + v)),
-            vs => (for { jj <- 0 until 4; b <- 0 until 4 } yield
-              when(element_at(vs, jj * 4 + b + 1) > 0, lit(1 << (jj * 4 + b)))
-                .otherwise(lit(0))).reduce(_ + _))
-        }: _*)))
+    // r16 codegen rewrite ([[graft.functions.SimhashBands]], guide §4 /
+    // §1.2 per-task work): one primitive pass over the raw md5 DIGEST
+    // bytes per distinct token — no hex string, no interpreted HOF
+    // fold. Identical digit/bit layout (hex digit j is nibble j of the
+    // digest), so the band ints — and the DuckDB replay — are
+    // unchanged; DedupSpec + ScalarTwinPropSpec pin scalar ≡ aggregate.
+    // NULL for null text / zero-token docs, as before (the expression
+    // returns null on an empty token array).
+    graft.functions.SimhashExpressions.simhashBands(
+      array_distinct(toks(text)), 4)
 
   private def simhashBands(docs: DataFrame, nBands: Int,
                            text: String, id: String): DataFrame = {
