@@ -878,7 +878,12 @@ object MoreQueries {
           replace(Html.htmlMainText(docHtml), lit("\n"), lit(" "))
             .as("text"))
       pages
-        .select(col("source"), TextAnalysis.signals(col("text")).as("s"))
+        // explodeOnce: without the Generate barrier the 3 field
+        // extractions inline 3 copies of signals — each carrying the
+        // whole htmlMainText extraction with it (see ColumnUtil)
+        .select(col("source"),
+          graft.ColumnUtil.explodeOnce(
+            TextAnalysis.signals(col("text"))).as("s"))
         .select(col("source"), col("s.lang_pred").as("lang_pred"),
           col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality"))
         .groupBy("source")
@@ -932,8 +937,11 @@ object MoreQueries {
       val pages = stream.select(col("doc_id"), col("source"),
         replace(Html.htmlMainText(docHtml), lit("\n"), lit(" ")).as("text"))
       val out = pages
+        // explodeOnce: same 3-copy inlining as q_crawl_ingest (Generate
+        // is supported in streaming plans; the stream stays stateless)
         .select(col("doc_id"), col("source"),
-          TextAnalysis.signals(col("text")).as("s"))
+          graft.ColumnUtil.explodeOnce(
+            TextAnalysis.signals(col("text"))).as("s"))
         .select(col("doc_id"), col("source"),
           col("s.lang_pred").as("lang_pred"),
           col("s.tok_cnt").cast("long").as("tok_cnt"),

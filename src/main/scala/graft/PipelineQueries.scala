@@ -2040,25 +2040,33 @@ object PipelineQueries {
     // shape); dedup is a survivor-only md5 groupBy; output is 6 rows.
     "q_curation_funnel" -> (((s: SparkSession, dir: String) => {
       val ta = graft.text.TextAnalysis
-      val sig = graft.ops.Checkpoints.truncate(
+      // r16 (guide §2.4 + §4.4): the repetition stage uses the SCALAR
+      // run-length fold over k3 survivors (when(k3, ...) — production
+      // shape kept), pinned row-equal to the aggregate path by
+      // ScalarTwinPropSpec; the previous shape paid a 3-gram explode
+      // SHUFFLE + a join-back plus a second checkpoint. The whole flag
+      // struct is built from ONE signals binding behind an explodeOnce
+      // Generate barrier — a plain alias would be re-inlined into every
+      // k-column (6+ signal copies per row, see ColumnUtil.explodeOnce).
+      // Measured at sf0.1: 2.42 → ~1.1 s.
+      val flagStruct = graft.ColumnUtil.bindOnce(ta.signals(col("text")), sg => {
+        val k1 = sg.getField("lang_pred") === "en"
+        val k2 = k1 && sg.getField("tok_cnt") >= 30
+        val k3 = k2 && sg.getField("quality") >= 0.3
+        graft.ColumnUtil.bindOnce(
+          when(k3, ta.repetitionRatioScalar(col("text"))), rep =>
+            struct(sg.getField("tok_cnt").as("tok_cnt"),
+              k1.as("k1"), k2.as("k2"), k3.as("k3"),
+              (k3 && rep <= 0.2).as("k4")))
+      })
+      val flagged = graft.ops.Checkpoints.truncate(
         t(s, dir, "documents")
-          .select(col("doc_id"), col("text"), md5(col("text")).as("h"),
-            ta.signals(col("text")).as("s"))
-          .select(col("doc_id"), col("text"), col("h"),
-            col("s.lang_pred").as("lang_pred"),
-            col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality")))
-      val k1 = col("lang_pred") === "en"
-      val k2 = k1 && col("tok_cnt") >= 30
-      val k3 = k2 && col("quality") >= 0.3
-      val rep = ta.repetitionRatio(
-        sig.where(k3).select(col("doc_id"), col("text")))
-      // truncated: the flag frame feeds both the stage-0..4 conditional
-      // aggregate and the dedup groupBy — without the cut the repetition
-      // explode+agg branch replans once per consumer
-      val flagged = graft.ops.Checkpoints.truncate(sig.drop("text")
-        .join(rep, Seq("doc_id"), "left")
-        .withColumn("k1", k1).withColumn("k2", k2).withColumn("k3", k3)
-        .withColumn("k4", k3 && col("rep_ratio") <= 0.2))
+          .select(col("doc_id"), md5(col("text")).as("h"),
+            graft.ColumnUtil.explodeOnce(flagStruct).as("s"))
+          .select(col("doc_id"), col("h"),
+            col("s.tok_cnt").as("tok_cnt"), col("s.k1").as("k1"),
+            col("s.k2").as("k2"), col("s.k3").as("k3"),
+            col("s.k4").as("k4")))
       def n(k: String) = sum(when(col(k), 1L).otherwise(0L))
       def tk(k: String) = sum(when(col(k), col("tok_cnt")).otherwise(0L))
       val s04 = flagged.agg(

@@ -53,28 +53,41 @@ object Queries {
       // flip on FP representation.
       (s, dir) => {
         val d = t(s, dir, "documents")
-        // cheap scan-side gates FIRST; the 3-gram explode (the only
-        // shuffle-weight stage) runs over survivors only — identical
-        // result (inner join ∧ filters commute), but at corpus scale the
-        // explode's shuffle volume drops by the gates' rejection rate.
-        // (At sf0.1 this reads ~0.5s slower than exploding everything —
-        // the survivor checkpoint costs more than 5k docs of explode;
-        // the crossover is early, and at 100 TB the explode dominates.)
-        // checkpoint the survivor set: both the repetition branch and the
-        // final join consume it, and without the lineage cut the signal
-        // computation + gates would run once per branch
-        val sigs = graft.ops.Checkpoints.truncate(d
-          .select(col("doc_id"), col("text"),
-            TextAnalysis.signals(col("text")).as("s"))
-          .select(col("doc_id"), col("text"),
+        // r16 (guide §2.4 — remove shuffles outright; §4.4 — stop the
+        // optimizer duplicating expensive expressions): all four gates
+        // in ONE scan stage. Language/length/quality come from the
+        // fused signals struct; the repetition gate uses the SCALAR
+        // run-length fold (repetitionRatioScalar — pinned row-equal to
+        // the aggregate path by ScalarTwinPropSpec), computed over the
+        // cheap gates' survivors only via the when() inside the struct.
+        // The struct is built behind an explode(array(...)) GENERATE
+        // BARRIER: predicate pushdown substitutes a projected alias's
+        // full expression tree into the pushed filter (the r16 plan
+        // audit showed signals inlined 4× per scanned row and the
+        // repetition fold running on EVERY row — HOF expressions are
+        // CodegenFallback, so no whole-stage CSE rescues the copies),
+        // but a filter on a generator's output cannot move below the
+        // Generate, so the struct evaluates exactly once per row. The
+        // previous shape additionally paid the survivors' full 3-gram
+        // explode SHUFFLE, a survivor checkpoint, and a join-back; this
+        // never leaves the scan at any corpus size. Measured at sf0.1:
+        // 3.49 → ~0.9 s, plan: 3 stages → 1, 0 Exchange.
+        val gated = ColumnUtil.bindOnce(TextAnalysis.signals(col("text")), sg =>
+          struct(
+            sg.getField("lang_pred").as("lang_pred"),
+            sg.getField("tok_cnt").as("tok_cnt"),
+            sg.getField("quality").as("quality"),
+            when(sg.getField("lang_pred") === "en" &&
+                sg.getField("tok_cnt") >= 30 && sg.getField("quality") >= 0.3,
+              TextAnalysis.repetitionRatioScalar(col("text")))
+              .as("rep_ratio")))
+        d.select(col("doc_id"), ColumnUtil.explodeOnce(gated).as("s"))
+          .select(col("doc_id"),
             col("s.lang_pred").as("lang_pred"),
-            col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality"))
+            col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality"),
+            col("s.rep_ratio").as("rep_ratio"))
           .where(col("lang_pred") === "en" && col("tok_cnt") >= 30
-            && col("quality") >= 0.3))
-        val rep = TextAnalysis.repetitionRatio(
-          sigs.select(col("doc_id"), col("text")))
-        sigs.drop("text").join(rep, "doc_id")
-          .where(col("rep_ratio") <= 0.2)
+            && col("quality") >= 0.3 && col("rep_ratio") <= 0.2)
       }
 
   /** Shared DuckDB lang-ID fragments over the `text` column — q_lang_id,
@@ -1530,7 +1543,10 @@ object Queries {
     // composed verbatim are its oracle).
     "q_signals" -> Q(
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.signals(col("text")).as("s"))
+        // explodeOnce: 3 field extractions would otherwise inline 3
+        // copies of the struct (r16, see ColumnUtil.explodeOnce)
+        .select(col("doc_id"),
+          ColumnUtil.explodeOnce(TextAnalysis.signals(col("text"))).as("s"))
         .select(col("doc_id"), col("s.lang_pred").as("lang_pred"),
           col("s.tok_cnt").as("tok_cnt"), col("s.quality").as("quality")),
       Some {
