@@ -272,9 +272,28 @@ object Dedup {
     * `posexplode(graft_minhash_bands(text))` → GROUP BY (pos, col).
     */
   def minhashBandKeys(text: Column, numPerms: Int = 8, rowsPerBand: Int = 2,
-                      shingleN: Int = 3): Column = {
+                      shingleN: Int = 3): Column =
+    minhashBandKeysFromHashes(
+      transform(array_distinct(shingles(text, shingleN)), s => shingleHash(s)),
+      numPerms, rowsPerBand)
+
+  /** [[minhashBandKeys]] over a PRE-COMPUTED 60-bit shingle-hash array
+    * (r16): the streaming near-dup scan projects BOTH the verify set
+    * (sorted distinct hashes) and the band keys from one document, and
+    * as separate output columns each re-tokenized and re-md5'd the text
+    * — this variant lets one bound hash array feed both (the
+    * per-shingle md5 is the dominant signature cost). Value-identical
+    * to the text form: duplicate hashes (distinct shingles colliding at
+    * 60 bits) cannot move a minimum, and the size/null guards match
+    * [[minhashSigArray]]'s.
+    */
+  def minhashBandKeysFromHashes(hs0: Column, numPerms: Int = 8,
+                                rowsPerBand: Int = 2): Column = {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
-    bindOnce(minhashSigArray(text, numPerms, shingleN), sig =>
+    val sig0 = bindOnce(hs0, hs =>
+      when(size(hs) > 0, graft.functions.MinhashExpressions.minhashMins(
+        transform(hs, h => h % MinhashP), numPerms)))
+    bindOnce(sig0, sig =>
       // sig is NULL for null/empty text (see minhashSigArray) → NULL
       // band keys, not md5-of-empty keys that would bucket all such
       // docs together

@@ -97,16 +97,26 @@ object StreamDedup {
                    maxBucket: Int = 1000): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ONE shingle-hash pass feeds both the verify set and the band keys
+    // (r16, guide §4 per-task work): as two separate output columns each
+    // re-tokenized and re-md5'd the document — the dominant scan cost.
+    // The fused struct rides an explodeOnce Generate barrier so field
+    // extraction cannot re-inline it (see ColumnUtil.explodeOnce).
+    val keyed = graft.ColumnUtil.bindOnce(
+      transform(array_distinct(Dedup.shingles(col("text"), shingleN)),
+        s => Dedup.shingleHash(s)), hs =>
+      struct(
+        // distinct 60-bit shingle hashes, sorted: the verify SET
+        array_sort(array_distinct(hs)).as("shingles"),
+        Dedup.minhashBandKeysFromHashes(hs, numPerms, rowsPerBand)
+          .as("bkeys")))
     val banded = docs
       .select(col("doc_id").cast("long").as("docId"),
-        // distinct 60-bit shingle hashes, sorted: the verify SET
-        array_sort(array_distinct(transform(
-          array_distinct(Dedup.shingles(col("text"), shingleN)),
-          s => Dedup.shingleHash(s)))).as("shingles"),
-        // NULL band keys (null/empty text) posexplode to no rows —
-        // matching the batch path, where such docs get no signature row
-        posexplode(Dedup.minhashBandKeys(col("text"), numPerms,
-          rowsPerBand, shingleN)))
+        graft.ColumnUtil.explodeOnce(keyed).as("k"))
+      // NULL band keys (null/empty text) posexplode to no rows —
+      // matching the batch path, where such docs get no signature row
+      .select(col("docId"), col("k.shingles").as("shingles"),
+        posexplode(col("k.bkeys")))
       .select(col("pos").as("band"), col("col").as("bkey"),
         col("docId"), col("shingles"))
       .as[BandedDoc]
@@ -204,16 +214,27 @@ object StreamDedup {
                 maxBucket: Int = 1000000): Dataset[FrontDoorHit] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val text = replace(graft.text.Html.htmlMainText(col("html")),
-      lit("\n"), lit(" "))
+    // ONE htmlMainText extraction and ONE shingle-hash pass per page
+    // (r16): the previous two-step projection let CollapseProject inline
+    // the extraction into every consumer (md5, verify set, band keys —
+    // 3 full extractions/row) and hashed the shingles twice. The fused
+    // struct binds text then the hash array once, behind an explodeOnce
+    // Generate barrier (see ColumnUtil.explodeOnce).
+    val keyed = graft.ColumnUtil.bindOnce(
+      replace(graft.text.Html.htmlMainText(col("html")),
+        lit("\n"), lit(" ")), txt =>
+      graft.ColumnUtil.bindOnce(
+        transform(array_distinct(Dedup.shingles(txt, shingleN)),
+          s => Dedup.shingleHash(s)), hs =>
+        struct(md5(txt).as("textHash"),
+          array_sort(array_distinct(hs)).as("shingles"),
+          Dedup.minhashBandKeysFromHashes(hs, numPerms, rowsPerBand)
+            .as("bkeys"))))
     val banded = pages
-      .select(col("crawl_id").cast("long").as("docId"), text.as("text"))
-      .select(col("docId"), md5(col("text")).as("textHash"),
-        array_sort(array_distinct(transform(
-          array_distinct(Dedup.shingles(col("text"), shingleN)),
-          s => Dedup.shingleHash(s)))).as("shingles"),
-        posexplode(Dedup.minhashBandKeys(col("text"), numPerms,
-          rowsPerBand, shingleN)))
+      .select(col("crawl_id").cast("long").as("docId"),
+        graft.ColumnUtil.explodeOnce(keyed).as("k"))
+      .select(col("docId"), col("k.textHash").as("textHash"),
+        col("k.shingles").as("shingles"), posexplode(col("k.bkeys")))
       .select(col("pos").as("band"), col("col").as("bkey"),
         col("docId"), col("textHash"), col("shingles"))
       .as[FrontDoorDoc]
@@ -295,17 +316,22 @@ object StreamDedup {
     // normalize FIRST, watermark the normalized column, then only
     // project the attribute through: the watermark tag lives in the
     // column attribute's metadata and must reach the stateful operator
+    // same one-pass fused keying as [[nearDupPairs]] (r16)
+    val keyed = graft.ColumnUtil.bindOnce(
+      transform(array_distinct(Dedup.shingles(col("text"), shingleN)),
+        s => Dedup.shingleHash(s)), hs =>
+      struct(array_sort(array_distinct(hs)).as("shingles"),
+        Dedup.minhashBandKeysFromHashes(hs, numPerms, rowsPerBand)
+          .as("bkeys")))
     val banded = docs
       .where(col(tsCol).isNotNull) // a null event time cannot age
       .select(col("doc_id").cast("long").as("docId"),
         col(tsCol).cast("timestamp").as("ts"), col("text"))
       .withWatermark("ts", delay)
       .select(col("docId"), col("ts"),
-        array_sort(array_distinct(transform(
-          array_distinct(Dedup.shingles(col("text"), shingleN)),
-          s => Dedup.shingleHash(s)))).as("shingles"),
-        posexplode(Dedup.minhashBandKeys(col("text"), numPerms,
-          rowsPerBand, shingleN)))
+        graft.ColumnUtil.explodeOnce(keyed).as("k"))
+      .select(col("docId"), col("ts"), col("k.shingles").as("shingles"),
+        posexplode(col("k.bkeys")))
       .select(col("pos").as("band"), col("col").as("bkey"),
         col("docId"), col("ts"), col("shingles"))
       .as[BandedDocT]
