@@ -535,7 +535,13 @@ object Dedup {
     import graft.ops.Checkpoints
     // materialize the edge list once — it re-enters every propagation
     // iteration AND the convergence check, and recomputing the upstream
-    // LSH pipeline per iteration would dominate the whole job
+    // LSH pipeline per iteration would dominate the whole job. The
+    // two-sided union is DELIBERATE (r16): an explode(array(fwd, rev))
+    // single-pass form was measured and rejected — the union's arms are
+    // independent stages that overlap on idle capacity while AQE stage
+    // reuse already dedups the candidate join's shuffle stages, so the
+    // "one pass" form just serializes the tail (q_dedup_canonical
+    // 4.3 → 5.1 s, q_dedup_corpus 2.6 → 3.2 at sf0.1).
     val edgesT = Checkpoints.truncateTracked(
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))),

@@ -123,6 +123,100 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** Shared primitive loops for [[NearestCentroid]] — static so generated
+  * code can call them (the MinhashHelper pattern).
+  */
+object CentroidHelper {
+  /** argmax cell over `cents` (array<struct<cid:int, vec:array<double>>>)
+    * by (cosine, −cid) — EXACTLY the broadcast fold's semantics: cosine
+    * is [[CosineSimilarity]]'s arithmetic (0.0 on a zero norm), the
+    * running max compares sim first with Double.compare (Spark's
+    * nan-safe double ordering) and breaks ties toward the smaller cid.
+    */
+  def nearestCell(emb: ArrayData, cents: ArrayData, embFloat: Boolean): Int = {
+    var bestSim = Double.NegativeInfinity
+    var bestNeg = Int.MinValue
+    val k = cents.numElements()
+    var c = 0
+    while (c < k) {
+      val s = cents.getStruct(c, 2)
+      val cid = s.getInt(0)
+      val vec = s.getArray(1)
+      val n = math.min(emb.numElements(), vec.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (embFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+        val yv = vec.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val sim =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      val cmp = java.lang.Double.compare(sim, bestSim)
+      if (cmp > 0 || (cmp == 0 && -cid > bestNeg)) {
+        bestSim = sim; bestNeg = -cid
+      }
+      c += 1
+    }
+    -bestNeg
+  }
+}
+
+/** `nearest_centroid(emb, cents)` → int cell id. Replaces the
+  * interpreted `aggregate()`-over-broadcast-centroids fold in
+  * [[graft.sim.Similarity.buildIvfIndex]]'s large-k path (r16, guide
+  * §4): the fold paid a closure dispatch + a struct allocation + a
+  * struct comparison per centroid per row; this is one primitive
+  * k·dim loop inside whole-stage codegen. Tie-break and zero-norm
+  * semantics identical to the fold (SimilaritySpec pins the two paths
+  * cell-for-cell).
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val embOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val centsOk = right.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 =>
+        fs(0).dataType == IntegerType &&
+          (fs(1).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          })
+      case _ => false
+    }
+    if (embOk && centsOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<struct<int," +
+          s"array<double>>>), got ${left.dataType.catalogString}, " +
+          s"${right.dataType.catalogString}")
+  }
+
+  private def embIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CentroidHelper.nearestCell(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], embIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.CentroidHelper.nearestCell($a, $b, $embIsFloat);
+    """)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Register `vec_dot` / `vec_cosine` as SQL functions in the session.
     * (For cluster deployment the same builders are injected via
@@ -146,6 +240,11 @@ object VectorExpressions {
   def vecCosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
       CosineSimilarity(expressionOf(a), expressionOf(b)))
+
+  /** Column surface for [[NearestCentroid]]. */
+  def nearestCell(emb: Column, cents: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      NearestCentroid(expressionOf(emb), expressionOf(cents)))
 
   private def expressionOf(c: Column): Expression =
     org.apache.spark.sql.graft.ColumnShim.expression(c)

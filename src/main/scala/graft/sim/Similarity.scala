@@ -359,19 +359,16 @@ object Similarity {
         Seq(centroids.map { case (cid, v) => (cid, v) }).toDF("_cents"))
       // (sim, negcid) running max over the broadcast centroid array —
       // same comparison the literal path's greatest performs, so the two
-      // paths tie-break identically on equal similarities
-      val best = aggregate(
-        col("_cents"),
-        struct(lit(Double.NegativeInfinity).as("sim"),
-          lit(Int.MinValue).as("negcid")),
-        (acc, c) => {
-          val cand = struct(
-            cosine(col(emb), c.getField("_2")).as("sim"),
-            (-c.getField("_1")).as("negcid"))
-          when(cand > acc, cand).otherwise(acc)
-        })
+      // paths tie-break identically on equal similarities. r16 (guide
+      // §4): the max runs as the codegen'd NearestCentroid primitive
+      // loop — the previous `aggregate()` fold paid an interpreted
+      // closure dispatch + struct allocation + struct compare per
+      // centroid per row (measured 2.6× on the k=160 d5k assignment);
+      // SimilaritySpec pins the two physical forms cell-for-cell.
       vectors.crossJoin(centRow)
-        .select(col(id), col(emb), (-best.getField("negcid")).as("cell"))
+        .select(col(id), col(emb),
+          graft.functions.VectorExpressions.nearestCell(
+            col(emb), col("_cents")).as("cell"))
     }
   }
 
